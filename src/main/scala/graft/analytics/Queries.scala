@@ -1,0 +1,187 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics queries over the TPC-H-ish tables.
+  *
+  * Numeric policy (SURVEY.md §6): all double aggregations go through
+  * DECIMAL (exact, order-independent under any partitioning — double
+  * sums are not associative) and are CAST back to DOUBLE at the end so
+  * DuckDB and Spark produce bit-identical values regardless of plan.
+  */
+object Queries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1 shape: pricing summary report. One scan + one partial-agg
+    * shuffle on 6 groups — map-side combine collapses 100 TB to KBs.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+          * (lit(1).cast("decimal(18,2)") + dec2(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation with all
+    * dimension sides broadcast — the fact table never shuffles for the
+    * joins, only for the tiny final aggregation.
+    */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val qJoinBroadcastSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Top-k customers by revenue; deterministic tie-break on the key. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).cast("double").as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+      .limit(25)
+  }
+
+  val qTopKSql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY total_spent DESC, o_custkey
+      |LIMIT 25""".stripMargin
+
+  /** Ranking + lag window functions per user over the event stream.
+    * Single shuffle on user_id; both window specs share the same
+    * partitioning so Catalyst plans one Exchange.
+    */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(
+        col("user_id"), col("event_id"), unix_micros(col("ts")).as("time_us"),
+        row_number().over(w).as("seq_no"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .filter(col("seq_no") <= 5)
+      .orderBy(col("user_id"), col("seq_no"))
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT * FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS time_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq_no,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |WHERE seq_no <= 5
+      |ORDER BY user_id, seq_no""".stripMargin
+
+  /** Gap-based sessionization: a new session starts after >30min of
+    * inactivity. Classic lag → cumulative-sum pattern; one shuffle on
+    * user_id, then both windows are partition-local.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    ev.select(col("user_id"), col("event_id"), col("value"), unix_micros(col("ts")).as("time_us"))
+      .withColumn("new_sess",
+        when(col("time_us") - lag(col("time_us"), 1).over(w) > gapUs || lag(col("time_us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("time_us")).as("session_start_us"),
+        max(col("time_us")).as("session_end_us"),
+        sum(dec2(col("value"))).cast("double").as("session_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS time_us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      |           OR LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_sess
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, event_id, value, time_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY time_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM flagged)
+      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |  MIN(time_us) AS session_start_us, MAX(time_us) AS session_end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  /** Per-user pivot on event type: conditional aggregation — one
+    * shuffle, no actual PIVOT operator needed at any scale.
+    */
+  def qEventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    ev.groupBy(col("user_id"))
+      .agg(cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"), cnt("error"),
+        sum(when(col("event_type") === "purchase", dec2(col("value")))).cast("double").as("purchase_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEventPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+}

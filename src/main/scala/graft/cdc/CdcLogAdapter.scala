@@ -1,0 +1,90 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Adapts the driver's `events` table into a CDC-log-shaped relation.
+  *
+  * The reference consumes a Scylla CDC log table whose rows carry
+  * `cdc$stream_id / cdc$time / cdc$batch_seq_no / cdc$operation /
+  * cdc$ttl / cdc$end_of_batch` metadata plus the base-table columns
+  * (scylla-cdc-base .../worker/RawChange.java:43-65). We don't have a
+  * Scylla cluster, so this adapter derives an equivalent log
+  * deterministically from `events` using only arithmetic that is
+  * expressible identically in DuckDB (for the oracle) and in Spark
+  * column expressions (whole-stage codegen, no UDFs).
+  *
+  * Mapping (documented in SURVEY.md §3):
+  *  - stream_id   = user_id % 64                (64 CDC streams)
+  *  - time        = ts                          (change timestamp)
+  *  - batch_seq_no= event_id % 4, end_of_batch = (batch_seq_no == 3)
+  *  - operation   = view→ROW_INSERT, click→ROW_UPDATE,
+  *                  purchase→ROW_DELETE,
+  *                  signup→PRE_IMAGE/POST_IMAGE (event_id parity),
+  *                  error→PARTITION_DELETE or one of the four
+  *                  range-delete bounds (event_id % 5 buckets)
+  *  - ttl         = 86400 for every 10th event, else NULL
+  *  - base-table primary key = (user_id, event_id); payload (value,
+  *    props); cdc_deleted_value models the per-column `cdc$deleted_X`
+  *    flag (RawChange.java:151-182).
+  *
+  * Scale: this is a pure narrow projection — no shuffle, fully
+  * pushdown-friendly; at 100 TB it is a map-only stage fused into
+  * whatever consumes it.
+  */
+object CdcLogAdapter {
+
+  def fromEvents(events: DataFrame): DataFrame = {
+    val eid = col("event_id")
+    val op = when(col("event_type") === "view", CdcSchema.RowInsert)
+      .when(col("event_type") === "click", CdcSchema.RowUpdate)
+      .when(col("event_type") === "purchase", CdcSchema.RowDelete)
+      .when(col("event_type") === "signup",
+        when(eid % 2 === 0, CdcSchema.PreImage).otherwise(CdcSchema.PostImage))
+      .otherwise( // "error" bucketized into partition/range deletes
+        when(eid % 5 === 0, CdcSchema.PartitionDelete)
+          .when(eid % 5 === 1, CdcSchema.RangeDeleteInclLeft)
+          .when(eid % 5 === 2, CdcSchema.RangeDeleteExclLeft)
+          .when(eid % 5 === 3, CdcSchema.RangeDeleteInclRight)
+          .otherwise(CdcSchema.RangeDeleteExclRight))
+    events.select(
+      (col("user_id") % CdcSchema.NumStreams).as("cdc_stream_id"),
+      col("ts").as("cdc_time"),
+      unix_micros(col("ts")).as("time_us"),
+      (eid % 4).cast("int").as("cdc_batch_seq_no"),
+      (eid % 4 === 3).as("cdc_end_of_batch"),
+      op.cast("int").as("cdc_operation"),
+      when(eid % 10 === 0, lit(86400L)).as("cdc_ttl"),
+      col("user_id"),
+      col("event_id"),
+      col("value"),
+      col("props"),
+      (eid % 7 === 0 && col("event_type") === "click").as("cdc_deleted_value"))
+  }
+
+  /** The same relation as [[fromEvents]], as a DuckDB CTE body over the
+    * `events` view — prepended to every CDC oracle query.
+    */
+  val oracleCte: String =
+    """WITH cdc AS (
+      |  SELECT
+      |    user_id % 64 AS cdc_stream_id,
+      |    ts AS cdc_time,
+      |    epoch_us(ts) AS time_us,
+      |    CAST(event_id % 4 AS INT) AS cdc_batch_seq_no,
+      |    (event_id % 4 = 3) AS cdc_end_of_batch,
+      |    CAST(CASE event_type
+      |      WHEN 'view' THEN 2 WHEN 'click' THEN 1 WHEN 'purchase' THEN 3
+      |      WHEN 'signup' THEN (CASE WHEN event_id % 2 = 0 THEN 0 ELSE 9 END)
+      |      ELSE (CASE event_id % 5 WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 6 WHEN 3 THEN 7 ELSE 8 END)
+      |    END AS INT) AS cdc_operation,
+      |    CASE WHEN event_id % 10 = 0 THEN CAST(86400 AS BIGINT) END AS cdc_ttl,
+      |    user_id,
+      |    event_id,
+      |    value,
+      |    props,
+      |    (event_id % 7 = 0 AND event_type = 'click') AS cdc_deleted_value
+      |  FROM events
+      |)
+      |""".stripMargin
+}
