@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Queries
+import graft.cdc.CdcOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,6 +12,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_log_adapter" -> CdcOps.logAdapter,
+    "cdc_operation_decode" -> CdcOps.operationDecode,
+    "cdc_stream_ordering" -> CdcOps.streamOrdering,
+    "cdc_window_scan" -> CdcOps.windowScan,
+    "cdc_generation_assign" -> CdcOps.generationAssign,
+    "cdc_vnode_group" -> CdcOps.vnodeGroup,
+    "cdc_replicate_lww" -> CdcOps.replicateLww,
+    "cdc_partition_delete" -> CdcOps.partitionDelete,
+    "cdc_range_delete" -> CdcOps.rangeDelete,
+    "cdc_preimage_check" -> CdcOps.preimageCheck,
+    "cdc_postimage_apply" -> CdcOps.postimageApply,
+    "cdc_checkpoint" -> CdcOps.checkpoint,
+    "cdc_ttl_trim" -> CdcOps.ttlTrim,
+    "cdc_batch_group" -> CdcOps.batchGroup,
     "q1_agg" -> Queries.q1Agg,
     "q_join_broadcast" -> Queries.qJoinBroadcast,
     "q_topk" -> Queries.qTopK,
@@ -21,6 +36,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "cdc_log_adapter" -> CdcOps.logAdapterSql,
+    "cdc_operation_decode" -> CdcOps.operationDecodeSql,
+    "cdc_stream_ordering" -> CdcOps.streamOrderingSql,
+    "cdc_window_scan" -> CdcOps.windowScanSql,
+    "cdc_generation_assign" -> CdcOps.generationAssignSql,
+    "cdc_vnode_group" -> CdcOps.vnodeGroupSql,
+    "cdc_replicate_lww" -> CdcOps.replicateLwwSql,
+    "cdc_partition_delete" -> CdcOps.partitionDeleteSql,
+    "cdc_range_delete" -> CdcOps.rangeDeleteSql,
+    "cdc_preimage_check" -> CdcOps.preimageCheckSql,
+    "cdc_postimage_apply" -> CdcOps.postimageApplySql,
+    "cdc_checkpoint" -> CdcOps.checkpointSql,
+    "cdc_ttl_trim" -> CdcOps.ttlTrimSql,
+    "cdc_batch_group" -> CdcOps.batchGroupSql,
     "q1_agg" -> Queries.q1AggSql,
     "q_join_broadcast" -> Queries.qJoinBroadcastSql,
     "q_topk" -> Queries.qTopKSql,

@@ -1,0 +1,404 @@
+package graft.cdc
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The CDC operators (SURVEY.md §2a), re-expressed as Spark relational
+  * transforms over the CDC-log relation produced by [[CdcLogAdapter]].
+  *
+  * Every operator is a pure column-expression pipeline: per-stream
+  * semantics use `Window.partitionBy(cdc_stream_id)` / `groupBy` so the
+  * plan shuffles once on the stream key and stays partition-local after
+  * that — the layout that scales linearly with executors at 100 TB
+  * (streams are Scylla's own parallelism unit: a generation has one
+  * stream per vnode shard).
+  */
+object CdcOps {
+
+  import CdcSchema._
+
+  /** Epoch of the synthetic log (2024-01-01T00:00:00Z) in µs — the
+    * "generation start" analogue for window arithmetic. */
+  val GenerationStartUs: Long = 1704067200000000L
+  /** Query window size (TaskState window; reference default ~30 s —
+    * scaled up to 1 h to match the synthetic data density). */
+  val WindowSizeUs: Long = 3600L * 1000000L
+
+  private def cdcLog(spark: SparkSession, dir: String): DataFrame =
+    CdcLogAdapter.fromEvents(Tables.events(spark, dir))
+
+  private val logCols: Seq[String] = Seq(
+    "cdc_stream_id", "time_us", "cdc_batch_seq_no", "cdc_end_of_batch",
+    "cdc_operation", "cdc_ttl", "user_id", "event_id", "value", "props",
+    "cdc_deleted_value")
+
+  /** #1: the CDC-log relation itself (RawChange surface). */
+  def logAdapter(spark: SparkSession, dir: String): DataFrame =
+    cdcLog(spark, dir).select(logCols.map(col): _*).orderBy(col("event_id"))
+
+  val logAdapterSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT ${logCols.mkString(", ")} FROM cdc ORDER BY event_id"""
+
+  /** #2: operation byte → reference enum name
+    * (RawChange.java:17-41 OperationType.parse). */
+  def operationDecode(spark: SparkSession, dir: String): DataFrame = {
+    val nameCol = operationNames.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (id, name)) =>
+        when(col("cdc_operation") === id, name).otherwise(acc)
+      }
+    cdcLog(spark, dir)
+      .withColumn("op_name", nameCol)
+      .groupBy(col("cdc_operation"), col("op_name"))
+      .agg(count(lit(1)).as("n_changes"))
+      .orderBy(col("cdc_operation"))
+  }
+
+  val operationDecodeSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT cdc_operation,
+       |  CASE cdc_operation ${operationNames.toSeq.sortBy(_._1)
+            .map { case (id, n) => s"WHEN $id THEN '$n'" }.mkString(" ")} END AS op_name,
+       |  COUNT(*) AS n_changes
+       |FROM cdc GROUP BY 1, 2 ORDER BY cdc_operation""".stripMargin
+
+  /** #3: per-stream total order of changes — ChangeId = (streamId,
+    * time) ordering that the Worker delivers in (ChangeId.java,
+    * Worker consume loop). First 10 changes of each stream. */
+  def streamOrdering(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cdc_stream_id")).orderBy(col("time_us"), col("event_id"))
+    cdcLog(spark, dir)
+      .select(col("cdc_stream_id"), col("time_us"), col("event_id"), col("cdc_operation"))
+      .withColumn("change_seq", row_number().over(w))
+      .filter(col("change_seq") <= 10)
+      .orderBy(col("cdc_stream_id"), col("change_seq"))
+  }
+
+  val streamOrderingSql: String = CdcLogAdapter.oracleCte +
+    """SELECT * FROM (
+      |  SELECT cdc_stream_id, time_us, event_id, cdc_operation,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS INT) AS change_seq
+      |  FROM cdc)
+      |WHERE change_seq <= 10
+      |ORDER BY cdc_stream_id, change_seq""".stripMargin
+
+  /** #4: bounded time-window scan — assigns every change to its
+    * TaskState query window [start + k·W, start + (k+1)·W)
+    * (TaskState.java:28-56, moveToNextWindow). */
+  def windowScan(spark: SparkSession, dir: String): DataFrame =
+    cdcLog(spark, dir)
+      .withColumn("window_id", ((col("time_us") - GenerationStartUs) / WindowSizeUs).cast("long"))
+      .groupBy(col("cdc_stream_id"), col("window_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        min(col("time_us")).as("window_min_us"),
+        max(col("time_us")).as("window_max_us"))
+      .orderBy(col("cdc_stream_id"), col("window_id"))
+
+  val windowScanSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT cdc_stream_id,
+       |  (time_us - $GenerationStartUs) // $WindowSizeUs AS window_id,
+       |  COUNT(*) AS n_changes,
+       |  MIN(time_us) AS window_min_us,
+       |  MAX(time_us) AS window_max_us
+       |FROM cdc GROUP BY 1, 2 ORDER BY cdc_stream_id, window_id""".stripMargin
+
+  /** Generation boundaries: three generations split at day 10 / day 20
+    * (GenerationMetadata [start, end) intervals). */
+  val Gen1StartUs: Long = GenerationStartUs + 10L * 86400 * 1000000
+  val Gen2StartUs: Long = GenerationStartUs + 20L * 86400 * 1000000
+
+  private def generationCol: Column =
+    when(col("time_us") < Gen1StartUs, 0)
+      .when(col("time_us") < Gen2StartUs, 1)
+      .otherwise(2).cast("int")
+
+  /** #5: change → generation assignment by [start, end) containment
+    * (GenerationMetadata.java, Master generation switch). */
+  def generationAssign(spark: SparkSession, dir: String): DataFrame =
+    cdcLog(spark, dir)
+      .withColumn("generation_id", generationCol)
+      .groupBy(col("generation_id"))
+      .agg(countDistinct(col("cdc_stream_id")).as("n_streams"),
+        count(lit(1)).as("n_changes"),
+        min(col("time_us")).as("first_change_us"),
+        max(col("time_us")).as("last_change_us"))
+      .orderBy(col("generation_id"))
+
+  val generationAssignSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT CAST(CASE WHEN time_us < $Gen1StartUs THEN 0
+       |        WHEN time_us < $Gen2StartUs THEN 1 ELSE 2 END AS INT) AS generation_id,
+       |  COUNT(DISTINCT cdc_stream_id) AS n_streams,
+       |  COUNT(*) AS n_changes,
+       |  MIN(time_us) AS first_change_us,
+       |  MAX(time_us) AS last_change_us
+       |FROM cdc GROUP BY 1 ORDER BY generation_id""".stripMargin
+
+  /** #6: stream → vnode → task grouping (StreamId.getVNodeId,
+    * StreamId.java:15-21; GroupedTasks.java — a task is the set of a
+    * vnode's streams within one generation). */
+  def vnodeGroup(spark: SparkSession, dir: String): DataFrame =
+    cdcLog(spark, dir)
+      .withColumn("generation_id", generationCol)
+      .withColumn("vnode_id", (col("cdc_stream_id") % NumVnodes).cast("int"))
+      .groupBy(col("generation_id"), col("vnode_id"))
+      .agg(countDistinct(col("cdc_stream_id")).as("n_streams"),
+        count(lit(1)).as("n_changes"))
+      .orderBy(col("generation_id"), col("vnode_id"))
+
+  val vnodeGroupSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT CAST(CASE WHEN time_us < $Gen1StartUs THEN 0
+       |        WHEN time_us < $Gen2StartUs THEN 1 ELSE 2 END AS INT) AS generation_id,
+       |  CAST(cdc_stream_id % $NumVnodes AS INT) AS vnode_id,
+       |  COUNT(DISTINCT cdc_stream_id) AS n_streams,
+       |  COUNT(*) AS n_changes
+       |FROM cdc GROUP BY 1, 2 ORDER BY generation_id, vnode_id""".stripMargin
+
+  /** #7: last-writer-wins materialization of the base table from the
+    * change stream — the batch analogue of the replicator's
+    * insert/update/delete handlers (InsertOperationHandler,
+    * PreparedUpdateOperationHandler, RowDeleteOperationHandler): per
+    * key, the newest of {INSERT, UPDATE, DELETE} decides the final row.
+    * Single shuffle on the key; window is partition-local after it. */
+  def replicateLww(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    cdcLog(spark, dir)
+      .filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("time_us").as("last_write_us"), col("cdc_operation").as("last_op"),
+        col("value"), col("props"))
+      .orderBy(col("user_id"))
+  }
+
+  val replicateLwwSql: String = CdcLogAdapter.oracleCte +
+    """SELECT user_id, event_id AS last_event_id, time_us AS last_write_us,
+      |  cdc_operation AS last_op, value, props
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+      |  FROM cdc WHERE cdc_operation IN (1, 2, 3))
+      |WHERE rn = 1 AND cdc_operation <> 3
+      |ORDER BY user_id""".stripMargin
+
+  /** #8: partition-delete semantics (PartitionDeleteOperationHandler):
+    * a PARTITION_DELETE at time T masks every row of that partition
+    * written at or before T; later writes resurrect their row. The
+    * base table here is keyed (user_id; ck = event_id % 16). */
+  def partitionDelete(spark: SparkSession, dir: String): DataFrame = {
+    val log = cdcLog(spark, dir).withColumn("ck", (col("event_id") % 16).cast("int"))
+    val pd = log.filter(col("cdc_operation") === PartitionDelete)
+      .groupBy(col("user_id")).agg(max(col("time_us")).as("pd_time_us"))
+    val w = Window.partitionBy(col("user_id"), col("ck"))
+      .orderBy(col("time_us").desc, col("event_id").desc)
+    log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .join(broadcast(pd), Seq("user_id"), "left")
+      .filter(col("pd_time_us").isNull || col("time_us") > col("pd_time_us"))
+      .select(col("user_id"), col("ck"), col("time_us").as("last_write_us"), col("value"))
+      .orderBy(col("user_id"), col("ck"))
+  }
+
+  val partitionDeleteSql: String = CdcLogAdapter.oracleCte +
+    """, ck_log AS (SELECT *, CAST(event_id % 16 AS INT) AS ck FROM cdc),
+      |pd AS (SELECT user_id, MAX(time_us) AS pd_time_us FROM ck_log WHERE cdc_operation = 4 GROUP BY user_id),
+      |last_writes AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ck ORDER BY time_us DESC, event_id DESC) AS rn
+      |    FROM ck_log WHERE cdc_operation IN (1, 2, 3))
+      |  WHERE rn = 1 AND cdc_operation <> 3)
+      |SELECT l.user_id, l.ck, l.time_us AS last_write_us, l.value
+      |FROM last_writes l LEFT JOIN pd ON l.user_id = pd.user_id
+      |WHERE pd.pd_time_us IS NULL OR l.time_us > pd.pd_time_us
+      |ORDER BY l.user_id, l.ck""".stripMargin
+
+  /** #9: range-delete bound pairing (RangeDeleteState.java): a right
+    * bound (ops 7/8) consumes the most recent unconsumed left bound
+    * (ops 5/6) of the same stream — per-stream `last(...) ignore nulls`
+    * window, no join, no driver state. */
+  def rangeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cdc_stream_id"))
+      .orderBy(col("time_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = cdcLog(spark, dir)
+      .filter(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft,
+        RangeDeleteInclRight, RangeDeleteExclRight))
+      .withColumn("ck", (col("event_id") % 16).cast("int"))
+    bounds
+      .withColumn("left_event_id",
+        last(when(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft), col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("left_ck",
+        last(when(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft), col("ck")), ignoreNulls = true).over(w))
+      .withColumn("left_inclusive",
+        last(when(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft),
+          col("cdc_operation") === RangeDeleteInclLeft), ignoreNulls = true).over(w))
+      .filter(col("cdc_operation").isin(RangeDeleteInclRight, RangeDeleteExclRight)
+        && col("left_event_id").isNotNull)
+      .select(col("cdc_stream_id"),
+        col("left_event_id"), col("left_ck"), col("left_inclusive"),
+        col("event_id").as("right_event_id"), col("ck").as("right_ck"),
+        (col("cdc_operation") === RangeDeleteInclRight).as("right_inclusive"),
+        col("time_us").as("applied_at_us"))
+      .orderBy(col("cdc_stream_id"), col("right_event_id"))
+  }
+
+  val rangeDeleteSql: String = CdcLogAdapter.oracleCte +
+    """, bounds AS (
+      |  SELECT *, CAST(event_id % 16 AS INT) AS ck FROM cdc WHERE cdc_operation IN (5, 6, 7, 8)),
+      |paired AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_event_id,
+      |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN ck END IGNORE NULLS)
+      |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_ck,
+      |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN (cdc_operation = 5) END IGNORE NULLS)
+      |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_inclusive
+      |  FROM bounds)
+      |SELECT cdc_stream_id, left_event_id, left_ck, left_inclusive,
+      |  event_id AS right_event_id, ck AS right_ck,
+      |  (cdc_operation = 7) AS right_inclusive,
+      |  time_us AS applied_at_us
+      |FROM paired
+      |WHERE cdc_operation IN (7, 8) AND left_event_id IS NOT NULL
+      |ORDER BY cdc_stream_id, right_event_id""".stripMargin
+
+  /** #10: preimage consistency check (PreImageOperationHandler):
+    * compare each PRE_IMAGE row's payload against the state the
+    * destination would hold — here, the most recent prior write of the
+    * same key. */
+  def preimageCheck(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("time_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cdcLog(spark, dir)
+      .filter(col("cdc_operation").isin(PreImage, RowUpdate, RowInsert))
+      .withColumn("prev_value",
+        last(when(col("cdc_operation").isin(RowUpdate, RowInsert), col("value")), ignoreNulls = true).over(w))
+      .withColumn("prev_event_id",
+        last(when(col("cdc_operation").isin(RowUpdate, RowInsert), col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("cdc_operation") === PreImage)
+      .select(col("user_id"), col("event_id"), col("time_us"),
+        col("value").as("preimage_value"), col("prev_value"), col("prev_event_id"),
+        (col("prev_value").isNotNull && col("value") === col("prev_value")).as("consistent"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val preimageCheckSql: String = CdcLogAdapter.oracleCte +
+    """, writes AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN cdc_operation IN (1, 2) THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value,
+      |    LAST_VALUE(CASE WHEN cdc_operation IN (1, 2) THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_event_id
+      |  FROM cdc WHERE cdc_operation IN (0, 1, 2))
+      |SELECT user_id, event_id, time_us, value AS preimage_value,
+      |  prev_value, prev_event_id,
+      |  (prev_value IS NOT NULL AND value = prev_value) AS consistent
+      |FROM writes WHERE cdc_operation = 0
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** #11: postimage apply (PostImageState / PostImageOperationHandler):
+    * the latest POST_IMAGE per key is the authoritative full row. */
+  def postimageApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    cdcLog(spark, dir)
+      .filter(col("cdc_operation") === PostImage)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("time_us").as("applied_at_us"),
+        col("value"), col("props"))
+      .orderBy(col("user_id"))
+  }
+
+  val postimageApplySql: String = CdcLogAdapter.oracleCte +
+    """SELECT user_id, event_id, time_us AS applied_at_us, value, props
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+      |  FROM cdc WHERE cdc_operation = 9)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** #12: checkpointing — per task (generation, vnode): the
+    * lastConsumedChangeId and current window (TaskState.update,
+    * WorkerTransport.setState / moveStateToNextWindow). */
+  def checkpoint(spark: SparkSession, dir: String): DataFrame =
+    cdcLog(spark, dir)
+      .withColumn("generation_id", generationCol)
+      .withColumn("vnode_id", (col("cdc_stream_id") % NumVnodes).cast("int"))
+      .groupBy(col("generation_id"), col("vnode_id"))
+      .agg(count(lit(1)).as("n_consumed"),
+        max(struct(col("time_us"), col("event_id"))).as("last"))
+      .select(col("generation_id"), col("vnode_id"), col("n_consumed"),
+        col("last.time_us").as("last_time_us"),
+        col("last.event_id").as("last_event_id"),
+        ((col("last.time_us") - GenerationStartUs) / WindowSizeUs).cast("long").as("current_window_id"))
+      .orderBy(col("generation_id"), col("vnode_id"))
+
+  val checkpointSql: String = CdcLogAdapter.oracleCte +
+    s""", tasks AS (
+       |  SELECT CAST(CASE WHEN time_us < $Gen1StartUs THEN 0
+       |           WHEN time_us < $Gen2StartUs THEN 1 ELSE 2 END AS INT) AS generation_id,
+       |    CAST(cdc_stream_id % $NumVnodes AS INT) AS vnode_id,
+       |    time_us, event_id,
+       |    COUNT(*) OVER (PARTITION BY CASE WHEN time_us < $Gen1StartUs THEN 0
+       |        WHEN time_us < $Gen2StartUs THEN 1 ELSE 2 END,
+       |      cdc_stream_id % $NumVnodes) AS n_consumed,
+       |    ROW_NUMBER() OVER (PARTITION BY CASE WHEN time_us < $Gen1StartUs THEN 0
+       |        WHEN time_us < $Gen2StartUs THEN 1 ELSE 2 END,
+       |      cdc_stream_id % $NumVnodes
+       |      ORDER BY time_us DESC, event_id DESC) AS rn
+       |  FROM cdc)
+       |SELECT generation_id, vnode_id, n_consumed,
+       |  time_us AS last_time_us, event_id AS last_event_id,
+       |  (time_us - $GenerationStartUs) // $WindowSizeUs AS current_window_id
+       |FROM tasks WHERE rn = 1
+       |ORDER BY generation_id, vnode_id""".stripMargin
+
+  /** "now" for TTL arithmetic: end of the synthetic window
+    * (2024-01-31T00:00:00Z) — fixed, not wall-clock, so results are
+    * reproducible. */
+  val NowUs: Long = GenerationStartUs + 30L * 86400 * 1000000
+  val TableTtlSeconds: Long = 14L * 86400
+
+  /** #13: TTL trim (Worker.java:60-90 — createTasksWithState computes
+    * minimumWindowStart = now − table TTL and trims each task's window
+    * there, skipping ranges that can hold no live changes). */
+  def ttlTrim(spark: SparkSession, dir: String): DataFrame = {
+    val minStart = NowUs - TableTtlSeconds * 1000000L
+    cdcLog(spark, dir)
+      .groupBy(col("cdc_stream_id"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("time_us") >= minStart, 1)).as("n_after_trim"),
+        min(when(col("time_us") >= minStart, col("time_us"))).as("trimmed_window_start_us"))
+      .orderBy(col("cdc_stream_id"))
+  }
+
+  val ttlTrimSql: String = {
+    val minStart = NowUs - TableTtlSeconds * 1000000L
+    CdcLogAdapter.oracleCte +
+      s"""SELECT cdc_stream_id, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN time_us >= $minStart THEN 1 END) AS n_after_trim,
+         |  MIN(CASE WHEN time_us >= $minStart THEN time_us END) AS trimmed_window_start_us
+         |FROM cdc GROUP BY 1 ORDER BY cdc_stream_id""".stripMargin
+  }
+
+  /** #14: batch grouping — rows delivered together until end_of_batch
+    * (RawChange.isEndOfBatch / getBatchSequenceNumber,
+    * ConsumerDispatch). Batch id is the event-id quad. */
+  def batchGroup(spark: SparkSession, dir: String): DataFrame =
+    cdcLog(spark, dir)
+      .withColumn("batch_id", expr("event_id div 4"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("cdc_batch_seq_no")).as("max_seq_no"),
+        count(when(col("cdc_end_of_batch"), 1)).as("n_eob"),
+        countDistinct(col("cdc_operation")).as("n_distinct_ops"))
+      .orderBy(col("batch_id"))
+
+  val batchGroupSql: String = CdcLogAdapter.oracleCte +
+    """SELECT event_id // 4 AS batch_id, COUNT(*) AS n_rows,
+      |  MAX(cdc_batch_seq_no) AS max_seq_no,
+      |  COUNT(CASE WHEN cdc_end_of_batch THEN 1 END) AS n_eob,
+      |  COUNT(DISTINCT cdc_operation) AS n_distinct_ops
+      |FROM cdc GROUP BY 1 ORDER BY batch_id""".stripMargin
+}
