@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.Queries
 import graft.cdc.CdcOps
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -31,7 +32,18 @@ object SparkEntry {
     "q_topk" -> Queries.qTopK,
     "q_window_funcs" -> Queries.qWindowFuncs,
     "q_sessionize" -> Queries.qSessionize,
-    "q_event_pivot" -> Queries.qEventPivot)
+    "q_event_pivot" -> Queries.qEventPivot,
+    "dedup_exact" -> Dedup.exact,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard,
+    "dedup_minhash_lsh" -> Dedup.minhashLsh,
+    "dedup_simhash" -> Dedup.simhashDedup,
+    "dedup_embed_cosine" -> Dedup.embedCosine,
+    "ann_bruteforce_topk" -> Similarity.annBruteForce,
+    "ann_lsh_bucketed" -> Similarity.annLshBucketed,
+    "text_langid" -> TextAnalysis.langId,
+    "text_quality" -> TextAnalysis.quality,
+    "text_tokencount" -> TextAnalysis.tokenCount,
+    "text_fingerprint" -> TextAnalysis.fingerprint)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +67,16 @@ object SparkEntry {
     "q_topk" -> Queries.qTopKSql,
     "q_window_funcs" -> Queries.qWindowFuncsSql,
     "q_sessionize" -> Queries.qSessionizeSql,
-    "q_event_pivot" -> Queries.qEventPivotSql)
+    "q_event_pivot" -> Queries.qEventPivotSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_minhash_lsh" -> Dedup.minhashLshSql,
+    "dedup_simhash" -> Dedup.simhashDedupSql,
+    "dedup_embed_cosine" -> Dedup.embedCosineSql,
+    "ann_bruteforce_topk" -> Similarity.annBruteForceSql,
+    "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,
+    "text_langid" -> TextAnalysis.langIdSql,
+    "text_quality" -> TextAnalysis.qualitySql,
+    "text_tokencount" -> TextAnalysis.tokenCountSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql)
 }

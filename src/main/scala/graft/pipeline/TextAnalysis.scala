@@ -1,0 +1,174 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.Hashes
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2c #31-34):
+  * language id, quality scoring, token counting, fingerprinting.
+  *
+  * All four are per-row column-expression projections — map-only, no
+  * shuffle beyond the final presentation sort; at 100 TB they fuse
+  * into one whole-stage-codegen'd scan of the corpus.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  private def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  private val tokensSql = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+
+  // ------------------------------------------------------------ #31 language id
+
+  /** Tiny per-language marker-word lists for the n-gram/stopword
+    * heuristic. Order matters: ties resolve to the earlier language. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  private def markerRatio(toks: Column, words: Seq[String]): Column =
+    round(size(filter(toks, t => t.isInCollection(words))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+
+  private def markerRatioSql(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"round(CAST(len(list_filter(tokens, t -> t IN ($set))) AS DOUBLE) / CAST(greatest(len(tokens), 1) AS DOUBLE), 6)"
+  }
+
+  /** Stopword-ratio language heuristic: score each candidate language
+    * by its marker-token ratio; predict the argmax (first-wins ties). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val withToks = docs(spark, dir).withColumn("toks", tokens(col("text")))
+    val scored = LangMarkers.foldLeft(withToks) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang", markerRatio(col("toks"), words))
+    }
+    val best = LangMarkers.map(_._1).map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val predicted = LangMarkers.map(_._1).reverse.foldLeft(lit("und")) {
+      case (acc, lang) => when(col(s"score_$lang") === best && best > 0, lang).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .select(Seq(col("doc_id"), col("lang").as("labeled_lang"), col("predicted_lang")) ++
+        LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val scores = LangMarkers.map { case (l, ws) => s"${markerRatioSql(ws)} AS score_$l" }
+    val best = LangMarkers.map { case (l, _) => s"score_$l" }.reduceRight((a, b) => s"greatest($a, $b)")
+    val predicted = LangMarkers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+      s"CASE WHEN score_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $tokensSql AS tokens FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang, ${scores.mkString(",\n    ")} FROM toks),
+       |withbest AS (
+       |  SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, lang AS labeled_lang, $predicted AS predicted_lang,
+       |  ${LangMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")}
+       |FROM withbest ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ #32 quality score
+
+  /** Length / punctuation / stopword heuristic quality score in [0,1]:
+    * rewards mid-length docs with low punctuation density and a sane
+    * stopword ratio — the classic cheap pre-filter before training. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val stop = size(filter(toks, t => t.isInCollection(LangMarkers.head._2))).cast("double")
+    docs(spark, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len", round((nChars - (nToks - 1)) / nToks, 6))
+      .withColumn("punct_ratio", round(punct / greatest(nChars, lit(1.0d)), 6))
+      .withColumn("stopword_ratio", round(stop / nToks, 6))
+      .withColumn("length_score",
+        round(least(nChars / 200.0d, lit(1.0d)) * least(lit(1.0d), lit(1000.0d) / greatest(nChars, lit(1.0d))), 6))
+      .withColumn("quality_score",
+        round((col("length_score") * 0.5d
+          + (lit(1.0d) - least(col("punct_ratio") * 5.0d, lit(1.0d))) * 0.3d
+          + least(col("stopword_ratio") * 4.0d, lit(1.0d)) * 0.2d), 6))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"), col("punct_ratio"),
+        col("stopword_ratio"), col("length_score"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String = {
+    val stopSet = LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $tokensSql AS tokens,
+       |    CAST(len(text) AS DOUBLE) AS n_chars_d,
+       |    CAST(greatest(len($tokensSql), 1) AS DOUBLE) AS n_toks_d,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS punct,
+       |    CAST(len(list_filter($tokensSql, t -> t IN ($stopSet))) AS DOUBLE) AS stop
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tokens) AS BIGINT) AS n_tokens,
+       |    round((n_chars_d - (n_toks_d - 1)) / n_toks_d, 6) AS avg_token_len,
+       |    round(punct / greatest(n_chars_d, 1.0), 6) AS punct_ratio,
+       |    round(stop / n_toks_d, 6) AS stopword_ratio,
+       |    round(least(n_chars_d / 200.0, 1.0) * least(1.0, 1000.0 / greatest(n_chars_d, 1.0)), 6) AS length_score
+       |  FROM t)
+       |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio, length_score,
+       |  round(length_score * 0.5 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+       |    + least(stopword_ratio * 4.0, 1.0) * 0.2, 6) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ #33 token counting
+
+  /** BPE-ish pre-tokenizer regex: letter runs, digit runs, single
+    * non-alnum marks (the GPT-2 pre-tokenizer's coarse shape). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_bpeish_tokens",
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).cast("long"))
+      .withColumn("n_chars_actual", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpeish_tokens"), col("n_chars_actual"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($tokensSql) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS n_bpeish_tokens,
+       |  CAST(len(text) AS BIGINT) AS n_chars_actual
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ #34 fingerprint
+
+  /** Polynomial rolling-hash document fingerprints: one full-text hash
+    * under two bases — the pair is a cheap 62-bit content address. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val codes = Hashes.charCodes(col("text"))
+    val fp2 = aggregate(codes, lit(0L), (acc, x) => (acc * 257L + x) % Hashes.M)
+    docs(spark, dir)
+      .withColumn("fp_a", Hashes.polyHash(codes))
+      .withColumn("fp_b", fp2)
+      .select(col("doc_id"), col("fp_a"), col("fp_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String = {
+    val codes = Hashes.charCodesSql("text")
+    s"""SELECT doc_id,
+       |  ${Hashes.polyHashSql(codes)} AS fp_a,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), (acc, x) -> (acc * 257 + x) % ${Hashes.M}) AS fp_b
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+}
