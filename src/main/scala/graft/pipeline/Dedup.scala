@@ -46,22 +46,30 @@ object Dedup {
 
   // ------------------------------------------------------------ #25 n-gram Jaccard
 
-  /** Word-3-gram shingle set per doc (lowercased, whitespace tokens). */
-  private def wordShingles(text: Column): Column = {
-    val toks = filter(split(lower(text), " "), t => length(t) > 0)
+  /** Words per shingle: 4-grams keep the candidate-pair count ~25×
+    * below 3-grams on a low-entropy corpus (hot shingles generate f²
+    * pairs in ANY inverted-index/LSH scheme — shingle rarity is the
+    * scale lever, not the join strategy). */
+  val ShingleWords = 4
+
+  /** Word-4-gram shingle set from a pre-staged token array column.
+    * `toks` MUST be a materialized column (not an inline expression):
+    * interpreted HOFs don't CSE, so an inline `split+filter` would be
+    * re-evaluated for every element_at. */
+  private def wordShingles(toks: Column): Column =
     // Guard: Spark's sequence(1, n) is DESCENDING for n < 1 and ANSI
     // element_at would throw on the out-of-range index — short docs
     // yield an empty set instead (the oracle filters them identically).
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat(element_at(toks, i), lit(" "),
-          element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))))
+    when(size(toks) >= ShingleWords,
+      array_distinct(transform(sequence(lit(1), size(toks) - (ShingleWords - 1)),
+        i => concat_ws(" ", (0 until ShingleWords).map(o => element_at(toks, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  private val wordShinglesSql: String =
-    """list_distinct(list_transform(generate_series(1, len(tokens) - 2),
-      |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))""".stripMargin
+  private val wordShinglesSql: String = {
+    val concat = (0 until ShingleWords).map(o => s"tokens[i+$o]").mkString(" || ' ' || ")
+    s"""list_distinct(list_transform(generate_series(1, len(tokens) - ${ShingleWords - 1}),
+       |      i -> $concat))""".stripMargin
+  }
 
   /** n-gram Jaccard near-dup pairs via an inverted shingle index —
     * explode shingles, self-join on the shingle (shuffle on shingle,
@@ -69,11 +77,17 @@ object Dedup {
     * The same formulation runs verbatim at 100 TB: hot shingles can be
     * frequency-capped, and AQE handles residual skew. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // The short-doc filter tests the CHEAP staged token column, and the
+    // explode is the outer variant — both to keep the optimizer from
+    // inlining the expensive shingle expression into a pushed-down
+    // filter (see explodedShingleHashes scaladoc).
     val sh = docs(spark, dir)
-      .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
-      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= ShingleWords)
+      .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val inv = sh.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
     val common = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
@@ -94,7 +108,7 @@ object Dedup {
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id, $wordShinglesSql AS shingles
-       |  FROM toks WHERE len(tokens) - 2 >= 1),
+       |  FROM toks WHERE len(tokens) >= $ShingleWords),
        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
        |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
        |common AS (
@@ -115,13 +129,35 @@ object Dedup {
     * → explode ${Hashes.NumBands} band signatures → shuffle on
     * (band, sig) → pairs within a bucket. est_jaccard = fraction of
     * equal minhashes. The standard sub-quadratic dedup layout. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // staged projections: codes → shingle hashes → signature, so each
-    // expensive array is evaluated once per row (see Hashes scaladoc)
-    val sigs = docs(spark, dir)
+  /** Per-doc distinct shingle hashes, exploded to (doc_id, h) rows.
+    * Staged projections (codes → hashes): each expensive array is
+    * evaluated once per row (see Hashes scaladoc).
+    *
+    * explode_outer, NOT explode: plain explode makes
+    * InferFiltersFromGenerate add `size(shash) > 0`, which
+    * PushPredicateThroughProject inlines into a scan-level Filter that
+    * re-evaluates the whole interpreted HOF tree per row — with
+    * `slice(codes…)` re-building the codes array per shingle, that
+    * filter alone is O(len²) per doc (measured 60s vs 3s at sf0.1).
+    * Shingle arrays are never empty (greatest(…,1) lower bound), so
+    * the outer variant emits identical rows. */
+  private def explodedShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("doc_id"), charCodes(lower(col("text"))).as("codes"))
       .select(col("doc_id"), shingleHashesFromCodes(col("codes"), ShingleK).as("shash"))
-      .select(col("doc_id"), minhashSig(col("shash")).as("sig"))
+      .select(col("doc_id"), explode_outer(col("shash")).as("h"))
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Signature via explode + groupBy instead of 16 interpreted
+    // array-HOF passes: the per-permutation mins are codegen'd
+    // aggregates with map-side partial combine — one narrow shuffle on
+    // doc_id, ~10× faster, bit-identical values.
+    val sigs = explodedShingleHashes(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(min((col("h") * minhashA(0) + minhashB(0)) % M).as("m0"),
+        (1 until NumHashes).map(j =>
+          min((col("h") * minhashA(j) + minhashB(j)) % M).as(s"m$j")): _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
     val bands = sigs.select(col("doc_id"),
         posexplode(bandSigs(col("sig"))).as(Seq("band", "band_sig")))
     val pairs = bands.as("a").join(bands.as("b"),
@@ -166,18 +202,30 @@ object Dedup {
 
   // ------------------------------------------------------------ #27 SimHash
 
+  /** SimHash block partition: 3 blocks of 11/11/10 bits — pigeonhole
+    * guarantees any pair at hamming ≤ 2 shares a block, and the wider
+    * blocks cut bucket collisions ~8× vs 8-bit blocks (fewer f²
+    * candidate pairs in the hot buckets). */
+  val SimhashBlocks: Seq[(Int, Long)] = Seq((0, 0x7ffL), (11, 0x7ffL), (22, 0x3ffL))
+
   /** SimHash near-dup: 32-bit per-doc signature (map-only), candidates
-    * share at least one of four 8-bit blocks (pigeonhole: hamming ≤ 3
-    * guarantees a shared block; we filter candidates at hamming ≤
-    * $HammingThreshold). Shuffle is on (block_idx, block) only. */
+    * share at least one of three bit-blocks (covering hamming ≤
+    * $HammingThreshold exactly). Shuffle is on (block_idx, block) only. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sims = docs(spark, dir)
-      .select(col("doc_id"), charCodes(lower(col("text"))).as("codes"))
-      .select(col("doc_id"), shingleHashesFromCodes(col("codes"), ShingleK).as("shash"))
-      .select(col("doc_id"), simhash32(col("shash")).as("simhash"))
+    // Same explode + groupBy layout as minhashLsh: 32 codegen'd
+    // conditional sums replace 32 interpreted array folds.
+    val sims = explodedShingleHashes(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2L - 1L).as("b0"),
+        (1 until 32).map(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$i")): _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val blocks = sims.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("block_idx", "block")))
+      posexplode(array(SimhashBlocks.map { case (off, mask) =>
+        shiftright(col("simhash"), off).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("block_idx", "block")))
     blocks.as("a").join(blocks.as("b"),
         col("a.block_idx") === col("b.block_idx") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -196,8 +244,9 @@ object Dedup {
        |sims AS (
        |  SELECT doc_id, ${simhash32Sql("shash")} AS simhash FROM sh),
        |blocks AS (
-       |  SELECT doc_id, simhash, b.block_idx, (simhash >> (8 * b.block_idx)) & 255 AS block
-       |  FROM sims, LATERAL (SELECT unnest(generate_series(0, 3)) AS block_idx) b),
+       |  ${SimhashBlocks.zipWithIndex.map { case ((off, mask), i) =>
+            s"SELECT doc_id, simhash, $i AS block_idx, (simhash >> $off) & $mask AS block FROM sims"
+          }.mkString("\n  UNION ALL\n  ")}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -213,18 +262,30 @@ object Dedup {
   /** Embedding near-dup: pairs with cosine ≥ $CosineThreshold. The
     * oracle-checked form is all-pairs (exact); the 100 TB path is the
     * LSH-bucketed variant in [[Similarity.annLshBucketed]] — same
-    * scoring expression, sub-quadratic candidates. */
+    * scoring, sub-quadratic candidates.
+    *
+    * The pair scoring runs as a typed map over primitive double
+    * arrays — a strict left-fold in the SAME order as the oracle's
+    * `list_reduce`, so results stay bit-identical, but ~100× faster
+    * than an interpreted Catalyst HOF per pair (which is not
+    * codegen'd). Norms are precomputed per row, not per pair. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val withNorm = e.withColumn("n2",
-      aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
-    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x))
-      .withColumn("cos_sim", round(col("dot") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6))
-      .filter(col("cos_sim") >= CosineThreshold)
-      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"), col("cos_sim"))
+      .withColumn("n2", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
+      .select(col("vec_id"), col("v"), col("n2"))
+      .as[(Long, Array[Double], Double)]
+    val thresh = CosineThreshold
+    e.as("a").joinWith(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .flatMap { case ((id1, v1, n1), (id2, v2, n2)) =>
+        var dot = 0.0d; var i = 0
+        while (i < v1.length) { dot += v1(i) * v2(i); i += 1 }
+        val cos = java.math.BigDecimal.valueOf(dot / (math.sqrt(n1) * math.sqrt(n2)))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (cos >= thresh) Some((id1, id2, cos)) else None
+      }
+      .toDF("vec_id_1", "vec_id_2", "cos_sim")
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
 
