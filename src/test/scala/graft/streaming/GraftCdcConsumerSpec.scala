@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.cdc.ExponentialRetryBackoffWithJitter
+import graft.streaming.CdcStreamConsumer.{Change, Delivered}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Spec for [[GraftCdcConsumer]] — the user-facing builder API
+  * (reference: scylla-cdc-lib CDCConsumer.builder()). */
+class GraftCdcConsumerSpec extends SparkSpec {
+
+  test("builder validates its arguments like the reference") {
+    val b = GraftCdcConsumer.builder(spark)
+    intercept[IllegalArgumentException](b.withQueryTimeWindowSizeMs(0))
+    intercept[IllegalArgumentException](b.withConfidenceWindowSizeMs(-5))
+    intercept[IllegalArgumentException](b.withWorkersCount(0))
+    intercept[IllegalArgumentException](b.build()) // no source
+  }
+
+  test("end-to-end: ordered per-stream delivery to the consumer callback") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withQueryTimeWindowSizeMs(100)
+      .withConfidenceWindowSizeMs(1000)
+      .withWorkerRetryBackoff(new ExponentialRetryBackoffWithJitter(1, 10, 0.5))
+      .withQueryName(s"spec_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      input.addData(Seq(
+        Change(1, 300, 3, 2, 0.0), Change(1, 100, 1, 2, 0.0),
+        Change(2, 50, 7, 1, 0.0), Change(1, 200, 2, 1, 0.0)))
+      c.processAllAvailable()
+      input.addData(Seq(Change(1, 100, 1, 2, 0.0), Change(1, 400, 4, 3, 0.0))) // replay + new
+      c.processAllAvailable()
+    } finally c.stop()
+
+    val s1 = received.asScala.filter(_.streamId == 1).toSeq.sortBy(_.seqNo)
+    assert(s1.map(_.timeUs) == Seq(100L, 200L, 300L, 400L)) // ordered, replay dropped
+    assert(s1.map(_.seqNo) == Seq(1L, 2L, 3L, 4L))
+    assert(received.asScala.count(_.streamId == 2) == 1)
+  }
+
+  test("stop is idempotent and close delegates to stop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withQueryName(s"spec_${System.nanoTime()}")
+      .build()
+    c.start()
+    c.stop(); c.stop(); c.close()
+  }
+}
