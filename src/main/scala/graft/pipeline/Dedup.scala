@@ -143,8 +143,8 @@ object Dedup {
     * the outer variant emits identical rows. */
   private def explodedShingleHashes(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), charCodes(lower(col("text"))).as("codes"))
-      .select(col("doc_id"), shingleHashesFromCodes(col("codes"), ShingleK).as("shash"))
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingleHashes(lower(col("text")), ShingleK).as("shash"))
       .select(col("doc_id"), explode_outer(col("shash")).as("h"))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
