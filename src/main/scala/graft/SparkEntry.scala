@@ -27,6 +27,7 @@ object SparkEntry {
     "cdc_checkpoint" -> CdcOps.checkpoint,
     "cdc_ttl_trim" -> CdcOps.ttlTrim,
     "cdc_batch_group" -> CdcOps.batchGroup,
+    "cdc_replicate_full" -> CdcOps.replicateFull,
     "q1_agg" -> Queries.q1Agg,
     "q_join_broadcast" -> Queries.qJoinBroadcast,
     "q_topk" -> Queries.qTopK,
@@ -62,6 +63,7 @@ object SparkEntry {
     "cdc_checkpoint" -> CdcOps.checkpointSql,
     "cdc_ttl_trim" -> CdcOps.ttlTrimSql,
     "cdc_batch_group" -> CdcOps.batchGroupSql,
+    "cdc_replicate_full" -> CdcOps.replicateFullSql,
     "q1_agg" -> Queries.q1AggSql,
     "q_join_broadcast" -> Queries.qJoinBroadcastSql,
     "q_topk" -> Queries.qTopKSql,

@@ -382,6 +382,85 @@ object CdcOps {
          |FROM cdc GROUP BY 1 ORDER BY cdc_stream_id""".stripMargin
   }
 
+  /** #14b (`cdc_replicate_full`): the COMPLETE replicator semantic —
+    * materialize the destination table from the raw change stream,
+    * interpreting every operation type together
+    * (the scylla-cdc-replicator operations package): INSERT/UPDATE upsert,
+    * POST_IMAGE authoritative apply, ROW_DELETE tombstone,
+    * PARTITION_DELETE masking the whole partition at its timestamp,
+    * and per-stream-paired range tombstones masking a clustering range
+    * (RangeDeleteState.java pairing, bound inclusivity respected).
+    *
+    * Plan shape at 100 TB: one shuffle on the primary key for the LWW
+    * window, then two broadcast joins (partition-delete and
+    * range-tombstone sides are O(deletes), tiny next to the log). */
+  def replicateFull(spark: SparkSession, dir: String): DataFrame = {
+    val log = cdcLog(spark, dir).withColumn("ck", (col("event_id") % 16).cast("int"))
+    // last write per (user_id, ck): upserts 1/2 and postimage 9 set the
+    // row, delete 3 tombstones it — newest wins
+    val w = Window.partitionBy(col("user_id"), col("ck"))
+      .orderBy(col("time_us").desc, col("event_id").desc)
+    val lastWrites = log
+      .filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete, PostImage))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+    // newest partition delete per partition
+    val pd = log.filter(col("cdc_operation") === PartitionDelete)
+      .groupBy(col("user_id")).agg(max(col("time_us")).as("pd_time_us"))
+    // paired range tombstones (per-stream bound pairing, op #9)
+    val rd = rangeDelete(spark, dir)
+      .select(col("cdc_stream_id").as("rd_stream"), col("left_ck"), col("left_inclusive"),
+        col("right_ck"), col("right_inclusive"), col("applied_at_us"))
+    val inRange =
+      (col("ck") > col("left_ck") || (col("left_inclusive") && col("ck") === col("left_ck"))) &&
+        (col("ck") < col("right_ck") || (col("right_inclusive") && col("ck") === col("right_ck")))
+    lastWrites
+      .join(broadcast(pd), Seq("user_id"), "left")
+      .filter(col("pd_time_us").isNull || col("time_us") > col("pd_time_us"))
+      .join(broadcast(rd),
+        col("cdc_stream_id") === col("rd_stream") && inRange &&
+          col("time_us") <= col("applied_at_us"),
+        "left_anti")
+      .select(col("user_id"), col("ck"), col("time_us").as("last_write_us"),
+        col("cdc_operation").as("last_op"), col("value"), col("props"))
+      .orderBy(col("user_id"), col("ck"))
+  }
+
+  val replicateFullSql: String = CdcLogAdapter.oracleCte +
+    s""", ck_log AS (SELECT *, CAST(event_id % 16 AS INT) AS ck FROM cdc),
+       |last_writes AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ck ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM ck_log WHERE cdc_operation IN (1, 2, 3, 9))
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |pd AS (SELECT user_id, MAX(time_us) AS pd_time_us FROM ck_log WHERE cdc_operation = 4 GROUP BY user_id),
+       |bounds AS (
+       |  SELECT *, CAST(event_id % 16 AS INT) AS bck FROM cdc WHERE cdc_operation IN (5, 6, 7, 8)),
+       |paired AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN bck END IGNORE NULLS)
+       |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_ck,
+       |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN (cdc_operation = 5) END IGNORE NULLS)
+       |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_inclusive
+       |  FROM bounds),
+       |rd AS (
+       |  SELECT cdc_stream_id AS rd_stream, left_ck, left_inclusive,
+       |    bck AS right_ck, (cdc_operation = 7) AS right_inclusive,
+       |    time_us AS applied_at_us
+       |  FROM paired WHERE cdc_operation IN (7, 8) AND left_ck IS NOT NULL),
+       |after_pd AS (
+       |  SELECT l.* FROM last_writes l LEFT JOIN pd ON l.user_id = pd.user_id
+       |  WHERE pd.pd_time_us IS NULL OR l.time_us > pd.pd_time_us)
+       |SELECT user_id, ck, time_us AS last_write_us, cdc_operation AS last_op, value, props
+       |FROM after_pd a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM rd
+       |  WHERE a.cdc_stream_id = rd.rd_stream
+       |    AND (a.ck > rd.left_ck OR (rd.left_inclusive AND a.ck = rd.left_ck))
+       |    AND (a.ck < rd.right_ck OR (rd.right_inclusive AND a.ck = rd.right_ck))
+       |    AND a.time_us <= rd.applied_at_us)
+       |ORDER BY user_id, ck""".stripMargin
+
   /** #14: batch grouping — rows delivered together until end_of_batch
     * (RawChange.isEndOfBatch / getBatchSequenceNumber,
     * ConsumerDispatch). Batch id is the event-id quad. */

@@ -50,6 +50,41 @@ class GraftCdcConsumerSpec extends SparkSpec {
     assert(received.asScala.count(_.streamId == 2) == 1)
   }
 
+  test("checkpointed restart resumes without redelivery (TaskStateBackend semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val received = new ConcurrentLinkedQueue[Delivered]()
+
+    def consumer(input: MemoryStream[Change]) = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withCheckpointLocation(ckpt)
+      .withQueryName(s"spec_ckpt_${System.nanoTime()}")
+      .build()
+
+    val in1 = MemoryStream[Change]
+    val c1 = consumer(in1)
+    c1.start()
+    in1.addData(Seq(Change(5, 10, 1, 2, 0.0), Change(5, 20, 2, 1, 0.0)))
+    c1.processAllAvailable()
+    c1.stop()
+
+    // new query, same checkpoint: the memory source replays from its
+    // committed offset, state holds lastConsumed=(20,2)
+    val in2 = MemoryStream[Change]
+    in2.addData(Seq(Change(5, 10, 1, 2, 0.0), Change(5, 20, 2, 1, 0.0))) // replayed history
+    val c2 = consumer(in2)
+    c2.start()
+    in2.addData(Seq(Change(5, 30, 3, 1, 0.0)))
+    c2.processAllAvailable()
+    c2.stop()
+
+    val s5 = received.asScala.filter(_.streamId == 5).toSeq.sortBy(_.seqNo)
+    assert(s5.map(_.timeUs) == Seq(10L, 20L, 30L)) // no duplicates across restart
+    assert(s5.map(_.seqNo) == Seq(1L, 2L, 3L))     // progress carried over
+  }
+
   test("stop is idempotent and close delegates to stop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
