@@ -34,6 +34,9 @@ object SparkEntry {
     "q_window_funcs" -> Queries.qWindowFuncs,
     "q_sessionize" -> Queries.qSessionize,
     "q_event_pivot" -> Queries.qEventPivot,
+    "q_rollup" -> Queries.qRollup,
+    "q_anti_join" -> Queries.qAntiJoin,
+    "q_asof_join" -> Queries.qAsofJoin,
     "dedup_exact" -> Dedup.exact,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard,
     "dedup_minhash_lsh" -> Dedup.minhashLsh,
@@ -70,6 +73,9 @@ object SparkEntry {
     "q_window_funcs" -> Queries.qWindowFuncsSql,
     "q_sessionize" -> Queries.qSessionizeSql,
     "q_event_pivot" -> Queries.qEventPivotSql,
+    "q_rollup" -> Queries.qRollupSql,
+    "q_anti_join" -> Queries.qAntiJoinSql,
+    "q_asof_join" -> Queries.qAsofJoinSql,
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql,

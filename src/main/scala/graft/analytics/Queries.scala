@@ -184,4 +184,109 @@ object Queries {
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** ROLLUP aggregation over nation → region revenue; grouping keys
+    * coalesced to a sentinel so the subtotal rows compare stably.
+    * One shuffle; rollup adds no extra exchange (partial aggs expand
+    * grouping sets map-side). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total_acctbal"), col("n_customers"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val qRollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+      |  COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** Anti join: customers with no orders (NOT EXISTS → left_anti; the
+    * shuffle is on the key both sides, broadcast when one side is
+    * small — Catalyst picks per stats/AQE). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers_without_orders"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers_without_orders,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** AS-OF join — for each event, the customer's most recent order at
+    * or before the event time. Implemented with the scalable
+    * union+window layout (tag both sides, one shuffle on the key,
+    * `last(_, ignoreNulls)` over time order) instead of an inequality
+    * join: no range-join explosion, one exchange, linear in input.
+    * Events pair with customers via user_id ↔ o_custkey. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("event_id"), lit(null).cast("long").as("o_key_in"),
+        lit(null).cast("double").as("o_price_in"), lit(1).as("is_event"))
+    val ord = Tables.orders(spark, dir)
+      // parquet TIMESTAMP_NTZ → session-UTC timestamp (value-identical)
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey").as("o_key_in"),
+        col("o_totalprice").as("o_price_in"), lit(0).as("is_event"))
+    // orders sort before events at the same instant (is_event breaks ties)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_event"), col("o_key_in").asc_nulls_last, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("o_key_in"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_price_in"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("k").as("user_id"), col("t").as("time_us"), col("event_id"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("user_id"), col("time_us"), col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH tagged AS (
+      |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
+      |    CAST(NULL AS BIGINT) AS event_id, o_orderkey AS o_key_in,
+      |    o_totalprice AS o_price_in, 0 AS is_event
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id AS k, epoch_us(ts) AS t, event_id,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 1
+      |  FROM events),
+      |filled AS (
+      |  SELECT *,
+      |    LAST_VALUE(o_key_in IGNORE NULLS) OVER
+      |      (PARTITION BY k ORDER BY t, is_event, o_key_in ASC NULLS LAST, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey,
+      |    LAST_VALUE(o_price_in IGNORE NULLS) OVER
+      |      (PARTITION BY k ORDER BY t, is_event, o_key_in ASC NULLS LAST, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_totalprice
+      |  FROM tagged)
+      |SELECT k AS user_id, t AS time_us, event_id, asof_orderkey, asof_totalprice
+      |FROM filled
+      |WHERE is_event = 1 AND asof_orderkey IS NOT NULL
+      |ORDER BY user_id, time_us, event_id""".stripMargin
 }
