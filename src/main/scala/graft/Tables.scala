@@ -36,4 +36,13 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Round-robin rebalance to the cluster's parallelism — used by the
+    * CPU-bound pipeline operators (signatures, scoring) whose per-row
+    * cost dwarfs a small shuffle. A narrow scan (one row group, one
+    * skewed split) otherwise pins the whole map stage to one core; at
+    * lake scale the same call is a cheap insurance rebalance before
+    * compute-heavy stages. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

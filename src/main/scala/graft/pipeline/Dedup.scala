@@ -27,7 +27,7 @@ object Dedup {
   val CosineThreshold = 0.4
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
 
   // ------------------------------------------------------------ #24 exact
 
@@ -271,7 +271,7 @@ object Dedup {
     * codegen'd). Norms are precomputed per row, not per pair. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
       .select(col("vec_id"), col("v"), col("n2"))

@@ -29,7 +29,7 @@ object Similarity {
     ((1103515245L * (p * Dim + d) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
 
   /** Whitespace tokens, lowercased, empties dropped. */
   private def tokens(text: Column): Column =
@@ -84,12 +84,15 @@ object TextAnalysis {
     * rewards mid-length docs with low punctuation density and a sane
     * stopword ratio — the classic cheap pre-filter before training. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // stage the token array once — inline uses would re-run the
+    // interpreted split+filter per referencing expression
+    val toks = col("toks")
     val nChars = length(col("text")).cast("double")
     val nToks = greatest(size(toks), lit(1)).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
     val stop = size(filter(toks, t => t.isInCollection(LangMarkers.head._2))).cast("double")
     docs(spark, dir)
+      .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("avg_token_len", round((nChars - (nToks - 1)) / nToks, 6))
       .withColumn("punct_ratio", round(punct / greatest(nChars, lit(1.0d)), 6))
