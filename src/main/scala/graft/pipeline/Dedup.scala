@@ -259,16 +259,20 @@ object Dedup {
 
   // ------------------------------------------------------------ #28 embedding cosine
 
-  /** Embedding near-dup: pairs with cosine ≥ $CosineThreshold. The
-    * oracle-checked form is all-pairs (exact); the 100 TB path is the
-    * LSH-bucketed variant in [[Similarity.annLshBucketed]] — same
-    * scoring, sub-quadratic candidates.
+  /** Embedding near-dup: pairs with cosine ≥ $CosineThreshold — exact
+    * all-pairs, the oracle-checked baseline; the 100 TB path is the
+    * LSH-bucketed variant in [[Similarity.annLshBucketed]] (same
+    * scoring, sub-quadratic candidates).
     *
-    * The pair scoring runs as a typed map over primitive double
-    * arrays — a strict left-fold in the SAME order as the oracle's
-    * `list_reduce`, so results stay bit-identical, but ~100× faster
-    * than an interpreted Catalyst HOF per pair (which is not
-    * codegen'd). Norms are precomputed per row, not per pair. */
+    * Exact brute force is the broadcast-matrix design (the one Spark
+    * MLlib uses for small similarity fan-outs): one side of the pair
+    * space must be resident anyway, so ship the whole (tiny) vector
+    * matrix to every executor once and score each row-block against it
+    * in primitive loops — no 2·n² array decoding through a nested-loop
+    * join. The dot fold iterates dimensions ascending, exactly the
+    * oracle's list_reduce order, so values stay bit-identical. When
+    * the matrix outgrows executor memory, this operator no longer
+    * applies — that regime is what the LSH variant is for. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.spread(Tables.embeddings(spark, dir))
@@ -276,15 +280,27 @@ object Dedup {
       .withColumn("n2", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
       .select(col("vec_id"), col("v"), col("n2"))
       .as[(Long, Array[Double], Double)]
+    val matrix = e.collect().sortBy(_._1) // the broadcast side (n×d doubles)
+    val bc = spark.sparkContext.broadcast(matrix)
     val thresh = CosineThreshold
-    e.as("a").joinWith(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .flatMap { case ((id1, v1, n1), (id2, v2, n2)) =>
+    e.flatMap { case (id1, v1, n1) =>
+      val m = bc.value
+      // binary search the first row with vec_id > id1
+      var lo = 0; var hi = m.length
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (m(mid)._1 <= id1) lo = mid + 1 else hi = mid }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var j = lo
+      while (j < m.length) {
+        val (id2, v2, n2) = m(j)
         var dot = 0.0d; var i = 0
         while (i < v1.length) { dot += v1(i) * v2(i); i += 1 }
         val cos = java.math.BigDecimal.valueOf(dot / (math.sqrt(n1) * math.sqrt(n2)))
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (cos >= thresh) Some((id1, id2, cos)) else None
+        if (cos >= thresh) out += ((id1, id2, cos))
+        j += 1
       }
+      out.result()
+    }
       .toDF("vec_id_1", "vec_id_2", "cos_sim")
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
