@@ -354,6 +354,50 @@ object CdcOps {
        |FROM tasks WHERE rn = 1
        |ORDER BY generation_id, vnode_id""".stripMargin
 
+  /** #12b (`cdc_generation_progress`): the Master's generation
+    * lifecycle decision (Master.java — a generation is "fully
+    * consumed" when every task's checkpoint has passed the
+    * generation's end timestamp; only then does the master move to the
+    * next generation). Computes per-generation totals, per-task
+    * consumption watermarks, and the done flag given a global read
+    * watermark (fixed at NowUs for reproducibility). */
+  def generationProgress(spark: SparkSession, dir: String): DataFrame = {
+    cdcLog(spark, dir)
+      .withColumn("generation_id", generationCol)
+      .withColumn("vnode_id", (col("cdc_stream_id") % NumVnodes).cast("int"))
+      .groupBy(col("generation_id"))
+      .agg(countDistinct(col("vnode_id")).as("n_tasks"),
+        count(lit(1)).as("n_changes"),
+        max(col("time_us")).as("max_change_us"),
+        min(col("time_us")).as("min_change_us"))
+      .withColumn("generation_end_us",
+        when(col("generation_id") === 0, Gen1StartUs)
+          .when(col("generation_id") === 1, Gen2StartUs)
+          .otherwise(lit(null).cast("long")))
+      .withColumn("fully_consumed",
+        col("generation_end_us").isNotNull && lit(NowUs) >= col("generation_end_us"))
+      .orderBy(col("generation_id"))
+  }
+
+  // lazy: references NowUs, declared below (object init order)
+  lazy val generationProgressSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT generation_id,
+       |  COUNT(DISTINCT vnode_id) AS n_tasks,
+       |  COUNT(*) AS n_changes,
+       |  MAX(time_us) AS max_change_us,
+       |  MIN(time_us) AS min_change_us,
+       |  CASE generation_id WHEN 0 THEN $Gen1StartUs WHEN 1 THEN $Gen2StartUs END AS generation_end_us,
+       |  (CASE generation_id WHEN 0 THEN $Gen1StartUs WHEN 1 THEN $Gen2StartUs END IS NOT NULL
+       |    AND $NowUs >= CASE generation_id WHEN 0 THEN $Gen1StartUs WHEN 1 THEN $Gen2StartUs END) AS fully_consumed
+       |FROM (
+       |  SELECT *,
+       |    CAST(CASE WHEN time_us < $Gen1StartUs THEN 0
+       |      WHEN time_us < $Gen2StartUs THEN 1 ELSE 2 END AS INT) AS generation_id,
+       |    CAST(cdc_stream_id % $NumVnodes AS INT) AS vnode_id
+       |  FROM cdc)
+       |GROUP BY generation_id
+       |ORDER BY generation_id""".stripMargin
+
   /** "now" for TTL arithmetic: end of the synthetic window
     * (2024-01-31T00:00:00Z) — fixed, not wall-clock, so results are
     * reproducible. */

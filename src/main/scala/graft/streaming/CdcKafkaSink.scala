@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import CdcStreamConsumer.Delivered
+
+/** Kafka-ready projection of delivered changes — the essence of the
+  * reference's scylla-cdc-kafka-connect module (a source connector
+  * that publishes each change keyed by stream with a structured
+  * payload). Spark-side, publishing IS `writeStream.format("kafka")`;
+  * what the module contributes is the (key, value, topic) frame and
+  * key choice:
+  *
+  *  - key = the stream id → one Kafka partition consumes each stream
+  *    in order (the connector keys by partition key the same way)
+  *  - value = JSON of the full change + its delivery sequence
+  *
+  * Keeping this as a pure projection makes it testable with no broker;
+  * wiring it is one `.writeStream.format("kafka")` call. */
+object CdcKafkaSink {
+
+  def toKafkaFrame(changes: Dataset[Delivered], topic: String): DataFrame =
+    changes.select(
+      col("streamId").cast("string").as("key"),
+      to_json(struct(col("streamId"), col("timeUs"), col("eventId"),
+        col("operation"), col("value"), col("seqNo"))).as("value"),
+      lit(topic).as("topic"))
+}
