@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.ShingleHash
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions with the SQL function registry, so
+  * `spark.sql("SELECT shingle_hash(text, 5) ...")` plans the codegen'd
+  * expression directly.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — the standard extension
+  * mechanism, so a pure-SQL user (or a JDBC/Thrift client at cluster
+  * scale) gets the same operators as the Scala API. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.shingleHashDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val shingleHashDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("shingle_hash"),
+    new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
+    (children: Seq[Expression]) => children match {
+      case Seq(text, k) => ShingleHash(text, intLit(k, "shingle size"))
+      case _ => throw new IllegalArgumentException(
+        "shingle_hash(text, k) takes exactly 2 arguments")
+    })
+}

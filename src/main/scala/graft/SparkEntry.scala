@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> Dedup.embedCosine,
     "ann_bruteforce_topk" -> Similarity.annBruteForce,
     "ann_lsh_bucketed" -> Similarity.annLshBucketed,
+    "ann_ivf" -> Similarity.annIvf,
     "text_langid" -> TextAnalysis.langId,
     "text_quality" -> TextAnalysis.quality,
     "text_tokencount" -> TextAnalysis.tokenCount,
@@ -85,6 +86,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> Dedup.embedCosineSql,
     "ann_bruteforce_topk" -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed" -> Similarity.annLshBucketedSql,
+    "ann_ivf" -> Similarity.annIvfSql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokencount" -> TextAnalysis.tokenCountSql,

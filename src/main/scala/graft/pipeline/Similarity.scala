@@ -118,6 +118,80 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------------------ #30b IVF
+
+  val NumCentroids = 16
+  val NumProbes = 4
+
+  /** IVF (inverted-file) ANN: assign every vector to its nearest
+    * coarse centroid (the "cell"), then search a query only in its
+    * NumProbes nearest cells. Centroids here are the first
+    * NumCentroids vectors — a deterministic stand-in for a trained
+    * k-means codebook (training is a separate offline job at scale;
+    * the SEARCH plan is identical either way).
+    *
+    * Scale shape: centroids broadcast (tiny), assignment is one
+    * map-side scoring pass + a per-vector top-1 window, and the probe
+    * join shuffles on `cell` — work scales with n/K per probed cell,
+    * the standard IVF layout for billion-vector search. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    // nearest centroid per vector → its cell
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
+    val assigned = all.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")))
+      .withColumn("crn", row_number().over(wAssign))
+    val cells = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    // each query probes its NumProbes nearest cells
+    val probes = assigned.filter(col("vec_id") < NumQueries && col("crn") <= NumProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
+        col("cid").as("cell"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"),
+        col("rank"), col("cell"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfSql: String = {
+    val cCos =
+      """round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i])), (acc, x) -> acc + x)
+        |    / (sqrt(a.n2) * sqrt(c.cn2)), 6)""".stripMargin
+    s"""$vecsCteSql,
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM vecs WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT a.vec_id, a.v, a.n2, c.cid,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $cCos DESC, c.cid) AS INT) AS crn
+       |  FROM vecs a CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, v, n2, cid AS cell FROM assigned WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cid AS cell
+       |  FROM assigned WHERE vec_id < $NumQueries AND crn <= $NumProbes),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id, p.cell AS cell,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * c.v[i])), (acc, x) -> acc + x)
+       |      / (sqrt(p.qn2) * sqrt(c.n2)), 6) AS cos_sim
+       |  FROM cells c JOIN probes p ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank, cell
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val annLshBucketedSql: String =
     s"""$vecsCteSql,
        |bucketed AS (

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.{Hashes, ShingleHash}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec for [[GraftExtensions]]: the SQL surface of the native
+  * expression must match the Column API. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    // getOrCreate would silently reuse another suite's session and skip
+    // withExtensions — force construction of an extension-bearing one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .appName("GraftExtensionsSpec")
+      .getOrCreate()
+  }
+
+  test("shingle_hash is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    Seq(("hello world hello", 1L)).toDF("text", "id").createOrReplaceTempView("t")
+    val sqlRes = spark.sql("SELECT shingle_hash(text, 5) AS h FROM t")
+      .collect().head.getSeq[Long](0)
+    val colRes = Seq("hello world hello").toDF("text")
+      .select(ShingleHash.shingleHashes(org.apache.spark.sql.functions.col("text"), 5).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(sqlRes == colRes)
+    assert(sqlRes.nonEmpty && sqlRes.forall(h => h >= 0 && h < Hashes.M))
+  }
+
+  test("arity and literal validation") {
+    intercept[Exception](spark.sql("SELECT shingle_hash('abc')").collect())
+  }
+}

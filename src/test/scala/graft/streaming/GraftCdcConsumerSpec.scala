@@ -85,6 +85,35 @@ class GraftCdcConsumerSpec extends SparkSpec {
     assert(s5.map(_.seqNo) == Seq(1L, 2L, 3L))     // progress carried over
   }
 
+  test("transient consumer failure is retried with backoff (ErrorInject semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer { d =>
+        // fail the first delivery attempt once (OnceChangeErrorInject)
+        if (failures.compareAndSet(0, 1)) throw new RuntimeException("injected")
+        received.add(d)
+      }
+      .withWorkerRetryBackoff(new ExponentialRetryBackoffWithJitter(1, 5, 0.5))
+      .withQueryName(s"spec_retry_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      input.addData(Seq(Change(3, 10, 1, 2, 0.0), Change(3, 20, 2, 1, 0.0)))
+      c.processAllAvailable()
+    } finally c.stop()
+
+    assert(failures.get() == 1) // the injected error fired
+    val s3 = received.asScala.filter(_.streamId == 3).toSeq.sortBy(_.timeUs)
+    // at-least-once on retry, like the reference's window re-read
+    assert(s3.map(_.timeUs).distinct == Seq(10L, 20L))
+  }
+
   test("stop is idempotent and close delegates to stop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
