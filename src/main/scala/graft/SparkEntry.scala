@@ -35,6 +35,7 @@ object SparkEntry {
     "q_window_funcs" -> Queries.qWindowFuncs,
     "q_sessionize" -> Queries.qSessionize,
     "q_event_pivot" -> Queries.qEventPivot,
+    "q_json_extract" -> Queries.qJsonExtract,
     "q_rollup" -> Queries.qRollup,
     "q_anti_join" -> Queries.qAntiJoin,
     "q_asof_join" -> Queries.qAsofJoin,
@@ -76,6 +77,7 @@ object SparkEntry {
     "q_window_funcs" -> Queries.qWindowFuncsSql,
     "q_sessionize" -> Queries.qSessionizeSql,
     "q_event_pivot" -> Queries.qEventPivotSql,
+    "q_json_extract" -> Queries.qJsonExtractSql,
     "q_rollup" -> Queries.qRollupSql,
     "q_anti_join" -> Queries.qAntiJoinSql,
     "q_asof_join" -> Queries.qAsofJoinSql,

@@ -185,6 +185,33 @@ object Queries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** JSON extraction from the event payload (`props` carries a JSON
+    * object): parse-and-project stays in the scan stage (codegen'd
+    * path expression, no UDF), then a normal aggregation. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** ROLLUP aggregation over nation → region revenue; grouping keys
     * coalesced to a sentinel so the subtotal rows compare stably.
     * One shuffle; rollup adds no extra exchange (partial aggs expand
