@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's recommended configuration —
+  * the same knobs a 1000-executor deployment would set, scaled to the
+  * local test harness:
+  *
+  *  - AQE on (default in Spark 4) with skew-join handling: runtime
+  *    re-planning splits skewed shuffle partitions (hot CDC streams,
+  *    hot dedup buckets) without manual salting
+  *  - partition coalescing: post-shuffle partitions sized by data, so
+  *    small stages don't schedule thousands of empty tasks
+  *  - shuffle partitions sized to the cluster (cores here; a cluster
+  *    sets ~2-3× total executor cores)
+  *  - UTC session timezone: timestamp arithmetic is reproducible
+  *    across drivers and the DuckDB oracle
+  */
+object Sessions {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for the driver-run mains (Verify/Bench); cores from
+    * SPARK_GRAFT_CPUS, defaulting to 4. */
+  def local(): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    builder(cores).getOrCreate()
+  }
+}
