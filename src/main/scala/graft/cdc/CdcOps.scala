@@ -65,9 +65,14 @@ object CdcOps {
   /** #3: per-stream total order of changes — ChangeId = (streamId,
     * time) ordering that the Worker delivers in (ChangeId.java,
     * Worker consume loop). First 10 changes of each stream. */
-  def streamOrdering(spark: SparkSession, dir: String): DataFrame = {
+  def streamOrdering(spark: SparkSession, dir: String): DataFrame =
+    streamOrderingFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def streamOrderingFromLog(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cdc_stream_id")).orderBy(col("time_us"), col("event_id"))
-    cdcLog(spark, dir)
+    log
       .select(col("cdc_stream_id"), col("time_us"), col("event_id"), col("cdc_operation"))
       .withColumn("change_seq", row_number().over(w))
       .filter(col("change_seq") <= 10)
@@ -86,7 +91,12 @@ object CdcOps {
     * TaskState query window [start + k·W, start + (k+1)·W)
     * (TaskState.java:28-56, moveToNextWindow). */
   def windowScan(spark: SparkSession, dir: String): DataFrame =
-    cdcLog(spark, dir)
+    windowScanFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def windowScanFromLog(log: DataFrame): DataFrame =
+    log
       .withColumn("window_id", ((col("time_us") - GenerationStartUs) / WindowSizeUs).cast("long"))
       .groupBy(col("cdc_stream_id"), col("window_id"))
       .agg(count(lit(1)).as("n_changes"),
@@ -159,9 +169,14 @@ object CdcOps {
     * PreparedUpdateOperationHandler, RowDeleteOperationHandler): per
     * key, the newest of {INSERT, UPDATE, DELETE} decides the final row.
     * Single shuffle on the key; window is partition-local after it. */
-  def replicateLww(spark: SparkSession, dir: String): DataFrame = {
+  def replicateLww(spark: SparkSession, dir: String): DataFrame =
+    replicateLwwFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def replicateLwwFromLog(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
-    cdcLog(spark, dir)
+    log
       .filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
@@ -184,13 +199,18 @@ object CdcOps {
     * a PARTITION_DELETE at time T masks every row of that partition
     * written at or before T; later writes resurrect their row. The
     * base table here is keyed (user_id; ck = event_id % 16). */
-  def partitionDelete(spark: SparkSession, dir: String): DataFrame = {
-    val log = cdcLog(spark, dir).withColumn("ck", (col("event_id") % 16).cast("int"))
-    val pd = log.filter(col("cdc_operation") === PartitionDelete)
+  def partitionDelete(spark: SparkSession, dir: String): DataFrame =
+    partitionDeleteFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def partitionDeleteFromLog(log: DataFrame): DataFrame = {
+    val ckLog = log.withColumn("ck", (col("event_id") % 16).cast("int"))
+    val pd = ckLog.filter(col("cdc_operation") === PartitionDelete)
       .groupBy(col("user_id")).agg(max(col("time_us")).as("pd_time_us"))
     val w = Window.partitionBy(col("user_id"), col("ck"))
       .orderBy(col("time_us").desc, col("event_id").desc)
-    log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+    ckLog.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
       .join(broadcast(pd), Seq("user_id"), "left")
@@ -216,11 +236,16 @@ object CdcOps {
     * bound (ops 7/8) consumes the most recent unconsumed left bound
     * (ops 5/6) of the same stream — per-stream `last(...) ignore nulls`
     * window, no join, no driver state. */
-  def rangeDelete(spark: SparkSession, dir: String): DataFrame = {
+  def rangeDelete(spark: SparkSession, dir: String): DataFrame =
+    rangeDeleteFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def rangeDeleteFromLog(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cdc_stream_id"))
       .orderBy(col("time_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bounds = cdcLog(spark, dir)
+    val bounds = log
       .filter(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft,
         RangeDeleteInclRight, RangeDeleteExclRight))
       .withColumn("ck", (col("event_id") % 16).cast("int"))
@@ -266,11 +291,16 @@ object CdcOps {
     * compare each PRE_IMAGE row's payload against the state the
     * destination would hold — here, the most recent prior write of the
     * same key. */
-  def preimageCheck(spark: SparkSession, dir: String): DataFrame = {
+  def preimageCheck(spark: SparkSession, dir: String): DataFrame =
+    preimageCheckFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def preimageCheckFromLog(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("time_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    cdcLog(spark, dir)
+    log
       .filter(col("cdc_operation").isin(PreImage, RowUpdate, RowInsert))
       .withColumn("prev_value",
         last(when(col("cdc_operation").isin(RowUpdate, RowInsert), col("value")), ignoreNulls = true).over(w))
@@ -299,9 +329,14 @@ object CdcOps {
 
   /** #11: postimage apply (PostImageState / PostImageOperationHandler):
     * the latest POST_IMAGE per key is the authoritative full row. */
-  def postimageApply(spark: SparkSession, dir: String): DataFrame = {
+  def postimageApply(spark: SparkSession, dir: String): DataFrame =
+    postimageApplyFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def postimageApplyFromLog(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
-    cdcLog(spark, dir)
+    log
       .filter(col("cdc_operation") === PostImage)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -438,21 +473,26 @@ object CdcOps {
     * Plan shape at 100 TB: one shuffle on the primary key for the LWW
     * window, then two broadcast joins (partition-delete and
     * range-tombstone sides are O(deletes), tiny next to the log). */
-  def replicateFull(spark: SparkSession, dir: String): DataFrame = {
-    val log = cdcLog(spark, dir).withColumn("ck", (col("event_id") % 16).cast("int"))
+  def replicateFull(spark: SparkSession, dir: String): DataFrame =
+    replicateFullFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log (real cdc$ table, Kafka topic, adapter output). */
+  def replicateFullFromLog(log: DataFrame): DataFrame = {
+    val ckLog = log.withColumn("ck", (col("event_id") % 16).cast("int"))
     // last write per (user_id, ck): upserts 1/2 and postimage 9 set the
     // row, delete 3 tombstones it — newest wins
     val w = Window.partitionBy(col("user_id"), col("ck"))
       .orderBy(col("time_us").desc, col("event_id").desc)
-    val lastWrites = log
+    val lastWrites = ckLog
       .filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete, PostImage))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
     // newest partition delete per partition
-    val pd = log.filter(col("cdc_operation") === PartitionDelete)
+    val pd = ckLog.filter(col("cdc_operation") === PartitionDelete)
       .groupBy(col("user_id")).agg(max(col("time_us")).as("pd_time_us"))
     // paired range tombstones (per-stream bound pairing, op #9)
-    val rd = rangeDelete(spark, dir)
+    val rd = rangeDeleteFromLog(log)
       .select(col("cdc_stream_id").as("rd_stream"), col("left_ck"), col("left_inclusive"),
         col("right_ck"), col("right_inclusive"), col("applied_at_us"))
     val inRange =

@@ -1,0 +1,85 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edge-semantics spec for the replication operators over
+  * hand-crafted logs — behaviors the reference's operation handlers
+  * define (replicator operations package) that the synthetic-data
+  * oracle exercises only statistically:
+  * resurrection after partition delete, range-bound inclusivity,
+  * postimage-wins, delete-wins-over-older-write. */
+class CdcOpsSpec extends SparkSpec {
+
+  import CdcSchema._
+
+  /** Build a conforming log from (stream, timeUs, eventId, op, user, value). */
+  private def mkLog(rows: Seq[(Long, Long, Long, Int, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("cdc_stream_id", "time_us", "event_id", "cdc_operation", "user_id", "value")
+      .withColumn("props", lit("{}"))
+      .withColumn("cdc_ttl", lit(null).cast("long"))
+      .withColumn("cdc_batch_seq_no", (col("event_id") % 4).cast("int"))
+      .withColumn("cdc_end_of_batch", col("event_id") % 4 === 3)
+      .withColumn("cdc_deleted_value", lit(false))
+  }
+
+  test("partition delete masks older rows; later writes resurrect") {
+    // user 1: write ck=2 at t=10, partition delete at t=50, write ck=6 at t=100
+    val log = mkLog(Seq(
+      (1L, 10L, 2L, RowInsert, 1L, 1.0),
+      (1L, 50L, 100L, PartitionDelete, 1L, 0.0),
+      (1L, 100L, 6L, RowInsert, 1L, 2.0)))
+    val out = CdcOps.partitionDeleteFromLog(log).collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("ck"))).toSeq ==
+      Seq((1L, 6))) // ck=2 masked (10 <= 50), ck=6 resurrected (100 > 50)
+  }
+
+  test("LWW: newest write wins per key; a newer delete kills the row") {
+    val log = mkLog(Seq(
+      (1L, 10L, 1L, RowInsert, 1L, 1.0),
+      (1L, 20L, 2L, RowUpdate, 1L, 2.0),   // user 1: newest write → 2.0
+      (2L, 10L, 3L, RowInsert, 2L, 3.0),
+      (2L, 20L, 4L, RowDelete, 2L, 0.0)))  // user 2: newest op is delete → gone
+    val out = CdcOps.replicateLwwFromLog(log).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("user_id") == 1L)
+    assert(out.head.getAs[Double]("value") == 2.0)
+  }
+
+  test("range delete respects bound inclusivity and apply time") {
+    // bounds pair on stream 7: left INCLUSIVE ck=4 (event 20), right EXCLUSIVE ck=8 (event 24)
+    // rows: ck 4 (masked, inclusive), ck 5 (masked), ck 8 (kept, exclusive right),
+    //       ck 6 written AFTER the tombstone (kept)
+    val log = mkLog(Seq(
+      (7L, 10L, 4L, RowInsert, 7L, 1.0),   // ck 4
+      (7L, 11L, 5L, RowInsert, 7L, 2.0),   // ck 5
+      (7L, 12L, 8L, RowInsert, 7L, 3.0),   // ck 8
+      (7L, 50L, 20L, RangeDeleteInclLeft, 7L, 0.0),  // left bound ck=20%16=4 incl
+      (7L, 51L, 24L, RangeDeleteExclRight, 7L, 0.0), // right bound ck=24%16=8 excl
+      (7L, 90L, 6L, RowInsert, 7L, 4.0)))  // ck 6 after tombstone
+    val out = CdcOps.replicateFullFromLog(log).collect()
+      .map(r => (r.getAs[Int]("ck"), r.getAs[Double]("value"))).toSet
+    assert(out == Set((8, 3.0), (6, 4.0)))
+  }
+
+  test("postimage is authoritative like an upsert") {
+    val log = mkLog(Seq(
+      (2L, 10L, 3L, RowInsert, 2L, 1.0),
+      (2L, 20L, 3L, PostImage, 2L, 9.0)))  // same key, newer postimage
+    val out = CdcOps.replicateFullFromLog(log).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 9.0)
+  }
+
+  test("pairing consumes the most recent unconsumed left bound") {
+    val log = mkLog(Seq(
+      (3L, 10L, 21L, RangeDeleteInclLeft, 3L, 0.0), // left A (ck 5)
+      (3L, 20L, 37L, RangeDeleteExclLeft, 3L, 0.0), // left B (ck 5) — most recent
+      (3L, 30L, 23L, RangeDeleteInclRight, 3L, 0.0))) // right pairs with B
+    val pairs = CdcOps.rangeDeleteFromLog(log).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("left_event_id") == 37L)
+    assert(!pairs.head.getAs[Boolean]("left_inclusive")) // B was exclusive
+  }
+}
