@@ -40,6 +40,7 @@ object SparkEntry {
     "q_anti_join" -> Queries.qAntiJoin,
     "q_asof_join" -> Queries.qAsofJoin,
     "dedup_exact" -> Dedup.exact,
+    "dedup_exact_normalized" -> Dedup.exactNormalized,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard,
     "dedup_minhash_lsh" -> Dedup.minhashLsh,
     "dedup_simhash" -> Dedup.simhashDedup,
@@ -50,6 +51,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langId,
     "text_quality" -> TextAnalysis.quality,
     "text_tokencount" -> TextAnalysis.tokenCount,
+    "text_length_histogram" -> TextAnalysis.lengthHistogram,
     "text_fingerprint" -> TextAnalysis.fingerprint)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,6 +84,7 @@ object SparkEntry {
     "q_anti_join" -> Queries.qAntiJoinSql,
     "q_asof_join" -> Queries.qAsofJoinSql,
     "dedup_exact" -> Dedup.exactSql,
+    "dedup_exact_normalized" -> Dedup.exactNormalizedSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql,
     "dedup_simhash" -> Dedup.simhashDedupSql,
@@ -92,5 +95,6 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokencount" -> TextAnalysis.tokenCountSql,
+    "text_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql)
 }

@@ -44,6 +44,26 @@ object Dedup {
     """SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
       |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin
 
+  /** Exact dedup after canonical normalization (lowercase, strip
+    * non-alphanumerics, collapse whitespace) — catches the
+    * near-exact duplicates raw md5 misses (C4-style cleanup). Same
+    * single-shuffle shape as [[exact]]. */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val canon = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    docs(spark, dir)
+      .groupBy(md5(trim(canon)).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
+      .filter(col("n_copies") >= 1)
+      .orderBy(col("canonical_doc_id"))
+  }
+
+  val exactNormalizedSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest,
+      |  COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+      |FROM documents GROUP BY 1 HAVING COUNT(*) >= 1
+      |ORDER BY canonical_doc_id""".stripMargin
+
   // ------------------------------------------------------------ #25 n-gram Jaccard
 
   /** Words per shingle: 4-grams keep the candidate-pair count ~25×

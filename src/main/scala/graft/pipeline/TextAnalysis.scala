@@ -153,6 +153,35 @@ object TextAnalysis {
        |  CAST(len(text) AS BIGINT) AS n_chars_actual
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #33b corpus stats
+
+  /** Corpus length histogram: docs bucketed by token count (decade
+    * buckets) with per-bucket char/token totals — the distribution
+    * check every corpus build starts with. Exact integer bucketing
+    * (not percentiles) so the oracle compares bit-for-bit. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+      .withColumn("bucket", (col("n_toks") - (col("n_toks") % 10)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"))
+      .orderBy(col("bucket"))
+
+  val lengthHistogramSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, CAST(len($tokensSql) AS BIGINT) AS n_toks FROM documents)
+       |SELECT n_toks - (n_toks % 10) AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       |  MIN(n_toks) AS min_tokens,
+       |  MAX(n_toks) AS max_tokens
+       |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------ #34 fingerprint
 
   /** Polynomial rolling-hash document fingerprints: one full-text hash
