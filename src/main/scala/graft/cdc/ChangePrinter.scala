@@ -10,17 +10,16 @@ object ChangePrinter {
   def format(change: RawChange, schema: ChangeSchemas.ChangeSchema): String = {
     val sb = new StringBuilder
     val (stream, timeUs, seq) = change.getId
-    sb.append(f"┌─ change ${change.getOperationType}%s\n")
-    sb.append(f"│ stream:    $stream%d\n")
-    sb.append(f"│ time:      $timeUs%d µs\n")
-    sb.append(f"│ batch seq: $seq%d  end-of-batch: ${change.isEndOfBatch}%s\n")
-    change.getTTL.foreach(t => sb.append(f"│ ttl:       $t%d s\n"))
+    sb.append(s"+- change ${change.getOperationType}\n")
+    sb.append(s"| stream:    $stream\n")
+    sb.append(s"| time:      $timeUs us\n")
+    sb.append(s"| batch seq: $seq  end-of-batch: ${change.isEndOfBatch}\n")
+    change.getTTL.foreach(t => sb.append(s"| ttl:       $t s\n"))
     schema.baseTableColumns.foreach { c =>
       val v = if (change.isNull(c.columnName)) "null" else change.getAsObject(c.columnName).toString
       val del = c.deletedColumn.exists(_ => change.isDeleted(c.columnName))
-      val kind = c.kind.toString
-      sb.append(f"│ ${c.columnName}%-12s [$kind%s]: $v%s${if (del) "  (DELETED)" else ""}%s\n")
+      sb.append(f"| ${c.columnName}%-12s [${c.kind}%s]: $v%s${if (del) "  (DELETED)" else ""}%s\n")
     }
-    sb.append("└─").toString
+    sb.append("+-").toString
   }
 }
