@@ -20,6 +20,6 @@ object ChangePrinter {
       val del = c.deletedColumn.exists(_ => change.isDeleted(c.columnName))
       sb.append(f"| ${c.columnName}%-12s [${c.kind}%s]: $v%s${if (del) "  (DELETED)" else ""}%s\n")
     }
-    sb.append("+-").toString
+    sb.append("`--").toString
   }
 }

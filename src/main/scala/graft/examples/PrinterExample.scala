@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
 object PrinterExample {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val n = args.lift(1).map(_.toInt).getOrElse(10)
+    val n = args.lift(1).map(a => a.toIntOption.getOrElse {
+      System.err.println(s"usage: PrinterExample [sfDir] [n] — '$a' is not a number")
+      sys.exit(2)
+    }).getOrElse(10)
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
