@@ -97,7 +97,9 @@ object CdcOps {
     * own log (real cdc$ table, Kafka topic, adapter output). */
   def windowScanFromLog(log: DataFrame): DataFrame =
     log
-      .withColumn("window_id", ((col("time_us") - GenerationStartUs) / WindowSizeUs).cast("long"))
+      // floor division (not double-divide + truncate): matches DuckDB's
+      // `//` for pre-generation timestamps in bring-your-own logs
+      .withColumn("window_id", floor((col("time_us") - GenerationStartUs) / WindowSizeUs).cast("long"))
       .groupBy(col("cdc_stream_id"), col("window_id"))
       .agg(count(lit(1)).as("n_changes"),
         min(col("time_us")).as("window_min_us"),
@@ -262,6 +264,7 @@ object CdcOps {
       .select(col("cdc_stream_id"),
         col("left_event_id"), col("left_ck"), col("left_inclusive"),
         col("event_id").as("right_event_id"), col("ck").as("right_ck"),
+        col("user_id").as("rd_user_id"),
         (col("cdc_operation") === RangeDeleteInclRight).as("right_inclusive"),
         col("time_us").as("applied_at_us"))
       .orderBy(col("cdc_stream_id"), col("right_event_id"))
@@ -281,6 +284,7 @@ object CdcOps {
       |  FROM bounds)
       |SELECT cdc_stream_id, left_event_id, left_ck, left_inclusive,
       |  event_id AS right_event_id, ck AS right_ck,
+      |  user_id AS rd_user_id,
       |  (cdc_operation = 7) AS right_inclusive,
       |  time_us AS applied_at_us
       |FROM paired
@@ -366,7 +370,7 @@ object CdcOps {
       .select(col("generation_id"), col("vnode_id"), col("n_consumed"),
         col("last.time_us").as("last_time_us"),
         col("last.event_id").as("last_event_id"),
-        ((col("last.time_us") - GenerationStartUs) / WindowSizeUs).cast("long").as("current_window_id"))
+        floor((col("last.time_us") - GenerationStartUs) / WindowSizeUs).cast("long").as("current_window_id"))
       .orderBy(col("generation_id"), col("vnode_id"))
 
   val checkpointSql: String = CdcLogAdapter.oracleCte +
@@ -492,8 +496,12 @@ object CdcOps {
     val pd = ckLog.filter(col("cdc_operation") === PartitionDelete)
       .groupBy(col("user_id")).agg(max(col("time_us")).as("pd_time_us"))
     // paired range tombstones (per-stream bound pairing, op #9)
+    // the tombstone applies to the END bound's partition
+    // (RangeDeleteEndOperationHandler executes the DELETE with the end
+    // change's partition key; pairing itself is per-stream)
     val rd = rangeDeleteFromLog(log)
-      .select(col("cdc_stream_id").as("rd_stream"), col("left_ck"), col("left_inclusive"),
+      .select(col("cdc_stream_id").as("rd_stream"), col("rd_user_id"),
+        col("left_ck"), col("left_inclusive"),
         col("right_ck"), col("right_inclusive"), col("applied_at_us"))
     val inRange =
       (col("ck") > col("left_ck") || (col("left_inclusive") && col("ck") === col("left_ck"))) &&
@@ -502,8 +510,8 @@ object CdcOps {
       .join(broadcast(pd), Seq("user_id"), "left")
       .filter(col("pd_time_us").isNull || col("time_us") > col("pd_time_us"))
       .join(broadcast(rd),
-        col("cdc_stream_id") === col("rd_stream") && inRange &&
-          col("time_us") <= col("applied_at_us"),
+        col("cdc_stream_id") === col("rd_stream") && col("user_id") === col("rd_user_id") &&
+          inRange && col("time_us") <= col("applied_at_us"),
         "left_anti")
       .select(col("user_id"), col("ck"), col("time_us").as("last_write_us"),
         col("cdc_operation").as("last_op"), col("value"), col("props"))
@@ -528,7 +536,7 @@ object CdcOps {
        |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_inclusive
        |  FROM bounds),
        |rd AS (
-       |  SELECT cdc_stream_id AS rd_stream, left_ck, left_inclusive,
+       |  SELECT cdc_stream_id AS rd_stream, user_id AS rd_user_id, left_ck, left_inclusive,
        |    bck AS right_ck, (cdc_operation = 7) AS right_inclusive,
        |    time_us AS applied_at_us
        |  FROM paired WHERE cdc_operation IN (7, 8) AND left_ck IS NOT NULL),
@@ -540,6 +548,7 @@ object CdcOps {
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM rd
        |  WHERE a.cdc_stream_id = rd.rd_stream
+       |    AND a.user_id = rd.rd_user_id
        |    AND (a.ck > rd.left_ck OR (rd.left_inclusive AND a.ck = rd.left_ck))
        |    AND (a.ck < rd.right_ck OR (rd.right_inclusive AND a.ck = rd.right_ck))
        |    AND a.time_us <= rd.applied_at_us)

@@ -63,12 +63,15 @@ object TimeUuids {
   /** Column: unix-ms → v1 MSB (same bit packing, Catalyst bit ops). */
   def makeMsbCol(ms: Column): Column = packMsb((ms - StartEpochMs) * 10000L)
 
-  /** Column: v1 MSB → unix ms (inverse packing). */
+  /** Column: v1 MSB → unix ms (inverse packing). Integer division —
+    * Column./ is double division whose 53-bit mantissa misrounds
+    * 100-ns counts (endOf bounds came back ms+1). */
   def unixMsCol(msb: Column): Column = {
     val t = shiftrightunsigned(msb, 32).bitwiseAND(lit(0x00000000ffffffffL))
       .bitwiseOR(shiftleft(msb.bitwiseAND(lit(0x00000000ffff0000L)), 16))
       .bitwiseOR(shiftleft(msb.bitwiseAND(lit(0x0000000000000fffL)), 48))
-    (t / 10000L).cast("long") + StartEpochMs
+    (t - pmod(t, lit(10000L))).cast("decimal(20,0)")
+      .divide(lit(10000L)).cast("long") + StartEpochMs
   }
 
   /** Column: struct<msb,lsb> start-of-window bound for a unix-ms col. */

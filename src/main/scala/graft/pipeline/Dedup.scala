@@ -54,14 +54,13 @@ object Dedup {
     docs(spark, dir)
       .groupBy(md5(trim(canon)).as("digest"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
-      .filter(col("n_copies") >= 1)
       .orderBy(col("canonical_doc_id"))
   }
 
   val exactNormalizedSql: String =
     """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest,
       |  COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
-      |FROM documents GROUP BY 1 HAVING COUNT(*) >= 1
+      |FROM documents GROUP BY 1
       |ORDER BY canonical_doc_id""".stripMargin
 
   // ------------------------------------------------------------ #25 n-gram Jaccard

@@ -67,4 +67,74 @@ object CdcStreamConsumer {
       .flatMapGroupsWithState[StreamProgress, Delivered](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(deliverGroup)
   }
+
+  /** Per-stream state for confidence-window delivery: the checkpoint
+    * plus the buffer of changes still inside the confidence window. */
+  case class BufferedProgress(lastTimeUs: Long, lastEventId: Long,
+      delivered: Long, pending: Seq[Change])
+
+  /** Confidence-window delivery (WorkerConfiguration
+    * .confidenceWindowSizeMs): a change is only handed to the consumer
+    * once the event-time watermark — now − confidence — has passed it,
+    * so out-of-order arrivals WITHIN the confidence window are merged
+    * back into ChangeId order instead of being dropped as stale.
+    * Changes newer than the watermark wait in state (bounded by
+    * arrival-rate × confidence, the reference's window buffer); an
+    * event-time timeout re-invokes the group when the watermark
+    * reaches the earliest pending change, so flushing doesn't depend
+    * on more data arriving for the same stream. */
+  def deliverGroupConfident(streamId: Long, changes: Iterator[Change],
+      state: GroupState[BufferedProgress]): Iterator[Delivered] = {
+    val p = state.getOption.getOrElse(
+      BufferedProgress(Long.MinValue, Long.MinValue, 0L, Nil))
+    val progress = StreamProgress(p.lastTimeUs, p.lastEventId, p.delivered)
+    val watermarkMs = state.getCurrentWatermarkMs()
+    val watermarkUs = watermarkMs * 1000L
+    val fresh = (p.pending ++ changes).filter(isAfter(_, progress))
+    // watermark 0 = not yet established → everything stays buffered
+    val (ready, hold) = fresh.partition(c => watermarkUs > 0 && c.timeUs <= watermarkUs)
+    val ordered = ready.sortBy(c => (c.timeUs, c.eventId))
+    val out = ordered.zipWithIndex.map { case (c, i) =>
+      Delivered(c.streamId, c.timeUs, c.eventId, c.operation, c.value,
+        p.delivered + i + 1)
+    }
+    val newProgress = ordered.lastOption match {
+      case Some(lastC) => BufferedProgress(lastC.timeUs, lastC.eventId,
+        p.delivered + ordered.size, hold)
+      case None => p.copy(pending = hold)
+    }
+    state.update(newProgress)
+    if (hold.nonEmpty) {
+      // wake this group once the watermark passes its earliest change
+      // (must be strictly beyond the current watermark)
+      val wakeAtMs = math.max(hold.map(_.timeUs).min / 1000L, watermarkMs) + 1L
+      state.setTimeoutTimestamp(wakeAtMs)
+    }
+    out.iterator
+  }
+
+  /** [[consume]] with confidence-window buffering. Builds the
+    * event-time watermark itself — Spark requires the watermarked
+    * column to flow INTO the stateful operator, so the column rides
+    * along through groupByKey and is dropped in the group function. */
+  def consumeConfident(spark: SparkSession, changes: Dataset[Change],
+      confidenceMs: Long): Dataset[Delivered] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val withTs = changes
+      .withColumn("event_time", timestamp_micros(col("timeUs")))
+      .withWatermark("event_time", s"$confidenceMs milliseconds")
+      .as[TimedChange]
+    withTs.groupByKey(_.streamId)
+      .flatMapGroupsWithState[BufferedProgress, Delivered](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (sid, rows, state) =>
+        deliverGroupConfident(sid,
+          rows.map(r => Change(r.streamId, r.timeUs, r.eventId, r.operation, r.value)), state)
+      }
+  }
+
+  /** [[Change]] plus its event-time column (kept so the watermark
+    * reaches the stateful operator). */
+  case class TimedChange(streamId: Long, timeUs: Long, eventId: Long,
+      operation: Int, value: Double, event_time: java.sql.Timestamp)
 }

@@ -77,28 +77,40 @@ final class GraftCdcConsumer private[streaming] (
   private var query: StreamingQuery = _
 
   /** The delivery pipeline as a streaming Dataset (composable; start()
-    * wires it to the callback sink). Watermark bounds state growth and
-    * encodes the confidence window on the change's event time. */
-  def delivered: Dataset[Delivered] = {
-    import spark.implicits._
-    workersCount.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
-    val withEventTime = source
-      .withColumn("event_time", timestamp_micros(col("timeUs")))
-      .withWatermark("event_time", s"$confidenceMs milliseconds")
-      .drop("event_time").as[Change]
-    CdcStreamConsumer.consume(spark, withEventTime)
-  }
+    * wires it to the callback sink). The event-time watermark IS the
+    * confidence window: a change is delivered only once the watermark
+    * (max event time − confidence) passes it, so reordered arrivals
+    * within the window are merged back into ChangeId order — the
+    * reference's "don't read the last confidenceWindow of the log"
+    * bound (WorkerConfiguration.confidenceWindowSizeMs). */
+  def delivered: Dataset[Delivered] =
+    CdcStreamConsumer.consumeConfident(spark, source, confidenceMs)
+
+  private var savedShufflePartitions: Option[String] = None
 
   /** Starts delivery to the callback. Callback mode mirrors the
     * reference's single-JVM RawChangeConsumer — changes funnel to the
     * driver in order (collect), which is the semantics the reference
     * offers. For 100 TB pipelines, consume [[delivered]] directly with
     * a distributed sink instead; the callback path is the
-    * compatibility surface, not the scale path. */
+    * compatibility surface, not the scale path.
+    *
+    * Failure semantics: a failing micro-batch is retried with the
+    * configured backoff and REPLAYED to the callback from its first
+    * change — at-least-once on failure, exactly like the reference
+    * worker re-reading its window after an error. Only non-fatal
+    * errors retry; interrupts (query.stop()) propagate immediately. */
   def start(): StreamingQuery = synchronized {
     require(query == null, "already started")
     val cb = consumer
     val bo = backoff
+    // scope workersCount to this query's lifetime: saved on start,
+    // restored on stop (the state-store partitioning is captured by
+    // the query's first batch)
+    workersCount.foreach { n =>
+      savedShufflePartitions = Some(spark.conf.get("spark.sql.shuffle.partitions"))
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+    }
     var writer = delivered.writeStream
       .queryName(queryName)
       .outputMode("append")
@@ -114,7 +126,7 @@ final class GraftCdcConsumer private[streaming] (
               .collect().foreach(cb)
             done = true
           } catch {
-            case e: Throwable if attempt < 5 =>
+            case e: Throwable if scala.util.control.NonFatal(e) && attempt < 5 =>
               Thread.sleep(bo.getRetryBackoffTimeMs(attempt).toLong)
               attempt += 1
           }
@@ -129,6 +141,8 @@ final class GraftCdcConsumer private[streaming] (
 
   def stop(): Unit = synchronized {
     if (query != null) { query.stop(); query = null }
+    savedShufflePartitions.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+    savedShufflePartitions = None
   }
 
   override def close(): Unit = stop()

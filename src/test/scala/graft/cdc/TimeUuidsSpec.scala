@@ -43,11 +43,15 @@ class TimeUuidsSpec extends SparkSpec {
       .select(col("ms"), makeMsbCol(col("ms")).as("msb"),
         startOf(col("ms")).as("s"), endOf(col("ms")).as("e"))
       .withColumn("roundtrip", unixMsCol(col("msb")))
+      .withColumn("end_roundtrip", unixMsCol(col("e.msb")))
       .collect()
     rows.foreach { r =>
       val m = r.getAs[Long]("ms")
       assert(r.getAs[Long]("msb") == startOfMsb(m))
       assert(r.getAs[Long]("roundtrip") == m)
+      // endOf's last-tick timestamps are NOT exactly representable in a
+      // double — the column round-trip must still return the same ms
+      assert(r.getAs[Long]("end_roundtrip") == m, s"endOf($m)")
       val s = r.getStruct(r.fieldIndex("s"))
       val e = r.getStruct(r.fieldIndex("e"))
       assert(s.getAs[Long]("msb") == startOfMsb(m))

@@ -9,8 +9,17 @@ import java.util.concurrent.ConcurrentLinkedQueue
 import scala.jdk.CollectionConverters._
 
 /** Spec for [[GraftCdcConsumer]] — the user-facing builder API
-  * (reference: scylla-cdc-lib CDCConsumer.builder()). */
+  * (reference: scylla-cdc-lib CDCConsumer.builder()).
+  *
+  * Delivery is confidence-window-buffered: a change is handed to the
+  * callback only once the event-time watermark (max event time −
+  * confidence) has passed it, so every test advances the watermark
+  * with a later "nudge" change before asserting. */
 class GraftCdcConsumerSpec extends SparkSpec {
+
+  /** Base event time: 2023-11-14T22:13:20Z in µs. */
+  private val T0 = 1700000000000000L
+  private def ms(n: Long): Long = T0 + n * 1000L
 
   test("builder validates its arguments like the reference") {
     val b = GraftCdcConsumer.builder(spark)
@@ -20,7 +29,7 @@ class GraftCdcConsumerSpec extends SparkSpec {
     intercept[IllegalArgumentException](b.build()) // no source
   }
 
-  test("end-to-end: ordered per-stream delivery to the consumer callback") {
+  test("confidence window reorders within it, then delivers in ChangeId order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
@@ -30,24 +39,59 @@ class GraftCdcConsumerSpec extends SparkSpec {
       .withSource(input.toDS())
       .withConsumer(d => received.add(d))
       .withQueryTimeWindowSizeMs(100)
-      .withConfidenceWindowSizeMs(1000)
+      .withConfidenceWindowSizeMs(1000) // 1s confidence
       .withWorkerRetryBackoff(new ExponentialRetryBackoffWithJitter(1, 10, 0.5))
       .withQueryName(s"spec_${System.nanoTime()}")
       .build()
     try {
       c.start()
+      // batch 1: out-of-order arrivals, all within one confidence window
       input.addData(Seq(
-        Change(1, 300, 3, 2, 0.0), Change(1, 100, 1, 2, 0.0),
-        Change(2, 50, 7, 1, 0.0), Change(1, 200, 2, 1, 0.0)))
+        Change(1, ms(300), 3, 2, 0.0), Change(1, ms(100), 1, 2, 0.0),
+        Change(2, ms(50), 7, 1, 0.0), Change(1, ms(200), 2, 1, 0.0)))
+      c.processAllAvailable() // watermark still unset → everything buffered
+      // batch 2: nudge far ahead → watermark passes batch-1 events
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0)))
       c.processAllAvailable()
-      input.addData(Seq(Change(1, 100, 1, 2, 0.0), Change(1, 400, 4, 3, 0.0))) // replay + new
+      // batch 3: second nudge → flushes anything at the previous edge
+      input.addData(Seq(Change(9, ms(200000), 100, 2, 0.0)))
       c.processAllAvailable()
     } finally c.stop()
 
     val s1 = received.asScala.filter(_.streamId == 1).toSeq.sortBy(_.seqNo)
-    assert(s1.map(_.timeUs) == Seq(100L, 200L, 300L, 400L)) // ordered, replay dropped
-    assert(s1.map(_.seqNo) == Seq(1L, 2L, 3L, 4L))
+    // delivered in ChangeId order despite arrival order 300,100,200
+    assert(s1.map(_.timeUs) == Seq(ms(100), ms(200), ms(300)))
+    assert(s1.map(_.seqNo) == Seq(1L, 2L, 3L))
     assert(received.asScala.count(_.streamId == 2) == 1)
+  }
+
+  test("late change inside the confidence window is merged, not lost") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withQueryTimeWindowSizeMs(100)
+      .withConfidenceWindowSizeMs(5000) // 5s confidence
+      .withQueryName(s"spec_late_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      input.addData(Seq(Change(4, ms(2000), 2, 2, 0.0)))
+      c.processAllAvailable()
+      // arrives later but carries an EARLIER event time — still inside
+      // the confidence window because the watermark hasn't passed it
+      input.addData(Seq(Change(4, ms(1000), 1, 2, 0.0)))
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // nudge
+      c.processAllAvailable()
+    } finally c.stop()
+    val s4 = received.asScala.filter(_.streamId == 4).toSeq.sortBy(_.seqNo)
+    assert(s4.map(_.timeUs) == Seq(ms(1000), ms(2000))) // reordered correctly
   }
 
   test("checkpointed restart resumes without redelivery (TaskStateBackend semantics)") {
@@ -59,6 +103,7 @@ class GraftCdcConsumerSpec extends SparkSpec {
     def consumer(input: MemoryStream[Change]) = GraftCdcConsumer.builder(spark)
       .withSource(input.toDS())
       .withConsumer(d => received.add(d))
+      .withQueryTimeWindowSizeMs(100)
       .withCheckpointLocation(ckpt)
       .withQueryName(s"spec_ckpt_${System.nanoTime()}")
       .build()
@@ -66,23 +111,34 @@ class GraftCdcConsumerSpec extends SparkSpec {
     val in1 = MemoryStream[Change]
     val c1 = consumer(in1)
     c1.start()
-    in1.addData(Seq(Change(5, 10, 1, 2, 0.0), Change(5, 20, 2, 1, 0.0)))
+    in1.addData(Seq(Change(5, ms(10), 1, 2, 0.0), Change(5, ms(20), 2, 1, 0.0)))
+    c1.processAllAvailable()
+    in1.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // nudge → delivers 10,20
     c1.processAllAvailable()
     c1.stop()
 
-    // new query, same checkpoint: the memory source replays from its
-    // committed offset, state holds lastConsumed=(20,2)
+    // new query, same checkpoint: the state holds lastConsumed=(20,2).
+    // The replayed source must carry the SAME committed batches
+    // (offsets 0 and 1) so the restart resumes past them.
     val in2 = MemoryStream[Change]
-    in2.addData(Seq(Change(5, 10, 1, 2, 0.0), Change(5, 20, 2, 1, 0.0))) // replayed history
+    in2.addData(Seq(Change(5, ms(10), 1, 2, 0.0), Change(5, ms(20), 2, 1, 0.0))) // offset 0
+    in2.addData(Seq(Change(9, ms(100000), 99, 2, 0.0)))                          // offset 1
     val c2 = consumer(in2)
     c2.start()
-    in2.addData(Seq(Change(5, 30, 3, 1, 0.0)))
+    // the new change must be NEWER than the restored watermark
+    // (~ms(70000)); anything older is legitimately outside the
+    // confidence window and dropped as late
+    in2.addData(Seq(Change(5, ms(150000), 3, 1, 0.0)))
+    c2.processAllAvailable()
+    in2.addData(Seq(Change(9, ms(300000), 100, 2, 0.0))) // nudge → delivers 150000
+    c2.processAllAvailable()
+    in2.addData(Seq(Change(9, ms(400000), 101, 2, 0.0))) // nudge → flush edge
     c2.processAllAvailable()
     c2.stop()
 
     val s5 = received.asScala.filter(_.streamId == 5).toSeq.sortBy(_.seqNo)
-    assert(s5.map(_.timeUs) == Seq(10L, 20L, 30L)) // no duplicates across restart
-    assert(s5.map(_.seqNo) == Seq(1L, 2L, 3L))     // progress carried over
+    assert(s5.map(_.timeUs) == Seq(ms(10), ms(20), ms(150000))) // no duplicates across restart
+    assert(s5.map(_.seqNo) == Seq(1L, 2L, 3L))                  // progress carried over
   }
 
   test("transient consumer failure is retried with backoff (ErrorInject semantics)") {
@@ -100,18 +156,38 @@ class GraftCdcConsumerSpec extends SparkSpec {
         received.add(d)
       }
       .withWorkerRetryBackoff(new ExponentialRetryBackoffWithJitter(1, 5, 0.5))
+      .withQueryTimeWindowSizeMs(100)
       .withQueryName(s"spec_retry_${System.nanoTime()}")
       .build()
     try {
       c.start()
-      input.addData(Seq(Change(3, 10, 1, 2, 0.0), Change(3, 20, 2, 1, 0.0)))
+      input.addData(Seq(Change(3, ms(10), 1, 2, 0.0), Change(3, ms(20), 2, 1, 0.0)))
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // nudge
       c.processAllAvailable()
     } finally c.stop()
 
     assert(failures.get() == 1) // the injected error fired
     val s3 = received.asScala.filter(_.streamId == 3).toSeq.sortBy(_.timeUs)
     // at-least-once on retry, like the reference's window re-read
-    assert(s3.map(_.timeUs).distinct == Seq(10L, 20L))
+    assert(s3.map(_.timeUs).distinct == Seq(ms(10), ms(20)))
+  }
+
+  test("workersCount is scoped to the query: conf restored after stop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val input = MemoryStream[Change]
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withWorkersCount(2)
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"spec_workers_${System.nanoTime()}")
+      .build()
+    c.start()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "2")
+    c.stop()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
 
   test("stop is idempotent and close delegates to stop") {
@@ -120,6 +196,7 @@ class GraftCdcConsumerSpec extends SparkSpec {
     val input = MemoryStream[Change]
     val c = GraftCdcConsumer.builder(spark)
       .withSource(input.toDS())
+      .withQueryTimeWindowSizeMs(100)
       .withQueryName(s"spec_${System.nanoTime()}")
       .build()
     c.start()
