@@ -242,25 +242,28 @@ object CdcOps {
     rangeDeleteFromLog(cdcLog(spark, dir))
 
   /** Same operator over ANY conforming CDC-log relation — bring your
-    * own log (real cdc$ table, Kafka topic, adapter output). */
+    * own log (real cdc$ table, Kafka topic, adapter output).
+    *
+    * A left bound is consumed at most once (RangeDeleteState
+    * .consumeStart REMOVES the start): a right bound pairs only when
+    * the IMMEDIATELY preceding bound on its stream is a left bound —
+    * a second consecutive right (the reference's "end but no start"
+    * IllegalStateException) yields no pair, and an overwritten left
+    * (two consecutive lefts) pairs with the newer one. */
   def rangeDeleteFromLog(log: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cdc_stream_id"))
       .orderBy(col("time_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val bounds = log
       .filter(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft,
         RangeDeleteInclRight, RangeDeleteExclRight))
       .withColumn("ck", (col("event_id") % 16).cast("int"))
     bounds
-      .withColumn("left_event_id",
-        last(when(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft), col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("left_ck",
-        last(when(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft), col("ck")), ignoreNulls = true).over(w))
-      .withColumn("left_inclusive",
-        last(when(col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft),
-          col("cdc_operation") === RangeDeleteInclLeft), ignoreNulls = true).over(w))
+      .withColumn("prev_op", lag(col("cdc_operation"), 1).over(w))
+      .withColumn("left_event_id", lag(col("event_id"), 1).over(w))
+      .withColumn("left_ck", lag(col("ck"), 1).over(w))
+      .withColumn("left_inclusive", lag(col("cdc_operation") === RangeDeleteInclLeft, 1).over(w))
       .filter(col("cdc_operation").isin(RangeDeleteInclRight, RangeDeleteExclRight)
-        && col("left_event_id").isNotNull)
+        && col("prev_op").isin(RangeDeleteInclLeft, RangeDeleteExclLeft))
       .select(col("cdc_stream_id"),
         col("left_event_id"), col("left_ck"), col("left_inclusive"),
         col("event_id").as("right_event_id"), col("ck").as("right_ck"),
@@ -275,12 +278,10 @@ object CdcOps {
       |  SELECT *, CAST(event_id % 16 AS INT) AS ck FROM cdc WHERE cdc_operation IN (5, 6, 7, 8)),
       |paired AS (
       |  SELECT *,
-      |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN event_id END IGNORE NULLS)
-      |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_event_id,
-      |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN ck END IGNORE NULLS)
-      |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_ck,
-      |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN (cdc_operation = 5) END IGNORE NULLS)
-      |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_inclusive
+      |    LAG(cdc_operation, 1) OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS prev_op,
+      |    LAG(event_id, 1) OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS left_event_id,
+      |    LAG(ck, 1) OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS left_ck,
+      |    LAG(cdc_operation = 5, 1) OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS left_inclusive
       |  FROM bounds)
       |SELECT cdc_stream_id, left_event_id, left_ck, left_inclusive,
       |  event_id AS right_event_id, ck AS right_ck,
@@ -288,7 +289,7 @@ object CdcOps {
       |  (cdc_operation = 7) AS right_inclusive,
       |  time_us AS applied_at_us
       |FROM paired
-      |WHERE cdc_operation IN (7, 8) AND left_event_id IS NOT NULL
+      |WHERE cdc_operation IN (7, 8) AND prev_op IN (5, 6)
       |ORDER BY cdc_stream_id, right_event_id""".stripMargin
 
   /** #10: preimage consistency check (PreImageOperationHandler):
@@ -530,16 +531,15 @@ object CdcOps {
        |  SELECT *, CAST(event_id % 16 AS INT) AS bck FROM cdc WHERE cdc_operation IN (5, 6, 7, 8)),
        |paired AS (
        |  SELECT *,
-       |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN bck END IGNORE NULLS)
-       |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_ck,
-       |    LAST_VALUE(CASE WHEN cdc_operation IN (5, 6) THEN (cdc_operation = 5) END IGNORE NULLS)
-       |      OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS left_inclusive
+       |    LAG(cdc_operation, 1) OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS prev_op,
+       |    LAG(bck, 1) OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS left_ck,
+       |    LAG(cdc_operation = 5, 1) OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id) AS left_inclusive
        |  FROM bounds),
        |rd AS (
        |  SELECT cdc_stream_id AS rd_stream, user_id AS rd_user_id, left_ck, left_inclusive,
        |    bck AS right_ck, (cdc_operation = 7) AS right_inclusive,
        |    time_us AS applied_at_us
-       |  FROM paired WHERE cdc_operation IN (7, 8) AND left_ck IS NOT NULL),
+       |  FROM paired WHERE cdc_operation IN (7, 8) AND prev_op IN (5, 6)),
        |after_pd AS (
        |  SELECT l.* FROM last_writes l LEFT JOIN pd ON l.user_id = pd.user_id
        |  WHERE pd.pd_time_us IS NULL OR l.time_us > pd.pd_time_us)

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
 object PrinterExample {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val n = args.lift(1).map(a => a.toIntOption.getOrElse {
-      System.err.println(s"usage: PrinterExample [sfDir] [n] — '$a' is not a number")
+    val n = args.lift(1).map(a => a.toIntOption.filter(_ > 0).getOrElse {
+      System.err.println(s"usage: PrinterExample [sfDir] [n>0] — got '$a'")
       sys.exit(2)
     }).getOrElse(10)
     val spark = Sessions.local()

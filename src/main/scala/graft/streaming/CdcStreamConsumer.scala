@@ -90,7 +90,12 @@ object CdcStreamConsumer {
     val progress = StreamProgress(p.lastTimeUs, p.lastEventId, p.delivered)
     val watermarkMs = state.getCurrentWatermarkMs()
     val watermarkUs = watermarkMs * 1000L
-    val fresh = (p.pending ++ changes).filter(isAfter(_, progress))
+    // dedupe replays against BOTH the checkpoint and the buffer — an
+    // at-least-once source can redeliver a change while its original
+    // is still waiting out the confidence window
+    val fresh = (p.pending ++ changes)
+      .filter(isAfter(_, progress))
+      .distinctBy(c => (c.timeUs, c.eventId))
     // watermark 0 = not yet established → everything stays buffered
     val (ready, hold) = fresh.partition(c => watermarkUs > 0 && c.timeUs <= watermarkUs)
     val ordered = ready.sortBy(c => (c.timeUs, c.eventId))

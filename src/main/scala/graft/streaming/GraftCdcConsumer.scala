@@ -83,10 +83,16 @@ final class GraftCdcConsumer private[streaming] (
     * within the window are merged back into ChangeId order — the
     * reference's "don't read the last confidenceWindow of the log"
     * bound (WorkerConfiguration.confidenceWindowSizeMs). */
-  def delivered: Dataset[Delivered] =
-    CdcStreamConsumer.consumeConfident(spark, source, confidenceMs)
-
-  private var savedShufflePartitions: Option[String] = None
+  def delivered: Dataset[Delivered] = {
+    // workersCount = ingestion parallelism, applied as an explicit
+    // stream-keyed repartition scoped to THIS query's plan (a global
+    // spark.sql.shuffle.partitions mutation would leak to every other
+    // query on the session and break under interleaved consumers)
+    val src = workersCount
+      .map(n => source.repartition(n, source("streamId")))
+      .getOrElse(source)
+    CdcStreamConsumer.consumeConfident(spark, src, confidenceMs)
+  }
 
   /** Starts delivery to the callback. Callback mode mirrors the
     * reference's single-JVM RawChangeConsumer — changes funnel to the
@@ -104,13 +110,6 @@ final class GraftCdcConsumer private[streaming] (
     require(query == null, "already started")
     val cb = consumer
     val bo = backoff
-    // scope workersCount to this query's lifetime: saved on start,
-    // restored on stop (the state-store partitioning is captured by
-    // the query's first batch)
-    workersCount.foreach { n =>
-      savedShufflePartitions = Some(spark.conf.get("spark.sql.shuffle.partitions"))
-      spark.conf.set("spark.sql.shuffle.partitions", n)
-    }
     var writer = delivered.writeStream
       .queryName(queryName)
       .outputMode("append")
@@ -141,8 +140,6 @@ final class GraftCdcConsumer private[streaming] (
 
   def stop(): Unit = synchronized {
     if (query != null) { query.stop(); query = null }
-    savedShufflePartitions.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
-    savedShufflePartitions = None
   }
 
   override def close(): Unit = stop()

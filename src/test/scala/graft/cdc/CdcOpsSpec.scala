@@ -82,4 +82,16 @@ class CdcOpsSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("left_event_id") == 37L)
     assert(!pairs.head.getAs[Boolean]("left_inclusive")) // B was exclusive
   }
+
+  test("a left bound is consumed at most once: a second right yields no pair") {
+    // reference: consumeStart REMOVES the start; a second end has no
+    // start (IllegalStateException) — relationally, no pair
+    val log = mkLog(Seq(
+      (3L, 10L, 21L, RangeDeleteInclLeft, 3L, 0.0),   // left (ck 5)
+      (3L, 20L, 24L, RangeDeleteInclRight, 3L, 0.0),  // right 1 → pairs
+      (3L, 30L, 28L, RangeDeleteExclRight, 3L, 0.0))) // right 2 → NO pair
+    val pairs = CdcOps.rangeDeleteFromLog(log).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("right_event_id") == 24L)
+  }
 }

@@ -173,7 +173,7 @@ class GraftCdcConsumerSpec extends SparkSpec {
     assert(s3.map(_.timeUs).distinct == Seq(ms(10), ms(20)))
   }
 
-  test("workersCount is scoped to the query: conf restored after stop") {
+  test("workersCount becomes a stream-keyed repartition scoped to the query plan") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -184,10 +184,36 @@ class GraftCdcConsumerSpec extends SparkSpec {
       .withQueryTimeWindowSizeMs(100)
       .withQueryName(s"spec_workers_${System.nanoTime()}")
       .build()
-    c.start()
-    assert(spark.conf.get("spark.sql.shuffle.partitions") == "2")
-    c.stop()
+    val plan = c.delivered.queryExecution.logical.toString
+    assert(plan.contains("RepartitionByExpression") && plan.contains("streamId"), plan)
+    // no session-global side effect
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
+  test("a replay arriving while the original is still buffered is delivered once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withQueryTimeWindowSizeMs(100)
+      .withConfidenceWindowSizeMs(5000)
+      .withQueryName(s"spec_dup_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      input.addData(Seq(Change(6, ms(1000), 1, 2, 0.0)))
+      c.processAllAvailable() // buffered (watermark unset)
+      input.addData(Seq(Change(6, ms(1000), 1, 2, 0.0))) // replay of the buffered change
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // nudge
+      c.processAllAvailable()
+    } finally c.stop()
+    assert(received.asScala.count(_.streamId == 6) == 1)
   }
 
   test("stop is idempotent and close delegates to stop") {
