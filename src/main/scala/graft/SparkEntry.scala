@@ -42,6 +42,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exact,
     "dedup_exact_normalized" -> Dedup.exactNormalized,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard,
+    "dedup_clusters" -> Dedup.clusters,
     "dedup_minhash_lsh" -> Dedup.minhashLsh,
     "dedup_simhash" -> Dedup.simhashDedup,
     "dedup_embed_cosine" -> Dedup.embedCosine,
@@ -86,6 +87,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_exact_normalized" -> Dedup.exactNormalizedSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_clusters" -> Dedup.clustersSql,
     "dedup_minhash_lsh" -> Dedup.minhashLshSql,
     "dedup_simhash" -> Dedup.simhashDedupSql,
     "dedup_embed_cosine" -> Dedup.embedCosineSql,

@@ -142,6 +142,74 @@ object Dedup {
        |WHERE round(CAST(n_common AS DOUBLE) / CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) >= $JaccardThreshold
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  /** Duplicate clustering — the final stage of a dedup pipeline:
+    * connected components over the near-dup candidate graph
+    * (ngramJaccard pairs at τ=$JaccardThreshold), labeling every
+    * clustered doc with its component's minimum doc_id and electing
+    * that doc canonical.
+    *
+    * Iterative min-label propagation to the fixpoint — the fixpoint is
+    * the true component minimum, independent of iteration order, so
+    * Spark's loop and the oracle's recursive CTE agree exactly.
+    * Scale: each iteration is one join+groupBy on the (post-filter,
+    * tiny relative to the corpus) edge set; iterations ≈ component
+    * diameter; `localCheckpoint` truncates lineage per round. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_id_1"), col("doc_id_2"))
+    val edges = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
+      .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("nb"), col("label").as("nb_label")),
+          col("b") === col("nb"))
+        .groupBy(col("a")).agg(min(col("nb_label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("doc") === nbrMin("a"), "left")
+        .select(col("doc"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      converged = updated.filter(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("doc"), col("new_label").as("label"))
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"),
+        (col("doc") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val clustersSql: String = {
+    val concat = (0 until ShingleWords).map(o => s"tokens[i+$o]").mkString(" || ' ' || ")
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tokens
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens) - ${ShingleWords - 1}),
+       |      i -> $concat)) AS shingles
+       |  FROM toks WHERE len(tokens) >= $ShingleWords),
+       |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges0 AS (
+       |  SELECT d1, d2 FROM common
+       |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE round(CAST(c AS DOUBLE) / CAST(s1.sz + s2.sz - c AS DOUBLE), 6) >= $JaccardThreshold),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM edges0 UNION ALL SELECT d2, d1 FROM edges0),
+       |verts AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach AS (
+       |  SELECT doc, doc AS r FROM verts
+       |  UNION
+       |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
+       |SELECT doc AS doc_id, MIN(r) AS cluster_id, (doc = MIN(r)) AS is_canonical
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ #26 MinHash + LSH
 
   /** MinHash + banded LSH candidate pairs: per-row signature (map-only)
