@@ -28,6 +28,7 @@ object SparkEntry {
     "cdc_ttl_trim" -> CdcOps.ttlTrim,
     "cdc_batch_group" -> CdcOps.batchGroup,
     "cdc_replicate_full" -> CdcOps.replicateFull,
+    "cdc_replicate_ttl" -> CdcOps.replicateTtl,
     "cdc_generation_progress" -> CdcOps.generationProgress,
     "q1_agg" -> Queries.q1Agg,
     "q_join_broadcast" -> Queries.qJoinBroadcast,
@@ -73,6 +74,7 @@ object SparkEntry {
     "cdc_ttl_trim" -> CdcOps.ttlTrimSql,
     "cdc_batch_group" -> CdcOps.batchGroupSql,
     "cdc_replicate_full" -> CdcOps.replicateFullSql,
+    "cdc_replicate_ttl" -> CdcOps.replicateTtlSql,
     "cdc_generation_progress" -> CdcOps.generationProgressSql,
     "q1_agg" -> Queries.q1AggSql,
     "q_join_broadcast" -> Queries.qJoinBroadcastSql,

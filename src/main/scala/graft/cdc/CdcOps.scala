@@ -554,6 +554,43 @@ object CdcOps {
        |    AND a.time_us <= rd.applied_at_us)
        |ORDER BY user_id, ck""".stripMargin
 
+  /** #14c (`cdc_replicate_ttl`): TTL-aware materialization — the
+    * replicator writes with the change's own TTL (the insert/update
+    * handlers execute `USING TTL`), so the destination expires rows at
+    * the source's schedule. Materializes the LWW state per (user, ck)
+    * and computes liveness at the fixed read time `NowUs`: a row whose
+    * winning write carried a TTL is dead once write_time + ttl ≤ now. */
+  def replicateTtl(spark: SparkSession, dir: String): DataFrame =
+    replicateTtlFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation. */
+  def replicateTtlFromLog(log: DataFrame): DataFrame = {
+    val ckLog = log.withColumn("ck", (col("event_id") % 16).cast("int"))
+    val w = Window.partitionBy(col("user_id"), col("ck"))
+      .orderBy(col("time_us").desc, col("event_id").desc)
+    ckLog.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .withColumn("is_expired",
+        col("cdc_ttl").isNotNull && col("time_us") + col("cdc_ttl") * 1000000L <= NowUs)
+      .select(col("user_id"), col("ck"), col("time_us").as("last_write_us"),
+        col("cdc_ttl").as("ttl_s"), col("is_expired"), col("value"))
+      .orderBy(col("user_id"), col("ck"))
+  }
+
+  lazy val replicateTtlSql: String = CdcLogAdapter.oracleCte +
+    s""", ck_log AS (SELECT *, CAST(event_id % 16 AS INT) AS ck FROM cdc),
+       |last_writes AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ck ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM ck_log WHERE cdc_operation IN (1, 2, 3))
+       |  WHERE rn = 1 AND cdc_operation <> 3)
+       |SELECT user_id, ck, time_us AS last_write_us, cdc_ttl AS ttl_s,
+       |  (cdc_ttl IS NOT NULL AND time_us + cdc_ttl * 1000000 <= $NowUs) AS is_expired,
+       |  value
+       |FROM last_writes
+       |ORDER BY user_id, ck""".stripMargin
+
   /** #14: batch grouping — rows delivered together until end_of_batch
     * (RawChange.isEndOfBatch / getBatchSequenceNumber,
     * ConsumerDispatch). Batch id is the event-id quad. */
