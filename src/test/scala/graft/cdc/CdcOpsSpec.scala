@@ -64,6 +64,18 @@ class CdcOpsSpec extends SparkSpec {
     assert(out == Set((8, 3.0), (6, 4.0)))
   }
 
+  test("TTL expiry: a write is dead exactly when write_time + ttl <= now") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val boundary = CdcOps.NowUs - 86400L * 1000000L // expires exactly at NowUs
+    val log = mkLog(Seq(
+      (1L, boundary, 1L, RowInsert, 1L, 1.0),       // expired (== now)
+      (1L, boundary + 1, 17L, RowInsert, 2L, 2.0))) // alive by 1 µs
+      .withColumn("cdc_ttl", when(col("event_id").isin(1L, 17L), lit(86400L)))
+    val out = CdcOps.replicateTtlFromLog(log).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("is_expired")).toMap
+    assert(out(1L) && !out(2L))
+  }
+
   test("postimage is authoritative like an upsert") {
     val log = mkLog(Seq(
       (2L, 10L, 3L, RowInsert, 2L, 1.0),
