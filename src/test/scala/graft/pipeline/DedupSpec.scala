@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Independent checks for the dedup family beyond the SQL oracle:
+  * the clustering fixpoint must equal a plain union-find over the
+  * same candidate pairs. */
+class DedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("clusters fixpoint equals union-find over the candidate pairs") {
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .select("doc_id_1", "doc_id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // reference implementation: union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+
+    val got = Dedup.clusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (doc, (cluster, canonical)) =>
+      assert(cluster == expected(doc), s"doc $doc")
+      assert(canonical == (doc == cluster))
+    }
+    // every cluster id is its own canonical member
+    assert(got.values.map(_._1).toSet.subsetOf(got.keySet))
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    val total = graft.Tables.documents(spark, dir).count()
+    val groups = Dedup.exact(spark, dir).collect()
+    assert(groups.map(_.getAs[Long]("n_copies")).sum == total)
+    assert(groups.map(_.getAs[Long]("canonical_doc_id")).distinct.length == groups.length)
+  }
+}
