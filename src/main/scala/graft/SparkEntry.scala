@@ -38,6 +38,7 @@ object SparkEntry {
     "q_event_pivot" -> Queries.qEventPivot,
     "q_json_extract" -> Queries.qJsonExtract,
     "q_rollup" -> Queries.qRollup,
+    "q_median" -> Queries.qMedian,
     "q_anti_join" -> Queries.qAntiJoin,
     "q_asof_join" -> Queries.qAsofJoin,
     "dedup_exact" -> Dedup.exact,
@@ -84,6 +85,7 @@ object SparkEntry {
     "q_event_pivot" -> Queries.qEventPivotSql,
     "q_json_extract" -> Queries.qJsonExtractSql,
     "q_rollup" -> Queries.qRollupSql,
+    "q_median" -> Queries.qMedianSql,
     "q_anti_join" -> Queries.qAntiJoinSql,
     "q_asof_join" -> Queries.qAsofJoinSql,
     "dedup_exact" -> Dedup.exactSql,

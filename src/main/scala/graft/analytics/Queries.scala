@@ -212,6 +212,43 @@ object Queries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Exact per-group median (and quartile row counts), computed
+    * POSITIONALLY — middle one/two sorted values averaged through
+    * DECIMAL — so both engines agree bit-for-bit with no dependence on
+    * their quantile interpolation flavors. One sort-shuffle per group
+    * key; at scale this is the standard exact-percentile layout
+    * (approx sketches are the alternative when exactness can yield). */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val ranked = c
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    ranked
+      // floor division to match the oracle's `//` (Column./ is double division)
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("c_mktsegment"))
+      .agg(avg(dec2(col("c_acctbal"))).cast("double").as("median_acctbal"),
+        max(col("n")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qMedianSql: String =
+    """WITH ranked AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM customer)
+      |SELECT c_mktsegment,
+      |  CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS median_acctbal,
+      |  CAST(MAX(n) AS BIGINT) AS n_customers
+      |FROM ranked
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** ROLLUP aggregation over nation → region revenue; grouping keys
     * coalesced to a sentinel so the subtotal rows compare stably.
     * One shuffle; rollup adds no extra exchange (partial aggs expand
