@@ -26,12 +26,19 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); the vectorized reader
+      // needs this to read it (as a long). Set once here — a table
+      // loader mutating session config would surprise other readers.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Session for the driver-run mains (Verify/Bench); cores from
-    * SPARK_GRAFT_CPUS, defaulting to 4. */
+    * SPARK_GRAFT_CPUS, defaulting to every core on the box — the
+    * harness is the stand-in for a cluster, so underscheduling it
+    * understates throughput ~linearly. */
   def local(): SparkSession = {
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cores = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     builder(cores).getOrCreate()
   }
 }

@@ -27,9 +27,11 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read nanos as long and convert to a µs timestamp
     * (the data has no sub-µs residue — verified against the source).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[Sessions.builder]] — not here, so loading a table never mutates
+    * session config under the caller.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -46,16 +46,20 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation with all
-    * dimension sides broadcast — the fact table never shuffles for the
-    * joins, only for the tiny final aggregation.
+  /** Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
+    * Only the genuine dimensions (customer, nation) carry broadcast
+    * hints; orders is FACT-sized (grows with lineitem), so that edge
+    * is a shuffle join on l_orderkey — a forced broadcast there
+    * builds the hash relation single-threaded through the driver and
+    * OOMs at scale. AQE still upgrades it to broadcast at runtime
+    * when the post-scan orders side is genuinely small.
     */
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))

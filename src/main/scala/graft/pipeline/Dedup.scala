@@ -111,9 +111,13 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .agg(count(lit(1)).as("n_common"))
+    // No broadcast hint on `sizes`: it is per-doc (corpus-sized), so a
+    // mandatory broadcast would OOM when the corpus outgrows executor
+    // memory. The candidate-pair side is small post-LSH/threshold, so
+    // AQE broadcasts whichever side is actually small at runtime.
     common
-      .join(broadcast(sizes.as("s1")), col("doc_id_1") === col("s1.doc_id"))
-      .join(broadcast(sizes.as("s2")), col("doc_id_2") === col("s2.doc_id"))
+      .join(sizes.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("doc_id_2") === col("s2.doc_id"))
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("s1.sz") + col("s2.sz") - col("n_common")).cast("double"), 6))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -252,9 +256,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .agg(count(lit(1)).as("n_shared_bands"))
+    // `sigs` is per-doc (corpus-sized): no broadcast hint — AQE picks
+    // broadcast only when the surviving side is actually small.
     pairs
-      .join(broadcast(sigs.as("s1")), col("doc_id_1") === col("s1.doc_id"))
-      .join(broadcast(sigs.as("s2")), col("doc_id_2") === col("s2.doc_id"))
+      .join(sigs.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(sigs.as("s2"), col("doc_id_2") === col("s2.doc_id"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("s1.sig"), col("s2.sig"), (x, y) => x === y), b => b))
           .cast("double") / NumHashes)
@@ -351,44 +357,24 @@ object Dedup {
     * LSH-bucketed variant in [[Similarity.annLshBucketed]] (same
     * scoring, sub-quadratic candidates).
     *
-    * Exact brute force is the broadcast-matrix design (the one Spark
-    * MLlib uses for small similarity fan-outs): one side of the pair
-    * space must be resident anyway, so ship the whole (tiny) vector
-    * matrix to every executor once and score each row-block against it
-    * in primitive loops — no 2·n² array decoding through a nested-loop
-    * join. The dot fold iterates dimensions ascending, exactly the
-    * oracle's list_reduce order, so values stay bit-identical. When
-    * the matrix outgrows executor memory, this operator no longer
-    * applies — that regime is what the LSH variant is for. */
+    * Exact brute force as a declarative broadcast join: the build side
+    * is a Spark broadcast relation (block-fetched by executors — the
+    * operand table never round-trips through a driver `collect()`),
+    * the pair condition `id1 < id2` rides the broadcast-nested-loop
+    * join, and scoring is the native codegen'd [[graft.functions.VecDot]]
+    * fold — ascending-index, exactly the oracle's list_reduce order,
+    * bit-identical values. When the matrix outgrows executor memory,
+    * this operator no longer applies — that regime is what the LSH
+    * variant is for. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n2", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
-      .select(col("vec_id"), col("v"), col("n2"))
-      .as[(Long, Array[Double], Double)]
-    val matrix = e.collect().sortBy(_._1) // the broadcast side (n×d doubles)
-    val bc = spark.sparkContext.broadcast(matrix)
-    val thresh = CosineThreshold
-    e.flatMap { case (id1, v1, n1) =>
-      val m = bc.value
-      // binary search the first row with vec_id > id1
-      var lo = 0; var hi = m.length
-      while (lo < hi) { val mid = (lo + hi) >>> 1; if (m(mid)._1 <= id1) lo = mid + 1 else hi = mid }
-      val out = Seq.newBuilder[(Long, Long, Double)]
-      var j = lo
-      while (j < m.length) {
-        val (id2, v2, n2) = m(j)
-        var dot = 0.0d; var i = 0
-        while (i < v1.length) { dot += v1(i) * v2(i); i += 1 }
-        val cos = java.math.BigDecimal.valueOf(dot / (math.sqrt(n1) * math.sqrt(n2)))
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (cos >= thresh) out += ((id1, id2, cos))
-        j += 1
-      }
-      out.result()
-    }
-      .toDF("vec_id_1", "vec_id_2", "cos_sim")
+      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
+        round(graft.functions.VecDot.dot(col("a.v"), col("b.v")) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineThreshold)
       .orderBy(col("vec_id_1"), col("vec_id_2"))
   }
 

@@ -31,10 +31,14 @@ object Similarity {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n2", aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
+      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
 
+  /** Native codegen'd fold (graft.functions.VecDot) — per-pair scoring
+    * is the hot path; an interpreted zip_with+aggregate here cost ~20 s
+    * at sf0.1 (SURVEY §4 lesson). Same left-fold order as the oracle's
+    * list_reduce, bit-identical values. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VecDot.dot(a, b)
 
   private def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     round(dotCol / (sqrt(n2a) * sqrt(n2b)), 6)

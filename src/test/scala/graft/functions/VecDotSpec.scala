@@ -1,0 +1,35 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VecDotSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("matches the interpreted zip_with+aggregate fold bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)(
+      (Array.fill(64)(rnd.nextDouble() - 0.5), Array.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+      .withColumn("native", VecDot.dot(col("a"), col("b")))
+      .withColumn("hof", aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x))
+    assert(df.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
+  test("null input yields null; self-dot is the squared norm") {
+    val df = Seq((Some(Array(3.0, 4.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(
+      VecDot.dot(col("a"), col("a")),
+      VecDot.dot(col("a"), col("b"))).head()
+    assert(r.getDouble(0) == 25.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("unequal lengths fold the common prefix (zip semantics)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
+    assert(df.select(VecDot.dot(col("a"), col("b"))).head().getDouble(0) == 50.0)
+  }
+}
