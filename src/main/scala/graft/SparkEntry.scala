@@ -23,6 +23,7 @@ object SparkEntry {
     "cdc_partition_delete" -> CdcOps.partitionDelete,
     "cdc_range_delete" -> CdcOps.rangeDelete,
     "cdc_preimage_check" -> CdcOps.preimageCheck,
+    "cdc_collection_apply" -> CdcOps.collectionApply,
     "cdc_postimage_apply" -> CdcOps.postimageApply,
     "cdc_checkpoint" -> CdcOps.checkpoint,
     "cdc_ttl_trim" -> CdcOps.ttlTrim,
@@ -70,6 +71,7 @@ object SparkEntry {
     "cdc_partition_delete" -> CdcOps.partitionDeleteSql,
     "cdc_range_delete" -> CdcOps.rangeDeleteSql,
     "cdc_preimage_check" -> CdcOps.preimageCheckSql,
+    "cdc_collection_apply" -> CdcOps.collectionApplySql,
     "cdc_postimage_apply" -> CdcOps.postimageApplySql,
     "cdc_checkpoint" -> CdcOps.checkpointSql,
     "cdc_ttl_trim" -> CdcOps.ttlTrimSql,

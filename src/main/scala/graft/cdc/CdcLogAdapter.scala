@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object CdcLogAdapter {
 
-  def fromEvents(events: DataFrame): DataFrame = {
+  def fromEvents(events: DataFrame): DataFrame = fromEvents(events, Nil)
+
+  /** [[fromEvents]] plus caller-supplied extra payload columns
+    * (computed over the raw `events` columns) — used by the
+    * collection-cell variant below. */
+  def fromEvents(events: DataFrame, extra: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val eid = col("event_id")
     val op = when(col("event_type") === "view", CdcSchema.RowInsert)
       .when(col("event_type") === "click", CdcSchema.RowUpdate)
@@ -47,7 +52,7 @@ object CdcLogAdapter {
           .when(eid % 5 === 2, CdcSchema.RangeDeleteExclLeft)
           .when(eid % 5 === 3, CdcSchema.RangeDeleteInclRight)
           .otherwise(CdcSchema.RangeDeleteExclRight))
-    events.select(
+    events.select(Seq(
       (col("user_id") % CdcSchema.NumStreams).as("cdc_stream_id"),
       col("ts").as("cdc_time"),
       unix_micros(col("ts")).as("time_us"),
@@ -60,6 +65,38 @@ object CdcLogAdapter {
       col("value"),
       col("props"),
       (eid % 7 === 0 && col("event_type") === "click").as("cdc_deleted_value"))
+      ++ extra.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** The CDC log extended with a non-frozen `map<int,double>` column
+    * `attrs`, modeling Scylla's collection-cell encoding
+    * (RawChange.java cdc$deleted_elements accessors;
+    * UnpreparedUpdateOperationHandler.java:55-95): per change exactly
+    * one of
+    *  - put: `attrs` carries the added/updated entries
+    *    (cdc$deleted_attrs false, cdc$deleted_elements_attrs null),
+    *  - element-delete: `cdc_deleted_elements_attrs` carries the
+    *    removed keys (attrs null),
+    *  - overwrite: `cdc_deleted_attrs` true — the collection is
+    *    REPLACED by the entries in `attrs` (Scylla emits a whole-cell
+    *    tombstone + the new entries for `SET m = {...}`).
+    *
+    * Synthetic mapping (DuckDB-expressible): kind = error→overwrite,
+    * purchase→element-delete, else put; each row carries
+    * n = event_id%3+1 entries with key_i = (event_id+2i)%7 and
+    * value_i = value+i (i in 0..n-1); deletes remove the same key set.
+    * The 7-key domain forces heavy cross-change key collisions, so
+    * every fold branch is exercised. */
+  def fromEventsWithCollections(events: DataFrame): DataFrame = {
+    val eid = col("event_id")
+    val n = (eid % 3 + 1).cast("int")
+    val idx = sequence(lit(0), n - lit(1))
+    val keys = transform(idx, i => ((eid + i * 2) % 7).cast("int"))
+    val vals = transform(idx, i => col("value") + i)
+    fromEvents(events, Seq(
+      "attrs" -> when(col("event_type") =!= "purchase", map_from_arrays(keys, vals)),
+      "cdc_deleted_elements_attrs" -> when(col("event_type") === "purchase", keys),
+      "cdc_deleted_attrs" -> (col("event_type") === "error")))
   }
 
   /** The same relation as [[fromEvents]], as a DuckDB CTE body over the

@@ -292,10 +292,13 @@ object CdcOps {
       |WHERE cdc_operation IN (7, 8) AND prev_op IN (5, 6)
       |ORDER BY cdc_stream_id, right_event_id""".stripMargin
 
-  /** #10: preimage consistency check (PreImageOperationHandler):
-    * compare each PRE_IMAGE row's payload against the state the
-    * destination would hold — here, the most recent prior write of the
-    * same key. */
+  /** #10: preimage consistency check (PreImageOperationHandler.java:
+    * 30-90 — checkIfAllMatch iterates EVERY non-key cell of the
+    * preimage and compares it against the destination row, null-safely;
+    * one mismatching cell makes the whole preimage inconsistent).
+    * The destination state here is the most recent prior write of the
+    * same key: full row = (value — respecting its cdc$deleted flag —
+    * and props), compared per-column. */
   def preimageCheck(spark: SparkSession, dir: String): DataFrame =
     preimageCheckFromLog(cdcLog(spark, dir))
 
@@ -305,32 +308,135 @@ object CdcOps {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("time_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val isWrite = col("cdc_operation").isin(RowUpdate, RowInsert)
     log
       .filter(col("cdc_operation").isin(PreImage, RowUpdate, RowInsert))
-      .withColumn("prev_value",
-        last(when(col("cdc_operation").isin(RowUpdate, RowInsert), col("value")), ignoreNulls = true).over(w))
-      .withColumn("prev_event_id",
-        last(when(col("cdc_operation").isin(RowUpdate, RowInsert), col("event_id")), ignoreNulls = true).over(w))
+      // whole prior row in ONE ignore-nulls window (the struct is
+      // non-null exactly on write rows) — single shuffle, no self-join
+      .withColumn("prev", last(
+          when(isWrite, struct(
+            col("event_id").as("event_id"),
+            when(col("cdc_deleted_value"), lit(null).cast("double"))
+              .otherwise(col("value")).as("value"),
+            col("props").as("props"))),
+          ignoreNulls = true).over(w))
       .filter(col("cdc_operation") === PreImage)
       .select(col("user_id"), col("event_id"), col("time_us"),
-        col("value").as("preimage_value"), col("prev_value"), col("prev_event_id"),
-        (col("prev_value").isNotNull && col("value") === col("prev_value")).as("consistent"))
+        col("value").as("preimage_value"), col("props").as("preimage_props"),
+        col("prev.value").as("prev_value"), col("prev.props").as("prev_props"),
+        col("prev.event_id").as("prev_event_id"),
+        (col("value") <=> col("prev.value")).as("value_match"),
+        (col("props") <=> col("prev.props")).as("props_match"),
+        (col("prev").isNotNull && (col("value") <=> col("prev.value"))
+          && (col("props") <=> col("prev.props"))).as("consistent"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
   val preimageCheckSql: String = CdcLogAdapter.oracleCte +
     """, writes AS (
       |  SELECT *,
-      |    LAST_VALUE(CASE WHEN cdc_operation IN (1, 2) THEN value END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_value,
-      |    LAST_VALUE(CASE WHEN cdc_operation IN (1, 2) THEN event_id END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_event_id
+      |    LAST_VALUE(CASE WHEN cdc_operation IN (1, 2) THEN
+      |        {'event_id': event_id,
+      |         'value': CASE WHEN cdc_deleted_value THEN NULL ELSE value END,
+      |         'props': props} END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
       |  FROM cdc WHERE cdc_operation IN (0, 1, 2))
-      |SELECT user_id, event_id, time_us, value AS preimage_value,
-      |  prev_value, prev_event_id,
-      |  (prev_value IS NOT NULL AND value = prev_value) AS consistent
+      |SELECT user_id, event_id, time_us, value AS preimage_value, props AS preimage_props,
+      |  prev.value AS prev_value, prev.props AS prev_props, prev.event_id AS prev_event_id,
+      |  (value IS NOT DISTINCT FROM prev.value) AS value_match,
+      |  (props IS NOT DISTINCT FROM prev.props) AS props_match,
+      |  (prev IS NOT NULL AND value IS NOT DISTINCT FROM prev.value
+      |    AND props IS NOT DISTINCT FROM prev.props) AS consistent
       |FROM writes WHERE cdc_operation = 0
       |ORDER BY user_id, event_id""".stripMargin
+
+  /** #10b (`cdc_collection_apply`): non-frozen collection cell
+    * semantics — the reference's UnpreparedUpdateOperationHandler.java:
+    * 55-95 interprets each change against a collection column as
+    * putAll (addAll for sets), removeAll of `cdc$deleted_elements_X`,
+    * or whole-cell overwrite when `cdc$deleted_X` is set; this
+    * operator folds that stream per primary key into the final
+    * collection state, exactly as a Scylla replica would.
+    *
+    * Relational layout (one pass, no per-key iteration): changes are
+    * sequenced per key; the LAST overwrite opens the live "epoch"
+    * (cumulative max of overwrite sequence numbers ≡ Scylla's
+    * whole-cell tombstone timestamp); only actions in the live epoch
+    * can survive; put/delete actions explode to (key, element-key)
+    * grain and the newest action per element decides presence and
+    * value. Shuffles: one on the primary key (windows), one on
+    * (key, element) for the final argmax — both standard hash
+    * exchanges that scale linearly.
+    *
+    * List columns are this same fold with timeuuid element keys
+    * (ListSetIdxTimeUUIDAssignment): a final sort of the surviving
+    * entries by key materializes the list; UDT columns are the map
+    * fold with the field index as the key
+    * (UdtSetFieldAssignment; deleted fields arrive as
+    * cdc$deleted_elements field-index sets). */
+  def collectionApply(spark: SparkSession, dir: String): DataFrame =
+    collectionApplyFromLog(
+      CdcLogAdapter.fromEventsWithCollections(Tables.events(spark, dir)))
+
+  /** Same operator over ANY log relation carrying the collection
+    * triple (`attrs`, `cdc_deleted_elements_attrs`,
+    * `cdc_deleted_attrs`). */
+  def collectionApplyFromLog(log: DataFrame): DataFrame = {
+    val seqW = Window.partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+    val cum = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = log
+      .select(col("user_id"), col("time_us"), col("event_id"),
+        col("attrs"), col("cdc_deleted_elements_attrs"), col("cdc_deleted_attrs"))
+      .withColumn("rn", row_number().over(seqW).cast("long"))
+      .withColumn("epoch", max(when(col("cdc_deleted_attrs"), col("rn"))).over(cum))
+      .withColumn("last_epoch", max(col("epoch")).over(Window.partitionBy(col("user_id"))))
+      // null-safe: keys never overwritten live in the null epoch
+      .filter(col("epoch") <=> col("last_epoch"))
+    val puts = staged.filter(col("cdc_deleted_elements_attrs").isNull)
+      .select(col("user_id"), col("rn"), explode(map_entries(col("attrs"))).as("kv"))
+      .select(col("user_id"), col("rn"), col("kv.key").as("key"),
+        col("kv.value").as("val"), lit(1).as("act"))
+    val dels = staged.filter(col("cdc_deleted_elements_attrs").isNotNull)
+      .select(col("user_id"), col("rn"),
+        explode(col("cdc_deleted_elements_attrs")).as("key"),
+        lit(null).cast("double").as("val"), lit(0).as("act"))
+    val wElem = Window.partitionBy(col("user_id"), col("key")).orderBy(col("rn").desc)
+    puts.unionByName(dels)
+      .withColumn("r", row_number().over(wElem))
+      .filter(col("r") === 1 && col("act") === 1)
+      .select(col("user_id"), col("key"), col("val").as("attr_value"))
+      .orderBy(col("user_id"), col("key"))
+  }
+
+  /** Oracle: same fold in SQL, deriving the synthetic collection ops
+    * from `events` directly (kind 0=put, 1=element-delete,
+    * 2=overwrite). */
+  val collectionApplySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS time_us, event_id, value,
+      |    CASE WHEN event_type = 'error' THEN 2 WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+      |    event_id % 3 + 1 AS n
+      |  FROM events),
+      |seqd AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us, event_id) AS BIGINT) AS rn
+      |  FROM ev),
+      |epochs AS (
+      |  SELECT *, MAX(CASE WHEN kind = 2 THEN rn END)
+      |    OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+      |  FROM seqd),
+      |cur AS (
+      |  SELECT * FROM (SELECT *, MAX(epoch) OVER (PARTITION BY user_id) AS last_epoch FROM epochs)
+      |  WHERE epoch IS NOT DISTINCT FROM last_epoch),
+      |acts AS (
+      |  SELECT user_id, rn, CAST((event_id + 2 * i.i) % 7 AS INT) AS key,
+      |    CASE WHEN kind <> 1 THEN value + i.i END AS val,
+      |    CASE WHEN kind <> 1 THEN 1 ELSE 0 END AS act
+      |  FROM cur, LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS INT))) AS i) i),
+      |final AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, key ORDER BY rn DESC) AS r FROM acts)
+      |SELECT user_id, key, val AS attr_value
+      |FROM final WHERE r = 1 AND act = 1
+      |ORDER BY user_id, key""".stripMargin
 
   /** #11: postimage apply (PostImageState / PostImageOperationHandler):
     * the latest POST_IMAGE per key is the authoritative full row. */
