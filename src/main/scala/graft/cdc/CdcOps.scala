@@ -124,11 +124,36 @@ object CdcOps {
       .when(col("time_us") < Gen2StartUs, 1)
       .otherwise(2).cast("int")
 
+  /** The constant-boundary generation metadata as a RELATION —
+    * `(generation_id, gen_start_us, gen_end_us)`, end null = open
+    * (the reference's GenerationMetadata: [start, end?) + streams).
+    * A real deployment binds this to its own
+    * `system_distributed.cdc_generation_timestamps` dump instead. */
+  def generationsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0, Long.MinValue, Option(Gen1StartUs)),
+      (1, Gen1StartUs, Option(Gen2StartUs)),
+      (2, Gen2StartUs, Option.empty[Long]))
+      .toDF("generation_id", "gen_start_us", "gen_end_us")
+  }
+
   /** #5: change → generation assignment by [start, end) containment
-    * (GenerationMetadata.java, Master generation switch). */
+    * (GenerationMetadata.java, Master generation switch;
+    * Driver3MasterCQL fetchGenerationEnd/fetchGenerationStreamIds
+    * reads the boundaries from system tables — here they arrive as a
+    * bring-your-own relation). Generations are cluster metadata
+    * (tens of rows): broadcast containment join, no shuffle on the
+    * log side until the final aggregation. */
   def generationAssign(spark: SparkSession, dir: String): DataFrame =
-    cdcLog(spark, dir)
-      .withColumn("generation_id", generationCol)
+    generationAssignFromTable(cdcLog(spark, dir), generationsTable(spark))
+
+  /** Same operator over ANY log + ANY generations relation
+    * (irregular boundaries welcome — see CdcGenerationsSpec). */
+  def generationAssignFromTable(log: DataFrame, generations: DataFrame): DataFrame =
+    log.join(broadcast(generations),
+        col("time_us") >= col("gen_start_us") &&
+          (col("gen_end_us").isNull || col("time_us") < col("gen_end_us")))
       .groupBy(col("generation_id"))
       .agg(countDistinct(col("cdc_stream_id")).as("n_streams"),
         count(lit(1)).as("n_changes"),

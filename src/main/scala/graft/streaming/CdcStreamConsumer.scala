@@ -3,8 +3,13 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Structured-Streaming CDC consumer: per-stream ordered, exactly-once
-  * delivery with checkpointable progress.
+/** Structured-Streaming CDC consumer: per-stream ordered delivery with
+  * checkpointable progress — exactly-once WITHIN the streaming Dataset
+  * (state-store dedupe + checkpoint replay produce each change once in
+  * `delivered`); the driver-callback path in [[GraftCdcConsumer]]
+  * replays a failed micro-batch from its first change, i.e.
+  * at-least-once to the callback, exactly like the reference worker
+  * re-reading its window after an error.
   *
   * Reference semantics (scylla-cdc-base .../model/worker/Worker.java,
   * TaskAction.java, scylla-cdc-lib/CDCConsumer.java): a worker loops
@@ -66,6 +71,28 @@ object CdcStreamConsumer {
     changes.groupByKey(_.streamId)
       .flatMapGroupsWithState[StreamProgress, Delivered](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(deliverGroup)
+  }
+
+  /** [[consume]] seeded from EXTERNALLY-stored progress (a
+    * [[CdcStateStore]] snapshot): a brand-new query — fresh Spark
+    * checkpoint directory — resumes after the stored per-stream
+    * lastConsumedChangeId instead of redelivering from the beginning.
+    * This is the reference's restart-from-CDCStateStore path
+    * (CDCConsumer reads TaskStates back through the transport on
+    * startup); the distributed analogue feeds the store's map in as
+    * flatMapGroupsWithState initial state, so seeding is a one-time
+    * broadcast-sized exchange, not a per-change lookup. */
+  def consumeFrom(spark: SparkSession, changes: Dataset[Change],
+      store: CdcStateStore): Dataset[Delivered] = {
+    import spark.implicits._
+    val initial = store.all().toSeq
+      .map { case (sid, p) => (sid, p) }
+      .toDS()
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    changes.groupByKey(_.streamId)
+      .flatMapGroupsWithState[StreamProgress, Delivered](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial)(deliverGroup)
   }
 
   /** Per-stream state for confidence-window delivery: the checkpoint
