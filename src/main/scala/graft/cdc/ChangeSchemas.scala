@@ -29,7 +29,19 @@ object ChangeSchemas {
       sparkType: DataType,
       kind: ColumnKind,
       /** name of the cdc_deleted_X companion column, when present */
-      deletedColumn: Option[String])
+      deletedColumn: Option[String]) {
+
+    /** The CQL view of this column's type (ChangeSchema.DataType) —
+      * drives the replicator's atomic vs collection-cell split:
+      * non-atomic columns follow [[CdcOps.collectionApplyFromLog]],
+      * atomic ones the scalar LWW path. */
+    def cqlDataType: CqlTypes.CqlDataType = CqlTypes.fromSparkType(sparkType)
+
+    /** Whether updates can be partial (non-frozen collection/UDT) —
+      * the reference's `!isAtomic` gate in
+      * UnpreparedUpdateOperationHandler.java:55. */
+    def isAtomic: Boolean = cqlDataType.isAtomic
+  }
 
   final case class ChangeSchema(columns: Seq[ColumnDefinition]) {
     private val byName = columns.map(c => c.columnName -> c).toMap

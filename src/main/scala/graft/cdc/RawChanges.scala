@@ -49,6 +49,15 @@ final class RawChange private[cdc] (row: Row) {
   /** Value of a base-table column as a plain object (getAsObject). */
   def getAsObject(column: String): Any = row.get(idx(column))
 
+  /** Typed cell access (RawChange.getCell → worker/cql/Field.java):
+    * the value paired with its CQL data type, with the reference's
+    * cast-style accessor surface. Requires a schema-carrying Row
+    * (every DataFrame row qualifies). */
+  def getField(column: String): CqlTypes.Field = {
+    val i = idx(column)
+    CqlTypes.Field(row.get(i), CqlTypes.fromSparkType(row.schema(i).dataType))
+  }
+
   def isNull(column: String): Boolean = row.isNullAt(idx(column))
 
   /** The per-column `cdc$deleted_X` flag (RawChange.java:151-182):
