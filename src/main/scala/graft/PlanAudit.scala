@@ -9,11 +9,7 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.builder(4)
       // static audit: AQE's AdaptiveSparkPlan wrapper hides codegen
       // annotations until execution
       .config("spark.sql.adaptive.enabled", "false")
