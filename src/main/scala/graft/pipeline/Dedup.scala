@@ -184,10 +184,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  lazy val clustersSql: String = {
+  /** The shared connected-components CTE chain (shingles → inverted
+    * index → thresholded edges → recursive reachability) — used by
+    * both the clusters oracle and the keep-list oracle. */
+  private lazy val clusterCtes: String = {
     val concat = (0 until ShingleWords).map(o => s"tokens[i+$o]").mkString(" || ' ' || ")
-    s"""WITH RECURSIVE
-       |toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tokens
        |  FROM documents),
        |sh AS (
@@ -209,10 +211,56 @@ object Dedup {
        |reach AS (
        |  SELECT doc, doc AS r FROM verts
        |  UNION
-       |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
+       |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc)""".stripMargin
+  }
+
+  lazy val clustersSql: String =
+    s"""WITH RECURSIVE
+       |$clusterCtes
        |SELECT doc AS doc_id, MIN(r) AS cluster_id, (doc = MIN(r)) AS is_canonical
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
+  /** The dedup pipeline's END PRODUCT — a per-document keep/drop
+    * decision composing exact dedup (md5 canonical election) with
+    * near-dup clustering ([[clusters]]): a doc is dropped as
+    * `exact_dup` when a lower doc_id carries identical bytes, else as
+    * `near_dup` when it sits in a near-dup cluster it isn't canonical
+    * of, else kept. Exactly the C4/RefinedWeb-style retention pass a
+    * 100 TB corpus goes through; every stage is the same
+    * one-shuffle-per-key layout as its standalone operator. */
+  def keeplist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = docs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("exact_canon", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+    val clus = clusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    exact.join(clus, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("exact_canon"), "exact_dup")
+          .when(col("cluster_id").isNotNull && !col("is_canonical"), "near_dup")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("reason"), (col("reason") === "kept").as("keep"))
+      .orderBy(col("doc_id"))
   }
+
+  lazy val keeplistSql: String =
+    s"""WITH RECURSIVE
+       |$clusterCtes,
+       |clus AS (
+       |  SELECT doc AS doc_id, MIN(r) AS cluster_id, (doc = MIN(r)) AS is_canonical
+       |  FROM reach GROUP BY doc),
+       |ex AS (
+       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_canon
+       |  FROM documents),
+       |reasons AS (
+       |  SELECT e.doc_id,
+       |    CASE WHEN e.doc_id <> e.exact_canon THEN 'exact_dup'
+       |         WHEN c.doc_id IS NOT NULL AND NOT c.is_canonical THEN 'near_dup'
+       |         ELSE 'kept' END AS reason
+       |  FROM ex e LEFT JOIN clus c ON e.doc_id = c.doc_id)
+       |SELECT doc_id, reason, (reason = 'kept') AS keep
+       |FROM reasons ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ #26 MinHash + LSH
 
