@@ -722,6 +722,48 @@ object CdcOps {
        |FROM last_writes
        |ORDER BY user_id, ck""".stripMargin
 
+  /** Task grouping from stream-set metadata
+    * (GroupedTasks.java / TableCDCController.createTasks: a task is
+    * (generation, vnode, table) owning the generation's streams whose
+    * id encodes that vnode; the stream sets come from
+    * system_distributed.cdc_streams_descriptions_v2 —
+    * Driver3MasterCQL.fetchGenerationStreamIds — here a
+    * bring-your-own relation `(generation_id, table_name,
+    * stream_id: binary)` with REAL 16-byte wire-format ids).
+    * One shuffle on the task key; the vnode decode is a codegen'd
+    * binary expression ([[StreamIds.vnodeId]]). */
+  def groupedTasksFromStreams(streams: DataFrame): DataFrame =
+    streams
+      .withColumn("vnode_id", StreamIds.vnodeId(col("stream_id")))
+      .groupBy(col("generation_id"), col("table_name"), col("vnode_id"))
+      .agg(count(lit(1)).as("n_streams"),
+        sort_array(collect_list(hex(col("stream_id")))).as("stream_ids_hex"))
+      .orderBy(col("generation_id"), col("table_name"), col("vnode_id"))
+
+  /** Schema-evolution-tolerant union of CDC log snapshots taken across
+    * ALTER TABLE boundaries (the reference's consumer keeps running
+    * through add/drop/re-add — scylla-cdc-lib AlterAddColIT,
+    * AlterDropColIT, AlterReAddColIT):
+    *  - a column ADDED later reads null in older rows,
+    *  - a column DROPPED later keeps its values in older rows (the log
+    *    retains history),
+    *  - a column RE-ADDED with a different (cast-compatible) type takes
+    *    the NEWEST type, older values cast (widening is safe; an
+    *    incompatible re-add must be renamed by the caller first —
+    *    ANSI mode will refuse the cast rather than corrupt).
+    * Pure projections + unionByName — no shuffle. */
+  def unionEvolved(logs: Seq[DataFrame]): DataFrame = {
+    require(logs.nonEmpty, "at least one log snapshot required")
+    val types = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.DataType]()
+    logs.foreach(_.schema.fields.foreach(f => types(f.name) = f.dataType)) // newest wins
+    logs.map { df =>
+      df.select(types.toSeq.map { case (n, t) =>
+        if (df.columns.contains(n)) col(n).cast(t).as(n)
+        else lit(null).cast(t).as(n)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** #14: batch grouping — rows delivered together until end_of_batch
     * (RawChange.isEndOfBatch / getBatchSequenceNumber,
     * ConsumerDispatch). Batch id is the event-id quad. */

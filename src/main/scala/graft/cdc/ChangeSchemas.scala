@@ -84,4 +84,25 @@ object ChangeSchemas {
     * synthetic base table's key (user_id; event_id). */
   def ofAdaptedLog(schema: StructType): ChangeSchema =
     fromStruct(schema, partitionKeys = Seq("user_id"), clusteringKeys = Seq("event_id"))
+
+  /** Diff of two change schemas across an ALTER TABLE boundary — the
+    * classification the consumer needs to keep running through
+    * add/drop/re-add (scylla-cdc-lib AlterTableIT family; re-add with
+    * a different type surfaces as `retyped`). */
+  final case class SchemaDiff(
+      added: Seq[ColumnDefinition],
+      removed: Seq[ColumnDefinition],
+      retyped: Seq[(ColumnDefinition, ColumnDefinition)]) {
+    def isCompatible: Boolean = retyped.isEmpty
+  }
+
+  def diff(before: ChangeSchema, after: ChangeSchema): SchemaDiff = {
+    val beforeByName = before.columns.map(c => c.columnName -> c).toMap
+    val afterByName = after.columns.map(c => c.columnName -> c).toMap
+    SchemaDiff(
+      added = after.columns.filterNot(c => beforeByName.contains(c.columnName)),
+      removed = before.columns.filterNot(c => afterByName.contains(c.columnName)),
+      retyped = before.columns.flatMap(b =>
+        afterByName.get(b.columnName).filter(_.sparkType != b.sparkType).map(b -> _)))
+  }
 }
