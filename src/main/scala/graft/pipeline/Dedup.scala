@@ -172,9 +172,17 @@ object Dedup {
         .join(labels.select(col("doc").as("nb"), col("label").as("nb_label")),
           col("b") === col("nb"))
         .groupBy(col("a")).agg(min(col("nb_label")).as("nbr_min"))
-      val updated = labels.join(nbrMin, labels("doc") === nbrMin("a"), "left")
+      val once = labels.join(nbrMin, labels("doc") === nbrMin("a"), "left")
         .select(col("doc"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("lbl1"))
+      // pointer jump (label ← label's label): chains collapse in
+      // O(log diameter) rounds instead of O(diameter) — same fixpoint
+      // (labels stay component members, monotonically decreasing)
+      val updated = once.as("x")
+        .join(labels.select(col("doc").as("jd"), col("label").as("jl")).as("y"),
+          col("x.lbl1") === col("y.jd"), "left")
+        .select(col("x.doc").as("doc"), col("x.label").as("label"),
+          least(col("x.lbl1"), coalesce(col("y.jl"), col("x.lbl1"))).as("new_label"))
         .localCheckpoint()
       converged = updated.filter(col("new_label") < col("label")).isEmpty
       labels = updated.select(col("doc"), col("new_label").as("label"))
