@@ -26,4 +26,20 @@ object CdcKafkaSink {
       to_json(struct(col("streamId"), col("timeUs"), col("eventId"),
         col("operation"), col("value"), col("seqNo"))).as("value"),
       lit(topic).as("topic"))
+
+  /** Inverse projection: parse a Kafka (key, value) frame back into
+    * delivered changes — the consumer side of the connector topic
+    * (a downstream pipeline reading the CDC topic gets typed rows
+    * back; `readStream.format("kafka")` + this projection). Rows whose
+    * value fails to parse are dropped (null-safe), matching the
+    * connector's tolerance of foreign messages on the topic. */
+  def fromKafkaFrame(frame: DataFrame): Dataset[Delivered] = {
+    import frame.sparkSession.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[Delivered].schema
+    frame
+      .select(from_json(col("value").cast("string"), schema).as("c"))
+      .filter(col("c").isNotNull && col("c.streamId").isNotNull)
+      .select(col("c.*"))
+      .as[Delivered]
+  }
 }

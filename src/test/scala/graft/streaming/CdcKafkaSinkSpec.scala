@@ -20,4 +20,16 @@ class CdcKafkaSinkSpec extends SparkSpec {
         "\"operation\":2", "\"seqNo\":1"))
       assert(v.contains(frag), v)
   }
+
+  test("fromKafkaFrame round-trips the sink frame and drops foreign messages") {
+    import spark.implicits._
+    val original = Seq(
+      Delivered(7, 100, 1, 2, 1.5, 1),
+      Delivered(8, 200, 2, 3, 2.5, 1))
+    val frame = CdcKafkaSink.toKafkaFrame(original.toDS(), "cdc-log")
+      // a foreign/garbage message on the same topic must be tolerated
+      .unionByName(Seq(("x", "not json", "cdc-log")).toDF("key", "value", "topic"))
+    val back = CdcKafkaSink.fromKafkaFrame(frame).collect().toSet
+    assert(back == original.toSet)
+  }
 }
