@@ -18,7 +18,9 @@ object ChangePrinter {
     schema.baseTableColumns.foreach { c =>
       val v = if (change.isNull(c.columnName)) "null" else change.getAsObject(c.columnName).toString
       val del = c.deletedColumn.exists(_ => change.isDeleted(c.columnName))
-      sb.append(f"| ${c.columnName}%-12s [${c.kind}%s]: $v%s${if (del) "  (DELETED)" else ""}%s\n")
+      // cell line carries the CQL type like the reference printer
+      // (Main.java prints the driver type next to each cell)
+      sb.append(f"| ${c.columnName}%-12s [${c.kind}%s ${c.cqlDataType}%s]: $v%s${if (del) "  (DELETED)" else ""}%s\n")
     }
     sb.append("`--").toString
   }
