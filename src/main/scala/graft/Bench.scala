@@ -5,9 +5,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/scheduler so the first measured query
-    // doesn't absorb session startup
+    // warm the JVM/codegen/scheduler AND the parquet-read + noop-write
+    // paths so the first measured query doesn't absorb session startup
+    // (map iteration order is arbitrary — whatever runs first would
+    // otherwise carry ~2 s of one-time init)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —

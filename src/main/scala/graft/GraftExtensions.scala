@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
   }
 }
 
@@ -36,5 +37,14 @@ object GraftExtensions {
       case Seq(text, k) => ShingleHash(text, intLit(k, "shingle size"))
       case _ => throw new IllegalArgumentException(
         "shingle_hash(text, k) takes exactly 2 arguments")
+    })
+
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => graft.functions.VecDot(a, b)
+      case _ => throw new IllegalArgumentException(
+        "vec_dot(a, b) takes exactly 2 arguments")
     })
 }

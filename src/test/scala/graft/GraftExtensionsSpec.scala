@@ -36,5 +36,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("arity and literal validation") {
     intercept[Exception](spark.sql("SELECT shingle_hash('abc')").collect())
+    intercept[Exception](spark.sql("SELECT vec_dot(array(1.0d))").collect())
+  }
+
+  test("vec_dot is callable from SQL and matches the interpreted fold") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 20.0d, 30.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 140.0)
   }
 }
