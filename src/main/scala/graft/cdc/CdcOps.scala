@@ -569,6 +569,32 @@ object CdcOps {
        |GROUP BY generation_id
        |ORDER BY generation_id""".stripMargin
 
+  /** Generation lifecycle decision from a bring-your-own generations
+    * relation, including the tablet-era TTL rule
+    * (TableCDCController.generationDone / generationTTLExpired: a
+    * CLOSED generation is done when the table TTL has expired past its
+    * end — its changes are no longer visible — OR every task's
+    * checkpoint passed the end). Output per generation: closed flag,
+    * ttl_expired, consumed (watermark ≥ end), done. */
+  def generationDoneFromTable(log: DataFrame, generations: DataFrame,
+      nowUs: Long, tableTtlSeconds: Option[Long]): DataFrame = {
+    val watermark = log.agg(max(col("time_us")).as("watermark_us"))
+    val ttlExpired = tableTtlSeconds match {
+      case Some(ttl) => col("gen_end_us").isNotNull &&
+        lit(nowUs) - ttl * 1000000L > col("gen_end_us")
+      case None => lit(false) // no TTL → changes never expire
+    }
+    generations.crossJoin(broadcast(watermark))
+      .withColumn("closed", col("gen_end_us").isNotNull)
+      .withColumn("ttl_expired", ttlExpired)
+      .withColumn("consumed",
+        col("gen_end_us").isNotNull && col("watermark_us") >= col("gen_end_us"))
+      .withColumn("done", col("closed") && (col("ttl_expired") || col("consumed")))
+      .select(col("generation_id"), col("closed"), col("ttl_expired"),
+        col("consumed"), col("done"))
+      .orderBy(col("generation_id"))
+  }
+
   /** "now" for TTL arithmetic: end of the synthetic window
     * (2024-01-31T00:00:00Z) — fixed, not wall-clock, so results are
     * reproducible. */

@@ -36,6 +36,31 @@ class CdcGenerationsSpec extends SparkSpec {
     assert(out.select($"n_changes").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("generation-done: TTL expiry finishes a closed generation even if unconsumed") {
+    val log = Seq((0L, 150L)).toDF("cdc_stream_id", "time_us") // watermark 150
+    val gens = Seq(
+      (0, Long.MinValue, Option(100L)), // closed, end 100
+      (1, 100L, Option(400L)),          // closed, end 400 (not consumed)
+      (2, 400L, Option.empty[Long]))    // open
+      .toDF("generation_id", "gen_start_us", "gen_end_us")
+    // ttl=1s → expiry cutoff at now−1e6 µs < 0: nothing TTL-expires,
+    // done is decided purely by consumption
+    val Seq(g0, g1, g2) = CdcOps.generationDoneFromTable(log, gens,
+        nowUs = 310L, tableTtlSeconds = Some(1L))
+      .as[(Int, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(g0 == ((0, true, false, true, true)))   // consumed (150 ≥ 100)
+    assert(g1 == ((1, true, false, false, false))) // open work remains
+    assert(g2 == ((2, false, false, false, false))) // never done while open
+
+    // with a zero TTL a closed generation whose end has PASSED now is
+    // expired; one ending in the future (gen1, end 400 > now 310) is not
+    val expired = CdcOps.generationDoneFromTable(log, gens,
+        nowUs = 310L, tableTtlSeconds = Some(0L))
+      .as[(Int, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(expired.map(t => (t._1, t._3, t._5)) ==
+      Seq((0, true, true), (1, false, false), (2, false, false)))
+  }
+
   test("the constant-boundary table reproduces the hardcoded assignment") {
     val gens = CdcOps.generationsTable(spark)
       .as[(Int, Long, Option[Long])].collect().toSeq.sortBy(_._1)
