@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, and run
   * feature extraction as a partition-batched transform.
   *
-  * The decode step is a STUB — this container has no image/audio
-  * codecs — but everything Spark-side is real: the schema (binary +
-  * metadata struct), the partitioning (repartition on a content key so
-  * one executor batches related payloads), and the batch shape (a
+  * The decode step is REAL for netpbm formats — [[MediaCodecs]]
+  * parses binary PPM/PGM payloads (header + raster) and computes true
+  * dimensions and mean luma. Formats needing native codecs this
+  * container lacks (jpeg et al.) take the undecodable branch with
+  * payload-level features only; swapping in a JNI codec there changes
+  * no plan shape. Spark-side everything is real: the schema (binary +
+  * metadata), the partitioning (repartition on a content key so one
+  * executor batches related payloads), and the batch shape (a
   * `mapPartitions` over typed rows, the Scala analogue of
   * `mapInPandas`: one iterator in, one iterator out, no per-row
-  * driver involvement). Swapping the stub for a real JNI/codec call
-  * changes no plan shape.
+  * driver involvement).
   */
 object Multimodal {
 
@@ -22,9 +25,11 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte],
       width: Int, height: Int, format: String)
 
-  /** Extracted features (what a real decoder would emit). */
+  /** Extracted features: payload stats always; decoded=true adds
+    * header-derived dimensions and true mean luma. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
-      width: Int, height: Int, format: String, mean_luma: Double)
+      width: Int, height: Int, format: String, mean_luma: Double,
+      decoded: Boolean)
 
   /** Attach a synthetic binary payload + metadata to `documents`:
     * the utf-8 bytes of `text` stand in for encoded media; metadata is
@@ -38,31 +43,66 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "png").when(col("doc_id") % 3 === 1, "jpeg")
         .otherwise("webp").as("format"))
 
-  /** STUBBED decode: a real implementation would decode `payload` with
-    * an image codec; here we emit deterministic pseudo-features
-    * (length, additive checksum, fake luma) so the plumbing is
-    * testable. Batch shape: whole-partition iterator — amortizes any
-    * per-batch model/codec init exactly like mapInPandas batches. */
+  /** Attach REAL encoded images: deterministic gradient rasters as
+    * binary PPM (doc_id%3==0), PGM (==1), or — the codec-less branch —
+    * the raw text bytes labeled "jpeg" (==2). Small dims (≤ 36×28) so
+    * a corpus row stays KB-sized; a lakehouse stores the same schema
+    * with MB payloads. */
+  def attachMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val w = ((id % 8) * 4 + 8).toInt
+      val h = ((id % 6) * 4 + 8).toInt
+      val payload = (id % 3) match {
+        case 0 => MediaCodecs.encodePpm(w, h, (x, y) =>
+          (((x + id) % 256).toInt, ((y + id) % 256).toInt, (x + y) % 256))
+        case 1 => MediaCodecs.encodePgm(w, h, (x, y) => ((x * y + id) % 256).toInt)
+        case _ => text.getBytes("UTF-8")
+      }
+      val format = (id % 3) match {
+        case 0 => "ppm"; case 1 => "pgm"; case _ => "jpeg"
+      }
+      MediaRow(id, payload, w, h, format)
+    }.toDF()
+  }
+
+  /** Batch decode: whole-partition iterator (codec/model init once per
+    * partition, exactly like mapInPandas batches). Netpbm payloads get
+    * REAL parsing — header dims + true mean luma; others fall back to
+    * payload-level features (decoded=false). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real codec init would happen once per partition here
+      // real per-partition init slot (models, JNI codecs) lives here
       rows.map { r =>
         val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 2147483647L)
-        val luma = if (r.payload.isEmpty) 0.0
-          else r.payload.map(b => (b & 0xff).toDouble).sum / r.payload.length / 255.0
-        MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
-          r.width, r.height, r.format, luma)
+        MediaCodecs.decode(r.payload) match {
+          case Some(d) =>
+            MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
+              d.width, d.height, d.format, d.meanLuma, decoded = true)
+          case None =>
+            val luma = if (r.payload.isEmpty) 0.0
+              else r.payload.map(b => (b & 0xff).toDouble).sum / r.payload.length / 255.0
+            MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
+              r.width, r.height, r.format, luma, decoded = false)
+        }
       }
     }
   }
 
-  /** End-to-end: attach → repartition by content key → batch-decode.
-    * The repartition is the real-world step that co-locates payloads
-    * sharing a decode context (same format/shard) before the expensive
-    * stage. */
+  /** End-to-end over the stand-in payloads (kept for the stub-path
+    * compatibility surface). */
   def pipeline(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     val media = attachBinary(graft.Tables.documents(spark, dir))
+      .repartition(col("format"))
+    decodeFeatures(spark, media)
+  }
+
+  /** End-to-end with REAL encoded images: attach → repartition by
+    * content key (co-locates payloads sharing a decode context) →
+    * batch-decode. */
+  def pipelineReal(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    val media = attachMedia(spark, graft.Tables.documents(spark, dir))
       .repartition(col("format"))
     decodeFeatures(spark, media)
   }

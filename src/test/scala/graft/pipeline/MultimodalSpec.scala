@@ -20,6 +20,41 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Int]("width") == (3 % 64) * 16 + 64)
   }
 
+  test("real codecs: PPM/PGM round-trip through encode -> batch decode") {
+    // direct codec round-trip: decoded dims and luma match the raster
+    val ppm = MediaCodecs.encodePpm(4, 2, (x, y) => (10 * x, 20 * y, 30))
+    val d = MediaCodecs.decode(ppm).get
+    assert((d.format, d.width, d.height) == (("ppm", 4, 2)))
+    val expected = (for { y <- 0 until 2; x <- 0 until 4 }
+      yield 0.299 * (10 * x) + 0.587 * (20 * y) + 0.114 * 30).sum / 8 / 255.0
+    assert(math.abs(d.meanLuma - expected) < 1e-12)
+    val pgm = MediaCodecs.decode(MediaCodecs.encodePgm(3, 3, (x, y) => x + y)).get
+    assert((pgm.format, pgm.width, pgm.height) == (("pgm", 3, 3)))
+    // header comments are part of the netpbm spec
+    val withComment = ("P5\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 100))
+    assert(MediaCodecs.decode(withComment).get.width == 2)
+    // foreign bytes refuse to decode
+    assert(MediaCodecs.decode("not an image".getBytes).isEmpty)
+
+    // end-to-end: netpbm payloads really decode, the codec-less branch
+    // falls back with payload features
+    val feats = Multimodal.pipelineReal(spark, dir).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      if (f.doc_id % 3 == 2) {
+        assert(!f.decoded && f.format == "jpeg")
+      } else {
+        assert(f.decoded, s"doc ${f.doc_id}")
+        assert(f.format == (if (f.doc_id % 3 == 0) "ppm" else "pgm"))
+        // header-derived dims equal the generator's metadata
+        assert(f.width == (f.doc_id % 8) * 4 + 8)
+        assert(f.height == (f.doc_id % 6) * 4 + 8)
+        assert(f.mean_luma > 0.0 && f.mean_luma < 1.0)
+      }
+    }
+  }
+
   test("stubbed decode emits deterministic features with real batch plumbing") {
     val feats = Multimodal.pipeline(spark, dir)
     val rows = feats.collect()
