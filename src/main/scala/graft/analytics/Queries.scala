@@ -334,6 +334,45 @@ object Queries {
       .orderBy(col("user_id"), col("time_us"), col("event_id"))
   }
 
+  /** RANGE JOIN — pairs of the same user's events within ±6 hours —
+    * via BUCKET EXPANSION, not an inequality join: both sides key by
+    * floor(time / W); one side fans out to bucket ±1 (3 rows), so
+    * every qualifying pair meets on an EQUI-join key exactly once
+    * (bucket distance ≤ 1 when |Δt| ≤ W), then the exact |Δt| ≤ W
+    * predicate refines. The plan is a plain hash shuffle join —
+    * linear, skew-handled by AQE — where a naive `t BETWEEN a AND b`
+    * join would plan as a nested-loop explosion. The standard
+    * interval-join layout at 100 TB. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 6L * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val left = ev.withColumn("bucket", floor(col("t") / windowUs))
+      .select(col("k"), col("bucket"), col("t").as("ta"), col("event_id").as("ea"))
+    val right = ev.withColumn("b0", floor(col("t") / windowUs))
+      .select(col("k"), col("t").as("tb"), col("event_id").as("eb"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+    left.join(right, Seq("k", "bucket"))
+      .filter(col("ea") < col("eb") && abs(col("ta") - col("tb")) <= windowUs)
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("ta") - col("tb"))).as("min_gap_us"),
+        max(abs(col("ta") - col("tb"))).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val qRangeJoinSql: String = {
+    val w = 6L * 3600 * 1000000
+    s"""SELECT a.user_id, COUNT(*) AS n_pairs,
+       |  MIN(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS min_gap_us,
+       |  MAX(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS max_gap_us
+       |FROM events a JOIN events b ON a.user_id = b.user_id
+       |  AND a.event_id < b.event_id
+       |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= $w
+       |GROUP BY a.user_id
+       |ORDER BY a.user_id""".stripMargin
+  }
+
   val qAsofJoinSql: String =
     """WITH tagged AS (
       |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t,
