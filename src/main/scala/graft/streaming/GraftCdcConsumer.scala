@@ -41,8 +41,10 @@ import CdcStreamConsumer.{Change, Delivered}
   *    is exactly the reference's saved-state restart. withStateStore
   *    ADDITIONALLY externalizes per-stream progress to a pluggable
   *    [[CdcStateStore]] after every delivered batch (the reference's
-  *    CDCStateStore / Redis example), enabling lag inspection and
-  *    cross-cluster resume via [[CdcStreamConsumer.consumeFrom]].
+  *    CDCStateStore / Redis example), enabling lag inspection,
+  *    cross-cluster resume via [[CdcStreamConsumer.consumeFrom]], and
+  *    replay dedupe at the driver callback (effectively-once instead
+  *    of at-least-once when a crashed micro-batch replays).
   */
 final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var sources: Vector[(String, Dataset[Change])] = Vector.empty
@@ -171,9 +173,19 @@ final class GraftCdcConsumer private[streaming] (
               .foreachPartition((it: Iterator[Delivered]) => sink(it))
           case None =>
             // driver-side compatibility path (reference single-JVM
-            // RawChangeConsumer): ordered collect + callback
-            batch.orderBy(col("streamId"), col("seqNo"))
-              .collect().foreach(cb)
+            // RawChangeConsumer): ordered collect + callback. With an
+            // external state store attached, rows at or below the
+            // store's per-stream high-water mark are skipped — a
+            // micro-batch REPLAYED after a crash (its delivery
+            // succeeded but the streaming commit didn't) is not
+            // re-delivered: effectively-once to the callback instead
+            // of at-least-once.
+            val rows = batch.orderBy(col("streamId"), col("seqNo")).collect()
+            val fresh = stateStore match {
+              case Some(s) => rows.filter(d => s.get(d.streamId).forall(d.seqNo > _.delivered))
+              case None => rows
+            }
+            fresh.foreach(cb)
         }
         stateStore.foreach(s => CdcCheckpoints.record(batch, s))
         done = true

@@ -162,4 +162,41 @@ class CdcStateStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GraftCdcConsumer.builder(spark).withMaxRetryAttempts(0))
   }
+
+  test("state store dedupes a replayed micro-batch at the callback (effectively-once)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new InMemoryStateStore
+    // simulate a crash AFTER delivery but BEFORE the streaming commit:
+    // the store already recorded stream 5 up to seqNo 2
+    store.put(5L, StreamProgress(ms(20), 2L, 2L))
+    val in = MemoryStream[Change]
+    val out = new ConcurrentLinkedQueue[Delivered]()
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(in.toDS())
+      .withConsumer(out.add(_))
+      .withStateStore(store)
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"dedupe_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      // the "replayed" batch: both already-recorded changes + a new one
+      in.addData(Seq(
+        Change(5, ms(10), 1, 2, 0.0), Change(5, ms(20), 2, 1, 0.0),
+        Change(5, ms(30), 3, 1, 0.5)))
+      c.processAllAvailable()
+      in.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      in.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // nudge
+      c.processAllAvailable()
+    } finally c.stop()
+    // only the change past the store's high-water mark reached the
+    // callback (the streaming state itself had no history — this is
+    // the external store doing the dedupe)
+    val s5 = out.asScala.filter(_.streamId == 5).toSeq
+    assert(s5.map(_.timeUs) == Seq(ms(30)))
+    // and the store advanced
+    assert(store.get(5L).exists(_.lastTimeUs == ms(30)))
+  }
 }
