@@ -54,6 +54,29 @@ object Corpus {
        |FROM documents
        |GROUP BY split ORDER BY split""".stripMargin
 
+  /** Provenance monitoring: per (source, lang) corpus composition —
+    * the mix dashboards a training-data pipeline watches per ingest.
+    * One shuffle on a tiny key space; DECIMAL-exact char average. */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        // exact integer sum, then one IEEE divide — identical in DuckDB
+        // (decimal AVG scale rules differ between engines)
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("source"), col("lang"))
+
+  val sourceStatsSql: String =
+    """SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+      |  MIN(doc_id) AS min_doc_id
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   val TopTokens = 25
 
   /** Corpus vocabulary statistics: the TopTokens most frequent tokens
