@@ -104,6 +104,105 @@ object Corpus {
        |ORDER BY n_occurrences DESC, token
        |LIMIT $TopTokens""".stripMargin
 
+  val KmeansK = 8
+
+  /** Distributed k-means, two unrolled Lloyd iterations over the
+    * embeddings (seed centroids = the first K vectors — deterministic;
+    * a trained run just iterates the same two stages):
+    *  - E-step: assign each vector to its nearest centroid by squared
+    *    Euclidean distance ‖x‖² − 2·x·c + ‖c‖², scored with the native
+    *    [[graft.functions.VecDot]] fold against K broadcast centroids;
+    *  - M-step: per-(cluster, dim) DECIMAL-exact means rounded to 6
+    *    decimals (bit-stable under any partitioning), re-assembled
+    *    into centroid arrays with a deterministic dim sort.
+    * Plan shape at billion-vector scale: centroids always broadcast
+    * (K × dim doubles), assignment is a map-side scoring pass + a
+    * per-vector top-1 window, the M-step shuffles once on
+    * (cluster, dim) — each iteration is two exchanges, no quadratic
+    * term anywhere. Output: per-cluster membership after each
+    * iteration, proving reassignment happened relationally. */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot.dot
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+      vecs.join(broadcast(cent), lit(true))
+        .withColumn("dist2", col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid").as("cluster_id"))
+    }
+
+    val cent1 = vecs.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    val a1 = assign(cent1)
+    // M-step: exact means at (cluster, dim) grain, rounded, re-arrayed
+    val cent2 = a1
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(27,12)")).cast("double") / count(lit(1)), 6).as("m"))
+      .groupBy(col("cluster_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .select(col("cluster_id").as("cid"), col("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val a2 = assign(cent2)
+
+    val c1 = a1.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter1"))
+    val c2 = a2.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter2"))
+    c1.join(c2, Seq("cluster_id"), "full_outer")
+      .select(col("cluster_id"),
+        coalesce(col("n_iter1"), lit(0L)).as("n_iter1"),
+        coalesce(col("n_iter2"), lit(0L)).as("n_iter2"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val embKmeansSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, v, ${dot("v", "v")} AS n2 FROM e),
+       |cent1 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, v AS cv, n2 AS cn2 FROM vecs WHERE vec_id < $KmeansK),
+       |a1 AS (
+       |  SELECT vec_id, v, cid AS cluster_id FROM (
+       |    SELECT x.vec_id, x.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY x.n2 - 2.0 * ${dot("x.v", "c.cv")} + c.cn2, c.cid) AS rn
+       |    FROM vecs x CROSS JOIN cent1 c)
+       |  WHERE rn = 1),
+       |dims AS (
+       |  SELECT cluster_id, i.i AS pos,
+       |    round(CAST(SUM(CAST(v[i.i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM a1, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+       |  GROUP BY cluster_id, i.i),
+       |cent2 AS (
+       |  SELECT cluster_id AS cid, list(m ORDER BY pos) AS cv
+       |  FROM dims GROUP BY cluster_id),
+       |cent2n AS (
+       |  SELECT cid, cv, ${dot("cv", "cv")} AS cn2 FROM cent2),
+       |a2 AS (
+       |  SELECT vec_id, cid AS cluster_id FROM (
+       |    SELECT x.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY x.n2 - 2.0 * ${dot("x.v", "c.cv")} + c.cn2, c.cid) AS rn
+       |    FROM vecs x CROSS JOIN cent2n c)
+       |  WHERE rn = 1),
+       |c1 AS (SELECT cluster_id, COUNT(*) AS n_iter1 FROM a1 GROUP BY cluster_id),
+       |c2 AS (SELECT cluster_id, COUNT(*) AS n_iter2 FROM a2 GROUP BY cluster_id)
+       |SELECT COALESCE(c1.cluster_id, c2.cluster_id) AS cluster_id,
+       |  COALESCE(n_iter1, 0) AS n_iter1, COALESCE(n_iter2, 0) AS n_iter2
+       |FROM c1 FULL OUTER JOIN c2 ON c1.cluster_id = c2.cluster_id
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** Per-label embedding centroids at (label, dimension) grain — the
     * M-step of distributed k-means / class-prototype computation.
     * posexplode fans each vector to its dimensions; one shuffle on
