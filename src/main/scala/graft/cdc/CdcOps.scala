@@ -240,7 +240,10 @@ object CdcOps {
     ckLog.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
-      .join(broadcast(pd), Seq("user_id"), "left")
+      // pd grows with the log (one row per delete-carrying partition) —
+      // no forced hint: AQE broadcasts it while small and falls back to
+      // a key shuffle once a delete-heavy log outgrows the driver.
+      .join(pd, Seq("user_id"), "left")
       .filter(col("pd_time_us").isNull || col("time_us") > col("pd_time_us"))
       .select(col("user_id"), col("ck"), col("time_us").as("last_write_us"), col("value"))
       .orderBy(col("user_id"), col("ck"))
@@ -633,8 +636,10 @@ object CdcOps {
     * (RangeDeleteState.java pairing, bound inclusivity respected).
     *
     * Plan shape at 100 TB: one shuffle on the primary key for the LWW
-    * window, then two broadcast joins (partition-delete and
-    * range-tombstone sides are O(deletes), tiny next to the log). */
+    * window, then two tombstone joins. The tombstone sides are
+    * O(deletes) — usually small, but they GROW WITH THE LOG, so the
+    * joins carry no forced broadcast hint: AQE broadcasts them while
+    * they fit and falls back to a key shuffle on a delete-heavy log. */
   def replicateFull(spark: SparkSession, dir: String): DataFrame =
     replicateFullFromLog(cdcLog(spark, dir))
 
@@ -664,10 +669,12 @@ object CdcOps {
     val inRange =
       (col("ck") > col("left_ck") || (col("left_inclusive") && col("ck") === col("left_ck"))) &&
         (col("ck") < col("right_ck") || (col("right_inclusive") && col("ck") === col("right_ck")))
+    // pd/rd are log-derived (grow with deletes) — no forced broadcast
+    // hints; AQE picks broadcast only while the side is actually small.
     lastWrites
-      .join(broadcast(pd), Seq("user_id"), "left")
+      .join(pd, Seq("user_id"), "left")
       .filter(col("pd_time_us").isNull || col("time_us") > col("pd_time_us"))
-      .join(broadcast(rd),
+      .join(rd,
         col("cdc_stream_id") === col("rd_stream") && col("user_id") === col("rd_user_id") &&
           inRange && col("time_us") <= col("applied_at_us"),
         "left_anti")
