@@ -99,6 +99,71 @@ object CdcLogAdapter {
       "cdc_deleted_attrs" -> (col("event_type") === "error")))
   }
 
+  /** The CDC log extended with a non-frozen `list<double>` column
+    * `items`, modeling Scylla's list encoding: a list cell is
+    * internally `map<timeuuid, value>` — appends mint fresh,
+    * time-ordered timeuuid keys, per-element deletes name the victim
+    * keys in `cdc$deleted_elements_X`, and `SET l = [...]` emits a
+    * whole-cell tombstone plus fresh entries
+    * (UnpreparedUpdateOperationHandler.java:61-67,75-80,108-122 →
+    * ListSetIdxTimeUUIDAssignment.java).
+    *
+    * Synthetic mapping (DuckDB-expressible): each user's changes are
+    * sequenced `rn` by (time_us, event_id); the "timeuuid" for the
+    * i-th element minted by change rn is `rn*4+i` — unique and
+    * MONOTONE per user in change order, exactly the property real
+    * timeuuids give Scylla. Kinds: error→overwrite (tombstone + new
+    * entries), purchase→element-delete of two keys aimed at recent
+    * appends (some hit, some miss — both no-op-delete and live-delete
+    * branches are exercised), else append of `event_id%3+1` entries
+    * with values `value+i`.
+    *
+    * The rn window makes this variant one hash exchange on user_id
+    * (data synthesis only — a real CDC log arrives with timeuuids
+    * already minted, and the fold itself stays one-shuffle). */
+  def fromEventsWithList(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")), col("event_id"))
+    val ev = events.withColumn("rn", row_number().over(w).cast("long"))
+    val e = col("event_id")
+    val n = (e % 3 + 1).cast("int")
+    val idx = sequence(lit(0), n - lit(1))
+    val tuids = transform(idx, i => col("rn") * 4 + i)
+    val vals = transform(idx, i => col("value") + i)
+    val delKeys = array((col("rn") - 1) * 4 + e % 3, (col("rn") - 2) * 4 + (e + 1) % 3)
+    fromEvents(ev, Seq(
+      "items" -> when(col("event_type") =!= "purchase", map_from_arrays(tuids, vals)),
+      "cdc_deleted_elements_items" -> when(col("event_type") === "purchase", delKeys),
+      "cdc_deleted_items" -> (col("event_type") === "error")))
+  }
+
+  /** The CDC log extended with a non-frozen UDT column `udt`
+    * (struct<f0:double, f1:bigint, f2:string>) plus
+    * `cdc$deleted_elements_udt` as a FIELD-INDEX set, modeling
+    * Scylla's UDT encoding (UnpreparedUpdateOperationHandler.java:
+    * 85-105 → UdtSetFieldAssignment.java): per change, a non-null
+    * field is a per-field set, a null field whose index appears in
+    * the deleted set is a per-field delete, and a null field absent
+    * from the set leaves the destination field UNTOUCHED;
+    * `cdc$deleted_udt` is the whole-cell overwrite.
+    *
+    * Synthetic mapping: field j is null iff (event_id+j)%3==0 (so
+    * every change sets ≥2 of 3 fields), deleted iff additionally
+    * (event_id+j)%2==0 — i.e. iff (event_id+j)%6==0; error rows
+    * overwrite. Pure per-row arithmetic — map-only, like
+    * [[fromEventsWithCollections]]. */
+  def fromEventsWithUdt(events: DataFrame): DataFrame = {
+    val e = col("event_id")
+    val f0 = when(e % 3 =!= 0, col("value") + 0.5)
+    val f1 = when((e + 1) % 3 =!= 0, e * 7)
+    val f2 = when((e + 2) % 3 =!= 0, concat(lit("u"), (e % 10).cast("string")))
+    val delIdx = filter(sequence(lit(0), lit(2)), j => (e + j) % 6 === 0)
+    fromEvents(events, Seq(
+      "udt" -> struct(f0.as("f0"), f1.as("f1"), f2.as("f2")),
+      "cdc_deleted_elements_udt" -> when(size(delIdx) > 0, delIdx),
+      "cdc_deleted_udt" -> (col("event_type") === "error")))
+  }
+
   /** The same relation as [[fromEvents]], as a DuckDB CTE body over the
     * `events` view — prepended to every CDC oracle query.
     */

@@ -466,6 +466,189 @@ object CdcOps {
       |FROM final WHERE r = 1 AND act = 1
       |ORDER BY user_id, key""".stripMargin
 
+  /** #10c (`cdc_collection_apply_list`): non-frozen LIST cell
+    * semantics — a Scylla list is internally `map<timeuuid, value>`
+    * (UnpreparedUpdateOperationHandler.java:61-67,75-80,108-122 →
+    * ListSetIdxTimeUUIDAssignment.java): appends mint time-ordered
+    * timeuuid keys, `cdc$deleted_elements_X` carries per-element
+    * victim keys, a whole-cell tombstone opens a fresh list. This is
+    * the SAME epoch fold as [[collectionApplyFromLog]] with timeuuid
+    * element keys, ENDING with the key-order sort that materializes
+    * the surviving entries into list positions (the reference's
+    * TreeMap walk at :113-120).
+    *
+    * Output grain is (user_id, pos, item) — the materialized list in
+    * explicit positional form (hash-safe scalars for the oracle; a
+    * caller wanting the array form wraps with
+    * `groupBy(user_id).agg(array_agg under sort)`).
+    *
+    * Shuffles: key window, (key, element) argmax, plus the final
+    * per-user position window — all standard hash exchanges; the
+    * position window re-uses the user_id partitioning. */
+  def collectionApplyList(spark: SparkSession, dir: String): DataFrame =
+    collectionApplyListFromLog(
+      CdcLogAdapter.fromEventsWithList(Tables.events(spark, dir)))
+
+  /** Same operator over ANY log relation carrying the list triple
+    * (`items` map<bigint,double> with timeuuid-like keys,
+    * `cdc_deleted_elements_items`, `cdc_deleted_items`). */
+  def collectionApplyListFromLog(log: DataFrame): DataFrame = {
+    val seqW = Window.partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+    val cum = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = log
+      .select(col("user_id"), col("time_us"), col("event_id"),
+        col("items"), col("cdc_deleted_elements_items"), col("cdc_deleted_items"))
+      .withColumn("rn", row_number().over(seqW).cast("long"))
+      .withColumn("epoch", max(when(col("cdc_deleted_items"), col("rn"))).over(cum))
+      .withColumn("last_epoch", max(col("epoch")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("epoch") <=> col("last_epoch"))
+    val puts = staged.filter(col("cdc_deleted_elements_items").isNull)
+      .select(col("user_id"), col("rn"), explode(map_entries(col("items"))).as("kv"))
+      .select(col("user_id"), col("rn"), col("kv.key").as("key"),
+        col("kv.value").as("val"), lit(1).as("act"))
+    val dels = staged.filter(col("cdc_deleted_elements_items").isNotNull)
+      .select(col("user_id"), col("rn"),
+        explode(col("cdc_deleted_elements_items")).as("key"),
+        lit(null).cast("double").as("val"), lit(0).as("act"))
+    val wElem = Window.partitionBy(col("user_id"), col("key")).orderBy(col("rn").desc)
+    puts.unionByName(dels)
+      .withColumn("r", row_number().over(wElem))
+      .filter(col("r") === 1 && col("act") === 1)
+      // the key-order sort IS the list materialization: surviving
+      // timeuuid keys in order become positions 1..n
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("user_id")).orderBy(col("key"))).cast("int"))
+      .select(col("user_id"), col("pos"), col("val").as("item"))
+      .orderBy(col("user_id"), col("pos"))
+  }
+
+  /** Oracle: the list fold in SQL, deriving the synthetic list ops
+    * from `events` directly (mirrors
+    * [[CdcLogAdapter.fromEventsWithList]]). */
+  val collectionApplyListSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS time_us, event_id, value,
+      |    CASE WHEN event_type = 'error' THEN 2 WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+      |    event_id % 3 + 1 AS n
+      |  FROM events),
+      |seqd AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us, event_id) AS BIGINT) AS rn
+      |  FROM ev),
+      |epochs AS (
+      |  SELECT *, MAX(CASE WHEN kind = 2 THEN rn END)
+      |    OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+      |  FROM seqd),
+      |cur AS (
+      |  SELECT * FROM (SELECT *, MAX(epoch) OVER (PARTITION BY user_id) AS last_epoch FROM epochs)
+      |  WHERE epoch IS NOT DISTINCT FROM last_epoch),
+      |puts AS (
+      |  SELECT user_id, rn, rn * 4 + i.i AS key, value + i.i AS val, 1 AS act
+      |  FROM cur, LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS INT))) AS i) i
+      |  WHERE kind <> 1),
+      |dels AS (
+      |  SELECT user_id, rn, k.k AS key, CAST(NULL AS DOUBLE) AS val, 0 AS act
+      |  FROM cur, LATERAL (SELECT unnest([(rn - 1) * 4 + event_id % 3, (rn - 2) * 4 + (event_id + 1) % 3]) AS k) k
+      |  WHERE kind = 1),
+      |final AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, key ORDER BY rn DESC) AS r
+      |  FROM (SELECT * FROM puts UNION ALL SELECT * FROM dels))
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY key) AS INT) AS pos,
+      |  val AS item
+      |FROM final WHERE r = 1 AND act = 1
+      |ORDER BY user_id, pos""".stripMargin
+
+  /** #10d (`cdc_collection_apply_udt`): non-frozen UDT cell
+    * semantics (UnpreparedUpdateOperationHandler.java:85-105 →
+    * UdtSetFieldAssignment.java): per change and field index, a
+    * non-null field value is a per-field SET, a null field whose
+    * index appears in the `cdc$deleted_elements` field-index set is a
+    * per-field DELETE, and a null undeleted field leaves the
+    * destination field untouched; `cdc$deleted_X` replaces the whole
+    * cell. The map epoch fold with the FIELD INDEX as element key;
+    * the final state pivots back to one struct-shaped row per key.
+    *
+    * Shuffles: one on the primary key (windows), one on (key, field)
+    * for the argmax, then the pivot groupBy re-uses the user_id
+    * hash — the same two-exchange family as the map fold. */
+  def collectionApplyUdt(spark: SparkSession, dir: String): DataFrame =
+    collectionApplyUdtFromLog(
+      CdcLogAdapter.fromEventsWithUdt(Tables.events(spark, dir)))
+
+  /** Same operator over ANY log relation carrying the UDT triple
+    * (`udt` struct<f0,f1,f2>, `cdc_deleted_elements_udt` array<int>
+    * of field indices, `cdc_deleted_udt`). */
+  def collectionApplyUdtFromLog(log: DataFrame): DataFrame = {
+    val seqW = Window.partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+    val cum = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = log
+      .select(col("user_id"), col("time_us"), col("event_id"),
+        col("udt"), col("cdc_deleted_elements_udt"), col("cdc_deleted_udt"))
+      .withColumn("rn", row_number().over(seqW).cast("long"))
+      .withColumn("epoch", max(when(col("cdc_deleted_udt"), col("rn"))).over(cum))
+      .withColumn("last_epoch", max(col("epoch")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("epoch") <=> col("last_epoch"))
+    val deleted = coalesce(col("cdc_deleted_elements_udt"), array().cast("array<int>"))
+    def action(j: Int, v: org.apache.spark.sql.Column) = struct(
+      lit(j).as("j"), v.isNotNull.as("is_set"), array_contains(deleted, j).as("is_del"),
+      (if (j == 0) v else lit(null).cast("double")).as("vd"),
+      (if (j == 1) v else lit(null).cast("long")).as("vl"),
+      (if (j == 2) v else lit(null).cast("string")).as("vs"))
+    val acts = staged
+      .select(col("user_id"), col("rn"), explode(array(
+        action(0, col("udt.f0")), action(1, col("udt.f1")), action(2, col("udt.f2")))).as("a"))
+      .select(col("user_id"), col("rn"), col("a.*"))
+      .filter(col("is_set") || col("is_del"))
+    val wField = Window.partitionBy(col("user_id"), col("j")).orderBy(col("rn").desc)
+    acts.withColumn("r", row_number().over(wField))
+      .filter(col("r") === 1)
+      // del winners carry null field values, so the pivot yields null
+      // for deleted fields and for fields untouched in the live epoch
+      .groupBy(col("user_id")).agg(
+        max(when(col("j") === 0, col("vd"))).as("f0"),
+        max(when(col("j") === 1, col("vl"))).as("f1"),
+        max(when(col("j") === 2, col("vs"))).as("f2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracle: the UDT field-index fold in SQL (mirrors
+    * [[CdcLogAdapter.fromEventsWithUdt]]). */
+  val collectionApplyUdtSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS time_us, event_id,
+      |    (event_type = 'error') AS ow,
+      |    CASE WHEN event_id % 3 <> 0 THEN value + 0.5 END AS f0,
+      |    CASE WHEN (event_id + 1) % 3 <> 0 THEN event_id * 7 END AS f1,
+      |    CASE WHEN (event_id + 2) % 3 <> 0 THEN 'u' || CAST(event_id % 10 AS VARCHAR) END AS f2
+      |  FROM events),
+      |seqd AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us, event_id) AS BIGINT) AS rn
+      |  FROM ev),
+      |epochs AS (
+      |  SELECT *, MAX(CASE WHEN ow THEN rn END)
+      |    OVER (PARTITION BY user_id ORDER BY time_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+      |  FROM seqd),
+      |cur AS (
+      |  SELECT * FROM (SELECT *, MAX(epoch) OVER (PARTITION BY user_id) AS last_epoch FROM epochs)
+      |  WHERE epoch IS NOT DISTINCT FROM last_epoch),
+      |acts AS (
+      |  SELECT user_id, rn, j.j AS j,
+      |    CASE WHEN j.j = 0 THEN f0 END AS vd,
+      |    CASE WHEN j.j = 1 THEN f1 END AS vl,
+      |    CASE WHEN j.j = 2 THEN f2 END AS vs,
+      |    (CASE j.j WHEN 0 THEN f0 IS NOT NULL WHEN 1 THEN f1 IS NOT NULL ELSE f2 IS NOT NULL END) AS is_set,
+      |    ((event_id + j.j) % 6 = 0) AS is_del
+      |  FROM cur, LATERAL (SELECT unnest([0, 1, 2]) AS j) j),
+      |final AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, j ORDER BY rn DESC) AS r
+      |  FROM acts WHERE is_set OR is_del)
+      |SELECT user_id,
+      |  MAX(CASE WHEN j = 0 THEN vd END) AS f0,
+      |  MAX(CASE WHEN j = 1 THEN vl END) AS f1,
+      |  MAX(CASE WHEN j = 2 THEN vs END) AS f2
+      |FROM final WHERE r = 1
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** #11: postimage apply (PostImageState / PostImageOperationHandler):
     * the latest POST_IMAGE per key is the authoritative full row. */
   def postimageApply(spark: SparkSession, dir: String): DataFrame =

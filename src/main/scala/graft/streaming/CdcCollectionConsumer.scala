@@ -70,4 +70,103 @@ object CdcCollectionConsumer {
       .flatMapGroupsWithState[CollState, CollSnapshot](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(applyGroup)
   }
+
+  // ---- list cells ----------------------------------------------------
+
+  /** One LIST-cell change: a list is internally map<timeuuid, value>
+    * (ListSetIdxTimeUUIDAssignment.java), so `put` keys are
+    * timeuuid-like longs — fresh+monotone for appends, existing for
+    * SET l[i]; `del` names victim timeuuids; overwrite is the
+    * whole-cell tombstone + `put` as the replacement entries. */
+  case class ListChange(userId: Long, timeUs: Long, eventId: Long,
+      put: Map[Long, Double], del: Seq[Long], overwrite: Boolean)
+
+  case class ListState(lastTimeUs: Long, lastEventId: Long,
+      applied: Long, entries: Map[Long, Double])
+
+  /** Snapshot after each applied change; `items` is the MATERIALIZED
+    * list — surviving entries in timeuuid-key order (the reference's
+    * TreeMap walk, UnpreparedUpdateOperationHandler.java:113-120). */
+  case class ListSnapshot(userId: Long, timeUs: Long, eventId: Long,
+      applied: Long, items: Seq[Double])
+
+  private def isAfterL(c: ListChange, s: ListState): Boolean =
+    c.timeUs > s.lastTimeUs || (c.timeUs == s.lastTimeUs && c.eventId > s.lastEventId)
+
+  def applyListGroup(userId: Long, changes: Iterator[ListChange],
+      state: GroupState[ListState]): Iterator[ListSnapshot] = {
+    var s = state.getOption.getOrElse(ListState(Long.MinValue, Long.MinValue, 0L, Map.empty))
+    val ordered = changes.toSeq
+      .filter(isAfterL(_, s))
+      .distinctBy(c => (c.timeUs, c.eventId))
+      .sortBy(c => (c.timeUs, c.eventId))
+    val out = ordered.map { c =>
+      val entries =
+        if (c.overwrite) c.put
+        else if (c.del.nonEmpty) s.entries -- c.del
+        else s.entries ++ c.put
+      s = ListState(c.timeUs, c.eventId, s.applied + 1, entries)
+      ListSnapshot(userId, c.timeUs, c.eventId, s.applied,
+        entries.toSeq.sortBy(_._1).map(_._2))
+    }
+    if (ordered.nonEmpty) state.update(s)
+    out.iterator
+  }
+
+  def consumeList(spark: SparkSession, changes: Dataset[ListChange]): Dataset[ListSnapshot] = {
+    import spark.implicits._
+    changes.groupByKey(_.userId)
+      .flatMapGroupsWithState[ListState, ListSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(applyListGroup)
+  }
+
+  // ---- UDT cells -----------------------------------------------------
+
+  /** One UDT-cell change (UdtSetFieldAssignment.java semantics):
+    * per field index, Some = per-field set, index in `delIdx` (field
+    * None) = per-field delete, None otherwise = untouched; overwrite
+    * replaces the whole cell with exactly this change's fields. */
+  case class UdtChange(userId: Long, timeUs: Long, eventId: Long,
+      f0: Option[Double], f1: Option[Long], f2: Option[String],
+      delIdx: Seq[Int], overwrite: Boolean)
+
+  case class UdtState(lastTimeUs: Long, lastEventId: Long, applied: Long,
+      f0: Option[Double], f1: Option[Long], f2: Option[String])
+
+  case class UdtSnapshot(userId: Long, timeUs: Long, eventId: Long,
+      applied: Long, f0: Option[Double], f1: Option[Long], f2: Option[String])
+
+  private def isAfterU(c: UdtChange, s: UdtState): Boolean =
+    c.timeUs > s.lastTimeUs || (c.timeUs == s.lastTimeUs && c.eventId > s.lastEventId)
+
+  private def fold[T](prev: Option[T], next: Option[T], deleted: Boolean): Option[T] =
+    if (next.isDefined) next else if (deleted) None else prev
+
+  def applyUdtGroup(userId: Long, changes: Iterator[UdtChange],
+      state: GroupState[UdtState]): Iterator[UdtSnapshot] = {
+    var s = state.getOption.getOrElse(
+      UdtState(Long.MinValue, Long.MinValue, 0L, None, None, None))
+    val ordered = changes.toSeq
+      .filter(isAfterU(_, s))
+      .distinctBy(c => (c.timeUs, c.eventId))
+      .sortBy(c => (c.timeUs, c.eventId))
+    val out = ordered.map { c =>
+      val (p0, p1, p2) =
+        if (c.overwrite) (None, None, None) else (s.f0, s.f1, s.f2)
+      s = UdtState(c.timeUs, c.eventId, s.applied + 1,
+        fold(p0, c.f0, c.delIdx.contains(0)),
+        fold(p1, c.f1, c.delIdx.contains(1)),
+        fold(p2, c.f2, c.delIdx.contains(2)))
+      UdtSnapshot(userId, c.timeUs, c.eventId, s.applied, s.f0, s.f1, s.f2)
+    }
+    if (ordered.nonEmpty) state.update(s)
+    out.iterator
+  }
+
+  def consumeUdt(spark: SparkSession, changes: Dataset[UdtChange]): Dataset[UdtSnapshot] = {
+    import spark.implicits._
+    changes.groupByKey(_.userId)
+      .flatMapGroupsWithState[UdtState, UdtSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(applyUdtGroup)
+  }
 }
