@@ -773,8 +773,12 @@ object CdcOps {
     generations.crossJoin(broadcast(watermark))
       .withColumn("closed", col("gen_end_us").isNotNull)
       .withColumn("ttl_expired", ttlExpired)
-      .withColumn("consumed",
-        col("gen_end_us").isNotNull && col("watermark_us") >= col("gen_end_us"))
+      // coalesce: an EMPTY log has a null watermark, and null && / >=
+      // would leak three-valued nulls into the boolean flags — an
+      // unconsumed generation must read `false`, not null
+      .withColumn("consumed", coalesce(
+        col("gen_end_us").isNotNull && col("watermark_us") >= col("gen_end_us"),
+        lit(false)))
       .withColumn("done", col("closed") && (col("ttl_expired") || col("consumed")))
       .select(col("generation_id"), col("closed"), col("ttl_expired"),
         col("consumed"), col("done"))

@@ -26,13 +26,27 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Nullable even over non-null inputs: mismatched vector lengths
+  // yield NULL (matching the oracle's list_transform NULL propagation
+  // when one list is shorter) instead of silently folding the prefix —
+  // bad data surfaces as null, not as a wrong score.
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null else VecDot.compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecDot.compute($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =

@@ -127,19 +127,24 @@ object Corpus {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
 
-    def assign(cent: DataFrame): DataFrame = {
+    def assign(points: DataFrame, cent: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
-      vecs.join(broadcast(cent), lit(true))
+      points.join(broadcast(cent), lit(true))
         .withColumn("dist2", col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid").as("cluster_id"))
+        .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cluster_id"))
     }
 
     val cent1 = vecs.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    val a1 = assign(cent1)
+    // The E-step output feeds the M-step, the per-cluster count AND
+    // the next iteration's scoring pass — localCheckpoint (as in
+    // dedup_clusters) materializes it once so each iteration is ONE
+    // scan+score pass, not one per downstream reference, and iteration
+    // 2 reads the checkpointed frame instead of re-scanning parquet.
+    val a1 = assign(vecs, cent1).localCheckpoint()
     // M-step: exact means at (cluster, dim) grain, rounded, re-arrayed
     val cent2 = a1
       .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -150,7 +155,7 @@ object Corpus {
         s => s.getField("m")).as("cv"))
       .select(col("cluster_id").as("cid"), col("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    val a2 = assign(cent2)
+    val a2 = assign(a1.select(col("vec_id"), col("v"), col("n2")), cent2)
 
     val c1 = a1.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter1"))
     val c2 = a2.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter2"))

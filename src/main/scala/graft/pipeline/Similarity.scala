@@ -8,8 +8,12 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §2c #29-30).
   *
-  * Both variants share one scoring expression (cosine via
-  * `zip_with` + left-fold `aggregate` — codegen'd, no UDF). The
+  * All variants score through the native codegen'd
+  * [[graft.functions.VecDot]] expression. (An earlier `zip_with` +
+  * left-fold `aggregate` formulation was abandoned: Catalyst higher-
+  * order functions run INTERPRETED per element — brute force cost
+  * ~20 s at sf0.1 vs 0.6 s with VecDot; see SURVEY §4 and the VecMath
+  * scaladoc.) The
   * brute-force form is the exact baseline/oracle; the LSH-bucketed form
   * is the 100 TB path: candidates meet only inside a
   * random-hyperplane bucket, so the join is a hash shuffle on the
@@ -144,9 +148,15 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
     // nearest centroid per vector → its cell
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
+    // One scoring pass feeds both the cell index and the query probes:
+    // trim to the rows either side needs, then localCheckpoint so the
+    // scan + K-way scoring + window subtree executes ONCE (≈ n rows
+    // kept), instead of once per downstream reference.
     val assigned = all.join(broadcast(cent), lit(true))
       .withColumn("c_cos", cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")))
       .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1 || (col("vec_id") < NumQueries && col("crn") <= NumProbes))
+      .localCheckpoint()
     val cells = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
     // each query probes its NumProbes nearest cells

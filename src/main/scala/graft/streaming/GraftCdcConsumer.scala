@@ -49,6 +49,7 @@ import CdcStreamConsumer.{Change, Delivered}
 final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var sources: Vector[(String, Dataset[Change])] = Vector.empty
   private var consumer: Delivered => Unit = _ => ()
+  private var consumerSet = false
   private var partitionConsumer: Option[Iterator[Delivered] => Unit] = None
   private var queryWindowMs: Long = 30000L // reference DEFAULT_QUERY_TIME_WINDOW_SIZE_MS
   private var confidenceMs: Long = 30000L  // reference DEFAULT_CONFIDENCE_WINDOW_SIZE_MS
@@ -69,7 +70,7 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     require(!sources.exists(_._1 == name), s"duplicate source name: $name")
     sources :+= (name, changes); this
   }
-  def withConsumer(c: Delivered => Unit): this.type = { consumer = c; this }
+  def withConsumer(c: Delivered => Unit): this.type = { consumer = c; consumerSet = true; this }
 
   /** Executor-side delivery (the 100 TB path): the function runs ONCE
     * PER PARTITION ON THE EXECUTORS, each partition carrying complete
@@ -101,6 +102,9 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
 
   def build(): GraftCdcConsumer = {
     require(sources.nonEmpty, "withSource/addSource is required")
+    require(partitionConsumer.isEmpty || !consumerSet,
+      "withConsumer and withPartitionConsumer are mutually exclusive — " +
+        "the driver callback would be silently ignored")
     new GraftCdcConsumer(spark, sources, consumer, partitionConsumer, queryWindowMs,
       confidenceMs, workersCount, backoff, maxRetryAttempts, checkpointLocation,
       stateStore, queryName)
@@ -179,10 +183,17 @@ final class GraftCdcConsumer private[streaming] (
             // micro-batch REPLAYED after a crash (its delivery
             // succeeded but the streaming commit didn't) is not
             // re-delivered: effectively-once to the callback instead
-            // of at-least-once.
+            // of at-least-once. The mark is the CHANGE ID
+            // (timeUs, eventId), never seqNo: seqNo is minted by the
+            // streaming state store and restarts at 1 under a fresh
+            // checkpoint dir, so a new query resuming against a
+            // populated external store would silently drop every
+            // change whose restarted seqNo is below the stored one.
             val rows = batch.orderBy(col("streamId"), col("seqNo")).collect()
             val fresh = stateStore match {
-              case Some(s) => rows.filter(d => s.get(d.streamId).forall(d.seqNo > _.delivered))
+              case Some(s) => rows.filter(d => s.get(d.streamId).forall(p =>
+                d.timeUs > p.lastTimeUs ||
+                  (d.timeUs == p.lastTimeUs && d.eventId > p.lastEventId)))
               case None => rows
             }
             fresh.foreach(cb)

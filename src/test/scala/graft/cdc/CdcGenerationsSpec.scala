@@ -61,6 +61,23 @@ class CdcGenerationsSpec extends SparkSpec {
       Seq((0, true, true), (1, false, false), (2, false, false)))
   }
 
+  test("generation-done over an EMPTY log: booleans are false, never null") {
+    val log = Seq.empty[(Long, Long)].toDF("cdc_stream_id", "time_us")
+    val gens = Seq(
+      (0, Long.MinValue, Option(100L)), // closed, untouched
+      (1, 100L, Option.empty[Long]))    // open
+      .toDF("generation_id", "gen_start_us", "gen_end_us")
+    val rows = CdcOps.generationDoneFromTable(log, gens,
+      nowUs = 310L, tableTtlSeconds = Some(1000L)).collect()
+    // a null watermark must not leak three-valued nulls: every flag is
+    // a real boolean and an unconsumed generation reads false
+    assert(rows.forall(r => (1 to 4).forall(i => !r.isNullAt(i))))
+    val out = CdcOps.generationDoneFromTable(log, gens,
+        nowUs = 310L, tableTtlSeconds = Some(1000L))
+      .as[(Int, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq((0, true, false, false, false), (1, false, false, false, false)))
+  }
+
   test("the constant-boundary table reproduces the hardcoded assignment") {
     val gens = CdcOps.generationsTable(spark)
       .as[(Int, Long, Option[Long])].collect().toSeq.sortBy(_._1)

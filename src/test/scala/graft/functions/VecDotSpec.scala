@@ -28,8 +28,15 @@ class VecDotSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
-  test("unequal lengths fold the common prefix (zip semantics)") {
+  test("unequal lengths yield null (matching oracle NULL propagation), codegen and interpreted") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
-    assert(df.select(VecDot.dot(col("a"), col("b"))).head().getDouble(0) == 50.0)
+    // codegen path
+    assert(df.select(VecDot.dot(col("a"), col("b"))).head().isNullAt(0))
+    // interpreted path (nullSafeEval)
+    val expr = VecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0, 3.0)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(10.0, 20.0)))
+    assert(expr.eval(null) == null)
+    assert(expr.nullable)
   }
 }

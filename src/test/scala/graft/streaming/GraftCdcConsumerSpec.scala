@@ -29,6 +29,53 @@ class GraftCdcConsumerSpec extends SparkSpec {
     intercept[IllegalArgumentException](b.build()) // no source
   }
 
+  test("withConsumer and withPartitionConsumer are mutually exclusive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val b = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(_ => ())
+      .withPartitionConsumer(_ => ())
+    intercept[IllegalArgumentException](b.build())
+  }
+
+  test("a fresh query against a populated external store dedupes on ChangeId, not seqNo") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The store says stream 4 was delivered up to ChangeId
+    // (ms(20), 2) with 50 changes delivered by some PREVIOUS query.
+    // A brand-new query (fresh checkpoint) re-mints seqNo from 1 —
+    // a seqNo-based dedupe would silently drop every fresh change.
+    val store = new InMemoryStateStore
+    store.put(4L, CdcStreamConsumer.StreamProgress(ms(20), 2L, 50L))
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withStateStore(store)
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"spec_store_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      input.addData(Seq(
+        Change(4, ms(10), 1, 2, 0.0),   // at/below the stored mark → skipped
+        Change(4, ms(20), 2, 1, 0.0),   // == the stored mark → skipped
+        Change(4, ms(30), 3, 1, 0.0)))  // fresh → MUST be delivered
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // nudge
+      c.processAllAvailable()
+    } finally c.stop()
+    val s4 = received.asScala.filter(_.streamId == 4).toSeq
+    assert(s4.map(_.timeUs) == Seq(ms(30)))
+    // and the store advanced to the fresh change
+    assert(store.get(4L).get.lastTimeUs == ms(30))
+  }
+
   test("confidence window reorders within it, then delivers in ChangeId order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
