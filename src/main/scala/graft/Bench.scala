@@ -13,16 +13,24 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —
       // a bare count() would let Catalyst prune the computed columns
-      // and under-report map-only queries
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      // and under-report map-only queries.
+      // Two timed repetitions, report the MIN: a single GC/JIT pause in
+      // a one-sample bench fabricates an order-of-magnitude outlier
+      // (an 18.6 s entry in a driver run re-measured at 0.9-1.7 s in
+      // isolation); min-of-2 bounds the damage one pause can do while
+      // still charging every query its real plan+shuffle cost.
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (a, b) = (once(), once())
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -16,7 +16,18 @@ object ChangePrinter {
     sb.append(s"| batch seq: $seq  end-of-batch: ${change.isEndOfBatch}\n")
     change.getTTL.foreach(t => sb.append(s"| ttl:       $t s\n"))
     schema.baseTableColumns.foreach { c =>
-      val v = if (change.isNull(c.columnName)) "null" else change.getAsObject(c.columnName).toString
+      // DURATION/DATE cells render through their value classes — the
+      // raw Spark layouts (a months/days/nanos struct Row; a
+      // java.sql.Date) would print Row-ish noise instead of the
+      // reference's `1y2mo3ns` / zero-padded `y-MM-dd` forms
+      // (printer Main.java delegates to CqlDuration/CqlDate.toString)
+      val v =
+        if (change.isNull(c.columnName)) "null"
+        else c.cqlDataType.cqlType match {
+          case CqlTypes.Duration => change.getField(c.columnName).getDuration.toString
+          case CqlTypes.Date => change.getField(c.columnName).getDate.toString
+          case _ => change.getAsObject(c.columnName).toString
+        }
       val del = c.deletedColumn.exists(_ => change.isDeleted(c.columnName))
       // cell line carries the CQL type like the reference printer
       // (Main.java prints the driver type next to each cell)

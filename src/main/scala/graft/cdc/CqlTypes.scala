@@ -48,6 +48,43 @@ object CqlTypes {
   case object Udt extends CqlType(24) { override def toString = "UDT" }
   case object Tuple extends CqlType(25) { override def toString = "TUPLE" }
 
+  /** CQL DURATION value — the (months, days, nanoseconds) triple
+    * (worker/cql/CqlDuration.java:8-77). Calendar and clock components
+    * never merge (a month has no fixed nanosecond length), which is
+    * why this is a real value class and not a single scalar.
+    * Rendering matches the reference exactly: one sign prefix when any
+    * component is negative, then y/mo/d/h/m/s/ms/us/ns with each unit
+    * emitted only while it fits the remainder (appendUnit semantics —
+    * `CqlDuration(14, 2, 3)` renders `1y2mo2d3ns`). */
+  final case class CqlDuration(months: Long, days: Long, nanoseconds: Long) {
+    override def toString: String = {
+      val sb = new StringBuilder
+      if (months < 0 || days < 0 || nanoseconds < 0) sb.append('-')
+      def appendUnit(count: Long, unitFactor: Long, unitName: String): Long =
+        if (count == 0 || count < unitFactor) count
+        else { sb.append(count / unitFactor).append(unitName); count % unitFactor }
+      appendUnit(appendUnit(math.abs(months), 12, "y"), 1, "mo")
+      appendUnit(math.abs(days), 1, "d")
+      val afterH = appendUnit(math.abs(nanoseconds), 3600000000000L, "h")
+      val afterM = appendUnit(afterH, 60000000000L, "m")
+      val afterS = appendUnit(afterM, 1000000000L, "s")
+      val afterMs = appendUnit(afterS, 1000000L, "ms")
+      appendUnit(appendUnit(afterMs, 1000L, "us"), 1L, "ns")
+      sb.toString
+    }
+  }
+
+  /** CQL DATE value — a plain (year, month, day) triple
+    * (worker/cql/CqlDate.java:8-57): no timezone, no epoch bound
+    * (pre-epoch and pre-Gregorian dates are legal CQL DATEs), which is
+    * why it is not a java.sql.Date. Renders `y-MM-dd` with the
+    * reference's two-digit padding of month/day only. */
+  final case class CqlDate(year: Int, month: Int, day: Int) {
+    private def pad(s: String) = if (s.length < 2) "0" + s else s
+    override def toString: String =
+      s"$year-${pad(month.toString)}-${pad(day.toString)}"
+  }
+
   /** UDT shape: ordered field name → type, plus its qualified name
     * (ChangeSchema.UdtType). */
   final case class UdtType(fields: Seq[(String, CqlDataType)], keyspace: String, name: String)
@@ -160,6 +197,12 @@ object CqlTypes {
     case DateType => native(Date)
     case ArrayType(e, _) => list(fromSparkType(e))
     case MapType(k, v, _) => map(fromSparkType(k), fromSparkType(v))
+    // the documented duration layout (see toSparkType) round-trips back
+    // to DURATION — field names + types are the convention's signature
+    case StructType(Array(
+        StructField("months", IntegerType, _, _),
+        StructField("days", IntegerType, _, _),
+        StructField("nanoseconds", LongType, _, _))) => native(Duration)
     case StructType(fields) => tuple(fields.toSeq.map(f => fromSparkType(f.dataType)))
     case other => throw new IllegalArgumentException(s"no CQL analogue for $other")
   }
@@ -186,6 +229,30 @@ object CqlTypes {
     }
     def getBytes: Array[Byte] = value.asInstanceOf[Array[Byte]]
     def getTimestamp: java.sql.Timestamp = value.asInstanceOf[java.sql.Timestamp]
+
+    /** DURATION cell as the reference value class
+      * (worker/cql/Field.java getDuration). Accepts the value class
+      * itself or the Spark lakehouse layout — the
+      * (months, days, nanoseconds) struct Row from [[toSparkType]]. */
+    def getDuration: CqlDuration = value match {
+      case d: CqlDuration => d
+      case r: org.apache.spark.sql.Row =>
+        CqlDuration(r.getAs[Number]("months").longValue(),
+          r.getAs[Number]("days").longValue(),
+          r.getAs[Number]("nanoseconds").longValue())
+      case other => throw new IllegalStateException(s"not a duration: $other")
+    }
+
+    /** DATE cell as the reference value class (worker/cql/Field.java
+      * getDate). Accepts the value class or Spark's DateType values. */
+    def getDate: CqlDate = value match {
+      case d: CqlDate => d
+      case d: java.sql.Date =>
+        val ld = d.toLocalDate
+        CqlDate(ld.getYear, ld.getMonthValue, ld.getDayOfMonth)
+      case d: java.time.LocalDate => CqlDate(d.getYear, d.getMonthValue, d.getDayOfMonth)
+      case other => throw new IllegalStateException(s"not a date: $other")
+    }
 
     private def elemType(i: Int): CqlDataType = dataType.cqlType match {
       case Udt => throw new IllegalStateException("use getUDT for UDT fields")

@@ -46,10 +46,21 @@ import CdcStreamConsumer.{Change, Delivered}
   *    replay dedupe at the driver callback (effectively-once instead
   *    of at-least-once when a crashed micro-batch replays).
   */
+/** One CDC generation's metadata — the reference's
+  * `GenerationMetadata` (scylla-cdc-base
+  * .../model/master/GenerationMetadata.java): the [start, end?)
+  * interval a change's time is matched against, plus the generation's
+  * stream set (the streams the master creates tasks for —
+  * GenerationBasedCDCMetadataModel.createTasks). */
+final case class CdcGeneration(generationId: Int, startUs: Long,
+    endUs: Option[Long], streams: Seq[Long])
+
 final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var sources: Vector[(String, Dataset[Change])] = Vector.empty
   private var consumer: Delivered => Unit = _ => ()
   private var consumerSet = false
+  private var generations: Option[Vector[CdcGeneration]] = None
+  private var generationListener: CdcGeneration => Unit = _ => ()
   private var partitionConsumer: Option[Iterator[Delivered] => Unit] = None
   private var queryWindowMs: Long = 30000L // reference DEFAULT_QUERY_TIME_WINDOW_SIZE_MS
   private var confidenceMs: Long = 30000L  // reference DEFAULT_CONFIDENCE_WINDOW_SIZE_MS
@@ -96,6 +107,44 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   def withMaxRetryAttempts(n: Int): this.type = {
     require(n > 0, "maxRetryAttempts must be positive"); maxRetryAttempts = n; this
   }
+  /** Generation-aware consumption — the reference master's
+    * fetch/switch loop (GenerationBasedCDCMetadataModel.runMasterLoop,
+    * Master.java:92-100): consume generation N against its stream set
+    * to its end, then atomically re-task onto generation N+1. The
+    * switchover BARRIER comes from the confidence-window watermark: a
+    * change is only delivered once the watermark passed it, so by the
+    * time the first gen-N+1 change reaches the sink, every gen-N
+    * change has already been emitted — ordering delivery by
+    * (generation, streamId, seqNo) therefore finishes gen N completely
+    * before gen N+1 begins, exactly the master's
+    * areTasksFullyConsumedUntil(gen.end) decision re-expressed on the
+    * watermark. Generations with no changes are passed over silently,
+    * matching the master's inner `while (generationDone)` skip.
+    * Requires the driver-callback path (the master lives on the
+    * driver in the reference too). */
+  def withGenerations(gens: Seq[CdcGeneration]): this.type = {
+    require(gens.nonEmpty, "withGenerations requires at least one generation")
+    val sorted = gens.sortBy(_.startUs).toVector
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      require(a.endUs.contains(b.startUs),
+        s"generations must be contiguous: gen ${a.generationId} ends at " +
+          s"${a.endUs} but gen ${b.generationId} starts at ${b.startUs}")
+    }
+    require(sorted.init.forall(_.endUs.isDefined) ,
+      "only the last generation may be open-ended")
+    generations = Some(sorted); this
+  }
+
+  /** Invoked on every re-task — the `transport.configureWorkers(tasks)`
+    * analogue: once for the initial generation at start(), then once
+    * per switchover with the NEW generation (its stream set is what a
+    * worker pool would be re-tasked onto; group it with
+    * [[graft.cdc.CdcOps.groupedTasksFromStreams]] for (gen, vnode)
+    * tasks). */
+  def withGenerationSwitchListener(l: CdcGeneration => Unit): this.type = {
+    generationListener = l; this
+  }
+
   def withCheckpointLocation(path: String): this.type = { checkpointLocation = Some(path); this }
   def withStateStore(store: CdcStateStore): this.type = { stateStore = Some(store); this }
   def withQueryName(name: String): this.type = { queryName = name; this }
@@ -105,9 +154,12 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     require(partitionConsumer.isEmpty || !consumerSet,
       "withConsumer and withPartitionConsumer are mutually exclusive — " +
         "the driver callback would be silently ignored")
+    require(generations.isEmpty || partitionConsumer.isEmpty,
+      "withGenerations requires the driver-callback path — the master's " +
+        "switchover barrier is driver-side state, like the reference master")
     new GraftCdcConsumer(spark, sources, consumer, partitionConsumer, queryWindowMs,
       confidenceMs, workersCount, backoff, maxRetryAttempts, checkpointLocation,
-      stateStore, queryName)
+      stateStore, queryName, generations, generationListener)
   }
 }
 
@@ -125,9 +177,52 @@ final class GraftCdcConsumer private[streaming] (
     maxRetryAttempts: Int,
     checkpointLocation: Option[String],
     stateStore: Option[CdcStateStore],
-    queryName: String) extends AutoCloseable {
+    queryName: String,
+    generations: Option[Vector[CdcGeneration]] = None,
+    generationListener: CdcGeneration => Unit = _ => ()) extends AutoCloseable {
 
   private var running: Vector[StreamingQuery] = Vector.empty
+
+  // ---- master state (generation-switchover mode) ------------------
+  // Driver-side like the reference master; guarded by genLock because
+  // multiple sources' micro-batches can deliver concurrently.
+  private val genLock = new Object
+  private var currentGen: Option[CdcGeneration] = None
+  private var switches: Vector[Int] = Vector.empty
+  private var genDelivered: Map[Int, Long] = Map.empty
+
+  /** The generation currently being consumed (switchover mode). */
+  def currentGeneration: Option[CdcGeneration] = genLock.synchronized(currentGen)
+  /** configureWorkers order: each re-task's generation id, initial one
+    * first. */
+  def generationSwitches: Seq[Int] = genLock.synchronized(switches)
+  /** Per-generation callback delivery counts (replays under the retry
+    * path count like the callback sees them). */
+  def generationProgress: Map[Int, Long] = genLock.synchronized(genDelivered)
+
+  /** Index of the generation containing time t: the last one with
+    * startUs <= t (generations are contiguous and sorted). Changes
+    * before the first generation's start count into it — the reference
+    * has no such changes (the first generation starts with the
+    * cluster). */
+  private def genIndexOf(gens: Vector[CdcGeneration], tUs: Long): Int =
+    math.max(gens.lastIndexWhere(_.startUs <= tUs), 0)
+
+  /** Re-task onto generation g if it's ahead of the current one — the
+    * runMasterLoop advance + configureWorkers step. Monotone: a
+    * straggler delivered past the confidence window (Spark late-data
+    * semantics) never drags the master backwards. */
+  private def advanceTo(g: CdcGeneration): Unit = genLock.synchronized {
+    if (!currentGen.exists(_.startUs >= g.startUs)) {
+      currentGen = Some(g)
+      switches :+= g.generationId
+      generationListener(g)
+    }
+  }
+
+  private def countDelivered(gid: Int): Unit = genLock.synchronized {
+    genDelivered = genDelivered.updated(gid, genDelivered.getOrElse(gid, 0L) + 1L)
+  }
 
   /** The delivery pipeline of the FIRST source as a streaming Dataset
     * (composable; start() wires every source to the sink). The
@@ -196,7 +291,21 @@ final class GraftCdcConsumer private[streaming] (
                   (d.timeUs == p.lastTimeUs && d.eventId > p.lastEventId)))
               case None => rows
             }
-            fresh.foreach(cb)
+            generations match {
+              case Some(gens) =>
+                // switchover mode: stable-sort the batch by generation
+                // (keeps (streamId, seqNo) order within each one) —
+                // the watermark guarantees no later batch carries an
+                // EARLIER generation's change, so this finishes gen N
+                // completely, re-tasks, then begins gen N+1
+                fresh.sortBy(d => genIndexOf(gens, d.timeUs)).foreach { d =>
+                  val g = gens(genIndexOf(gens, d.timeUs))
+                  advanceTo(g)
+                  countDelivered(g.generationId)
+                  cb(d)
+                }
+              case None => fresh.foreach(cb)
+            }
         }
         stateStore.foreach(s => CdcCheckpoints.record(batch, s))
         done = true
@@ -219,6 +328,11 @@ final class GraftCdcConsumer private[streaming] (
     * reference worker re-reading its window after an error. */
   def start(): StreamingQuery = synchronized {
     require(running.isEmpty, "already started")
+    // switchover mode: configure workers for the FIRST generation
+    // before any data flows — getGenerationId falls back to
+    // fetchFirstGenerationId in the reference
+    // (GenerationBasedCDCMetadataModel.java:33-45)
+    generations.foreach(gens => advanceTo(gens.head))
     running = sources.map { case (name, source) =>
       var writer = deliveredFor(source).writeStream
         .queryName(if (sources.size == 1) queryName else s"$queryName-$name")

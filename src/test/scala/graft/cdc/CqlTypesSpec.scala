@@ -68,6 +68,49 @@ class CqlTypesSpec extends SparkSpec {
     assert(Field(null, native(Int)).isNull)
   }
 
+  test("CqlDuration renders the reference appendUnit format") {
+    // CqlDuration.java:47-76: sign prefix, then y/mo/d/h/m/s/ms/us/ns
+    assert(CqlDuration(1, 2, 3).toString == "1mo2d3ns")
+    assert(CqlDuration(14, 2, 3).toString == "1y2mo2d3ns")
+    assert(CqlDuration(0, 0, 0).toString == "")
+    assert(CqlDuration(-1, -2, -3).toString == "-1mo2d3ns")
+    // 1h + 1m + 1s + 1ms + 1us + 1ns
+    assert(CqlDuration(0, 0, 3661001001001L).toString == "1h1m1s1ms1us1ns")
+    assert(CqlDuration(24, 0, 0).toString == "2y")
+    assert(CqlDuration(0, 0, 90000000000L).toString == "1m30s")
+  }
+
+  test("CqlDate renders y-MM-dd with month/day padding only; pre-epoch legal") {
+    assert(CqlDate(2024, 1, 2).toString == "2024-01-02")
+    assert(CqlDate(1969, 12, 31).toString == "1969-12-31")
+    assert(CqlDate(7, 1, 1).toString == "7-01-01") // year is NOT padded
+    assert(CqlDate(2024, 1, 2) == CqlDate(2024, 1, 2))
+  }
+
+  test("Field.getDuration/getDate round-trip the Spark lakehouse layouts") {
+    import spark.implicits._
+    // duration lands as the (months, days, nanoseconds) struct
+    val df = Seq((1L, (1, 2, 3L), java.sql.Date.valueOf("2024-01-02")))
+      .toDF("pk", "dur", "d")
+      .select(col("pk"),
+        col("dur._1").as("months"), col("dur._2").as("days"),
+        col("dur._3").as("nanoseconds"), col("d"))
+      .select(col("pk"),
+        struct(col("months"), col("days"), col("nanoseconds")).as("dur"), col("d"))
+    val row = df.head()
+    val dur = Field(row.getStruct(1), native(Duration)).getDuration
+    assert(dur == CqlDuration(1, 2, 3))
+    assert(dur.toString == "1mo2d3ns")
+    val date = Field(row.getDate(2), native(Date)).getDate
+    assert(date == CqlDate(2024, 1, 2))
+    assert(date.toString == "2024-01-02")
+    // the value classes pass through unchanged
+    assert(Field(CqlDuration(0, 1, 0), native(Duration)).getDuration.toString == "1d")
+    assert(Field(CqlDate(1, 2, 3), native(Date)).getDate.toString == "1-02-03")
+    intercept[IllegalStateException](Field("x", native(Duration)).getDuration)
+    intercept[IllegalStateException](Field(5, native(Date)).getDate)
+  }
+
   test("ColumnDefinition exposes the CQL view; RawChange.getField types cells") {
     import spark.implicits._
     val log = CdcLogAdapter.fromEventsWithCollections(

@@ -76,6 +76,89 @@ class GraftCdcConsumerSpec extends SparkSpec {
     assert(store.get(4L).get.lastTimeUs == ms(30))
   }
 
+  test("generation switchover: gen N finishes, re-task fires, gen N+1 follows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Three generations (GenerationBasedCDCMetadataModel.runMasterLoop):
+    // gen 0 [T0, T0+100ms) streams {1,2}; gen 1 [T0+100ms, T0+200ms)
+    // streams {1,2,3} is EMPTY (skipped without a configureWorkers call,
+    // like the master's inner while-done loop); gen 2 open, streams {1,3}.
+    val gens = Seq(
+      CdcGeneration(0, ms(0), Some(ms(100)), Seq(1L, 2L)),
+      CdcGeneration(1, ms(100), Some(ms(200)), Seq(1L, 2L, 3L)),
+      CdcGeneration(2, ms(200), None, Seq(1L, 3L)))
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val retasked = new ConcurrentLinkedQueue[(Int, Seq[Long])]()
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withGenerations(gens)
+      .withGenerationSwitchListener(g => retasked.add((g.generationId, g.streams)))
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"spec_gens_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      // the initial configureWorkers happens before any data
+      assert(c.generationSwitches == Seq(0))
+      assert(c.currentGeneration.map(_.generationId).contains(0))
+      // one shuffled arrival order spanning the gen 0 → gen 2 boundary
+      input.addData(Seq(
+        Change(1, ms(250), 7, 2, 0.0),  // gen 2
+        Change(1, ms(10), 1, 2, 0.0),   // gen 0
+        Change(2, ms(50), 2, 1, 0.0),   // gen 0
+        Change(3, ms(260), 8, 2, 0.0),  // gen 2
+        Change(1, ms(90), 3, 1, 0.0)))  // gen 0
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // watermark nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // flush nudge
+      c.processAllAvailable()
+    } finally c.stop()
+    val main = received.asScala.filter(_.streamId != 9).toSeq
+    // complete delivery across the boundary…
+    assert(main.size == 5)
+    // …with every gen-0 change BEFORE any gen-2 change
+    val genOf = main.map(d => if (d.timeUs < ms(100)) 0 else 2)
+    assert(genOf == genOf.sorted, s"delivery crossed the generation barrier: $main")
+    // switchover visible: initial gen 0, then gen 2 — empty gen 1 is
+    // skipped without a re-task, like the master's while-done loop
+    assert(c.generationSwitches == Seq(0, 2))
+    assert(retasked.asScala.toSeq == Seq((0, Seq(1L, 2L)), (2, Seq(1L, 3L))))
+    assert(c.currentGeneration.map(_.generationId).contains(2))
+    // per-generation progress: 3 changes in gen 0; gen 2 carries its 2
+    // main changes + the first nudge (the second stays inside the
+    // confidence window); empty gen 1 never appears
+    val progress = c.generationProgress
+    assert(progress(0) == 3)
+    assert(progress(2) == 3)
+    assert(!progress.contains(1))
+  }
+
+  test("withGenerations validates contiguity and the driver-callback requirement") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    intercept[IllegalArgumentException] {
+      GraftCdcConsumer.builder(spark).withGenerations(Seq(
+        CdcGeneration(0, ms(0), Some(ms(50)), Seq(1L)),
+        CdcGeneration(1, ms(100), None, Seq(1L)))) // gap: 50 ≠ 100
+    }
+    intercept[IllegalArgumentException] {
+      GraftCdcConsumer.builder(spark).withGenerations(Seq(
+        CdcGeneration(0, ms(0), None, Seq(1L)), // open but not last
+        CdcGeneration(1, ms(100), None, Seq(1L))))
+    }
+    intercept[IllegalArgumentException] {
+      GraftCdcConsumer.builder(spark)
+        .withSource(input.toDS())
+        .withGenerations(Seq(CdcGeneration(0, ms(0), None, Seq(1L))))
+        .withPartitionConsumer(_ => ()) // master is driver-side
+        .build()
+    }
+  }
+
   test("confidence window reorders within it, then delivers in ChangeId order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
