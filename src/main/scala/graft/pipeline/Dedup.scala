@@ -158,7 +158,13 @@ object Dedup {
     * Scale: each iteration is one join+groupBy on the (post-filter,
     * tiny relative to the corpus) edge set; iterations ≈ component
     * diameter; `localCheckpoint` truncates lineage per round. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy(col("doc_id"))
+
+  /** [[clusters]] without the presentation sort — the frame keeplist
+    * composes with: its next step is a join, so a global sort exchange
+    * here would be pure waste (keeplist sorts once, at the end). */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramJaccard(spark, dir).select(col("doc_id_1"), col("doc_id_2"))
     val edges = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
@@ -189,7 +195,6 @@ object Dedup {
     }
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"),
         (col("doc") === col("label")).as("is_canonical"))
-      .orderBy(col("doc_id"))
   }
 
   /** The shared connected-components CTE chain (shingles → inverted
@@ -241,7 +246,7 @@ object Dedup {
     val exact = docs(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("digest"))
       .withColumn("exact_canon", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
-    val clus = clusters(spark, dir)
+    val clus = clusterLabels(spark, dir)
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
     exact.join(clus, Seq("doc_id"), "left")
       .withColumn("reason",
