@@ -230,4 +230,132 @@ object Corpus {
       |FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+
+  val SeqLen = 64    // tokens per packed training sequence
+  val NumShards = 8  // independent packing streams
+
+  /** Training-sequence packing — lay the tokenized corpus end-to-end
+    * into fixed-[[SeqLen]] context windows and record where each doc
+    * lands (shard, byte-analogue offset, sequence index). The packing
+    * order is (shard, doc_id): deterministic, so re-runs and the
+    * oracle agree row-for-row.
+    *
+    * Scale: a SINGLE global running sum would serialize the corpus
+    * through one partition — instead docs hash into [[NumShards]]
+    * independent packing streams (in production: one per output file
+    * writer) and the cumulative sum runs per shard. One shuffle on
+    * shard; the window is partition-local after it. NumShards scales
+    * with the writer pool, not the data. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("bigint").as("n_tokens"))
+      .withColumn("shard", (col("doc_id") % NumShards).cast("int"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_idx", (col("start_offset") / SeqLen).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_offset"), col("seq_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, CAST(doc_id % $NumShards AS INT) AS shard, n_tokens,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY doc_id % $NumShards ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset,
+       |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY doc_id % $NumShards ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / $SeqLen) AS BIGINT) AS seq_idx
+       |FROM (
+       |  SELECT doc_id, CAST(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val MixScale = 65536L
+
+  /** Temperature-0.5 mixture resampling — downsample each source
+    * toward sqrt-scaled proportions (the multilingual-corpus mixing
+    * rule: keep probability sqrt(n_min/n_s), so dominant sources
+    * shrink and rare sources are kept whole). The keep decision is the
+    * same stable LCG bucket as [[sample]] — appends and re-runs keep
+    * the same docs.
+    *
+    * Scale: per-source counts are a tiny aggregate (the source key
+    * space is a provenance registry, not data-sized); joined back
+    * without a mandatory hint — AQE broadcasts the small side. The
+    * corpus pass itself is map-only + one tiny-key count. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+    val withMin = counts.crossJoin(counts.agg(min(col("n_orig")).as("n_min")))
+      .withColumn("threshold",
+        floor(lit(MixScale.toDouble) * sqrt(col("n_min").cast("double") / col("n_orig").cast("double"))))
+    d.join(withMin, "source")
+      .withColumn("bucket", expr(s"((doc_id * $SampleA + $SampleC) div 65536) % $MixScale"))
+      .groupBy(col("source"))
+      .agg(max(col("n_orig")).as("n_orig"),
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("threshold")).cast("bigint").as("threshold"))
+      .orderBy(col("source"))
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_orig FROM documents GROUP BY source),
+       |thresholds AS (
+       |  SELECT source, n_orig,
+       |    FLOOR($MixScale.0 * sqrt(CAST((SELECT MIN(n_orig) FROM counts) AS DOUBLE) / CAST(n_orig AS DOUBLE))) AS threshold
+       |  FROM counts)
+       |SELECT d.source, MAX(t.n_orig) AS n_orig,
+       |  CAST(SUM(CASE WHEN ((d.doc_id * $SampleA + $SampleC) // 65536) % $MixScale < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(MAX(t.threshold) AS BIGINT) AS threshold
+       |FROM documents d JOIN thresholds t ON d.source = t.source
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
+  /** Scalar int8 quantization of the embedding column — the standard
+    * memory-4× ANN-index prep (per-dimension affine map onto 0..255).
+    * Two passes: a (dim)-grain min/max aggregate (64 rows — broadcasts
+    * trivially), then a map-only quantize pass. Output: a per-vector
+    * integrity row (position-weighted checksum + the saturated-end
+    * counts), which pins every quantized byte without emitting 64
+    * columns.
+    *
+    * floor (not round) on purpose: both engines evaluate the identical
+    * double expression tree, and floor has no half-way tie whose
+    * rounding mode could differ. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
+      .groupBy(col("dim"))
+      .agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+    Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
+      .join(dims, "dim")
+      .withColumn("q",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("xd") - col("mn")) * 255.0 / (col("mx") - col("mn")))))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("dim")).as("checksum"),
+        sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_floor"),
+        sum(when(col("q") >= 255, 1L).otherwise(0L)).as("n_ceil"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embQuantizeSql: String =
+    """WITH vals AS (
+      |  SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS xd
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i),
+      |dims AS (
+      |  SELECT dim, MIN(xd) AS mn, MAX(xd) AS mx FROM vals GROUP BY dim),
+      |q AS (
+      |  SELECT vec_id, v.dim,
+      |    CASE WHEN d.mx = d.mn THEN 0 ELSE FLOOR((v.xd - d.mn) * 255.0 / (d.mx - d.mn)) END AS q
+      |  FROM vals v JOIN dims d ON v.dim = d.dim)
+      |SELECT vec_id, CAST(SUM(q * dim) AS BIGINT) AS checksum,
+      |  CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+      |  CAST(SUM(CASE WHEN q >= 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

@@ -275,6 +275,60 @@ object Dedup {
        |SELECT doc_id, reason, (reason = 'kept') AS keep
        |FROM reasons ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #25c decontamination
+
+  /** Benchmark slice for [[decontaminate]]: every BenchmarkMod-th doc
+    * stands in for the held-out eval suites (deterministic, so the
+    * oracle reproduces the slice exactly). */
+  val BenchmarkMod = 20
+
+  /** Train/test decontamination — flag corpus documents sharing any
+    * word-[[ShingleWords]]-gram with a benchmark set (the GPT-3
+    * appendix-C n-gram overlap rule; production pipelines run it
+    * against every eval suite before training). Output: one row per
+    * CONTAMINATED corpus doc with how many benchmark docs and distinct
+    * shingles it collides with.
+    *
+    * Scale: the benchmark side is tiny by construction (eval suites,
+    * not corpora), so its exploded shingle index is the natural
+    * broadcast side — AQE picks that up without a mandatory hint, and
+    * the 100 TB corpus side stays a map-side probe: no corpus-keyed
+    * shuffle anywhere, the only exchange is the per-doc count
+    * aggregation over the (rare) colliding rows. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= ShingleWords)
+      .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
+    val inv = sh.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+    val bench = inv.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("doc_id").as("bench_doc_id"), col("shingle"))
+    inv.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(bench, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_doc_id")).as("n_benchmark_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tokens
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $wordShinglesSql AS shingles
+       |  FROM toks WHERE len(tokens) >= $ShingleWords),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |bench AS (SELECT doc_id AS bench_doc_id, shingle FROM inv WHERE doc_id % $BenchmarkMod = 0)
+       |SELECT c.doc_id,
+       |  COUNT(DISTINCT b.bench_doc_id) AS n_benchmark_docs,
+       |  COUNT(DISTINCT c.shingle) AS n_shared_shingles
+       |FROM inv c JOIN bench b ON c.shingle = b.shingle
+       |WHERE c.doc_id % $BenchmarkMod <> 0
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ------------------------------------------------------------ #26 MinHash + LSH
 
   /** MinHash + banded LSH candidate pairs: per-row signature (map-only)

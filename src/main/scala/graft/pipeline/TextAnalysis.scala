@@ -182,6 +182,49 @@ object TextAnalysis {
        |  MAX(n_toks) AS max_tokens
        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------ #33c chunking
+
+  val ChunkTokens = 16 // tokens per chunk
+  val ChunkStride = 8  // overlap: each chunk starts Stride tokens after the last
+
+  /** Sliding-window chunking — split each doc into overlapping
+    * [[ChunkTokens]]-token windows every [[ChunkStride]] tokens (the
+    * RAG-indexing / long-doc training prep). Each chunk row carries an
+    * md5 of its joined text, pinning the exact slice content without
+    * emitting the text itself.
+    *
+    * Scale: map-only — sequence+explode fans each doc to its chunk
+    * starts, slice/concat/md5 are per-row projections; no shuffle at
+    * all (the trailing presentation sort is the oracle's, not the
+    * operator's). The token array is staged once per doc (interpreted
+    * HOFs don't CSE — see Hashes scaladoc). */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start_tok"))
+      .withColumn("chunk_idx", ((col("start_tok") - 1) / ChunkStride).cast("int"))
+      .withColumn("chunk_toks", slice(col("toks"), col("start_tok"), lit(ChunkTokens)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok").cast("int").as("start_tok"),
+        size(col("chunk_toks")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk_toks"))).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks), $ChunkStride)) AS start_tok
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id,
+       |  CAST((start_tok - 1) // $ChunkStride AS INT) AS chunk_idx,
+       |  CAST(start_tok AS INT) AS start_tok,
+       |  CAST(len(list_slice(toks, start_tok, start_tok + ${ChunkTokens - 1})) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(list_slice(toks, start_tok, start_tok + ${ChunkTokens - 1}), ' ')) AS chunk_digest
+       |FROM starts
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------------ #34 fingerprint
 
   /** Polynomial rolling-hash document fingerprints: one full-text hash
