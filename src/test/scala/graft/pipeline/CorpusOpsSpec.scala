@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Independent invariant checks for the round-3 pipeline operators,
+  * beyond the SQL oracle: conservation laws and brute-force
+  * cross-checks a hash-compare can't express. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontaminate flags only non-benchmark docs that truly share a shingle") {
+    // brute force: shingle every doc driver-side, intersect with the
+    // benchmark slice's shingle union
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq).toMap
+    def shingles(toks: Seq[String]): Set[String] =
+      if (toks.length < Dedup.ShingleWords) Set.empty
+      else toks.sliding(Dedup.ShingleWords).map(_.mkString(" ")).toSet
+    val benchShingles = texts.collect {
+      case (id, toks) if id % Dedup.BenchmarkMod == 0 => shingles(toks)
+    }.fold(Set.empty)(_ ++ _)
+    val expected = texts.collect {
+      case (id, toks) if id % Dedup.BenchmarkMod != 0 &&
+        shingles(toks).exists(benchShingles.contains) => id
+    }.toSet
+
+    val got = Dedup.decontaminate(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == expected)
+    got.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % Dedup.BenchmarkMod != 0)
+      assert(r.getAs[Long]("n_benchmark_docs") >= 1)
+      assert(r.getAs[Long]("n_shared_shingles") >= 1)
+    }
+  }
+
+  test("packSequences conserves tokens and packs contiguously per shard") {
+    val rows = Corpus.packSequences(spark, dir).collect()
+    // every doc appears once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    // per shard: offsets are the exact running sum in doc_id order
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("start_offset") == cum,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("seq_idx") == cum / Corpus.SeqLen)
+        assert(r.getAs[Long]("doc_id") % Corpus.NumShards == shard)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("mixTemperature keeps the smallest source whole and subsamples the rest") {
+    val rows = Corpus.mixTemperature(spark, dir).collect()
+    val minOrig = rows.map(_.getAs[Long]("n_orig")).min
+    rows.foreach { r =>
+      val (orig, kept, thr) = (r.getAs[Long]("n_orig"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("threshold"))
+      assert(kept <= orig)
+      // sqrt(n_min/n_s) * 65536, floored — the smallest source's
+      // threshold is the full bucket range, so it is kept whole
+      assert(thr == math.floor(Corpus.MixScale.toDouble *
+        math.sqrt(minOrig.toDouble / orig.toDouble)).toLong)
+      if (orig == minOrig) assert(kept == orig)
+    }
+  }
+
+  test("embQuantize: every dim saturates its floor, checksums stay in range") {
+    val rows = Corpus.embQuantize(spark, dir).collect()
+    val nVecs = graft.Tables.embeddings(spark, dir).count()
+    assert(rows.length == nVecs)
+    val dims = graft.Tables.embeddings(spark, dir)
+      .selectExpr("size(embedding) AS d").head().getInt(0)
+    // each dim's min element quantizes to exactly 0 → at least one
+    // zero per dim across the corpus
+    assert(rows.map(_.getAs[Long]("n_floor")).sum >= dims)
+    rows.foreach { r =>
+      val cs = r.getAs[Long]("checksum")
+      assert(cs >= 0 && cs <= 255L * dims * (dims + 1) / 2)
+      assert(r.getAs[Long]("n_floor") + r.getAs[Long]("n_ceil") <= dims)
+    }
+  }
+
+  test("chunk covers every token with the documented stride geometry") {
+    val rows = TextAnalysis.chunk(spark, dir).collect()
+    val nToks = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        "size(filter(split(lower(text), ' '), t -> length(t) > 0)) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val n = nToks(doc)
+      // one chunk per stride start: ceil(n / stride)
+      assert(rs.length == (n + TextAnalysis.ChunkStride - 1) / TextAnalysis.ChunkStride)
+      rs.foreach { r =>
+        val start = r.getAs[Int]("start_tok")
+        assert(start == r.getAs[Int]("chunk_idx") * TextAnalysis.ChunkStride + 1)
+        // full-size interior chunks, truncated tail
+        assert(r.getAs[Long]("n_chunk_tokens") ==
+          math.min(TextAnalysis.ChunkTokens, n - start + 1))
+      }
+    }
+  }
+}
