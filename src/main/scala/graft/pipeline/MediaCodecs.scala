@@ -1,15 +1,19 @@
 package graft.pipeline
 
 /** Pure-JVM media codecs for the multimodal pipeline: binary PPM (P6)
-  * and PGM (P5) — real encoded-image formats with real parsers, no
-  * native codec dependency. Formats this container can't decode
-  * (jpeg/png/webp need libjpeg/libpng) dispatch to the undecodable
-  * branch in [[Multimodal.decodeFeatures]]; their slot in the pipeline
-  * is identical, only the parser differs.
+  * / PGM (P5) images and RIFF/WAV PCM audio — real encoded-media
+  * formats with real parsers, no native codec dependency. Formats this
+  * container can't decode (jpeg/png/webp need libjpeg/libpng; mp3/aac
+  * need their decoders) dispatch to the undecodable branch in
+  * [[Multimodal.decodeFeatures]] / audioFeatures; their slot in the
+  * pipeline is identical, only the parser differs.
   */
 object MediaCodecs {
 
   final case class Decoded(format: String, width: Int, height: Int, meanLuma: Double)
+
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Int, rms: Double)
 
   /** Encode a grayscale image as binary PGM (P5). */
   def encodePgm(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
@@ -90,5 +94,70 @@ object MediaCodecs {
     }
     Some(Decoded(if (channels == 3) "ppm" else "pgm", width, height,
       acc / (width * height) / maxVal))
+  }
+
+  /** Encode mono 16-bit PCM as a canonical RIFF/WAVE file: RIFF
+    * header, `fmt ` chunk (PCM, mono, 16-bit), `data` chunk with
+    * little-endian samples — byte-for-byte the classic 44-byte-header
+    * WAV layout. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a RIFF/WAVE payload: walk the chunk list (fmt before
+    * data, unknown chunks skipped by their declared size, per the RIFF
+    * spec), then RMS over the 16-bit little-endian PCM samples
+    * normalized to [0, 1]. Returns None for any other container or a
+    * non-PCM/non-16-bit encoding (the undecodable branch). */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
+    if (payload.length < 12) return None
+    def ascii(off: Int, n: Int) = new String(payload, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    while (pos + 8 <= payload.length) {
+      val id = ascii(pos, 4)
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = buf.getShort(pos + 8).toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((buf.getShort(pos + 10).toInt, buf.getInt(pos + 12),
+            buf.getShort(pos + 22).toInt))
+        case "data" =>
+          val (channels, rate, bits) = fmt.getOrElse(return None)
+          if (bits != 16 || channels < 1) return None
+          val n = size / 2
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val s = buf.getShort(pos + 8 + i * 2).toDouble / 32768.0
+            acc += s * s
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(acc / n)
+          return Some(DecodedAudio(rate, channels, bits, n / channels, rms))
+        case _ => () // skip unknown chunk (LIST, INFO, ...)
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
   }
 }

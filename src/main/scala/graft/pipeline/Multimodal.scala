@@ -106,4 +106,65 @@ object Multimodal {
       .repartition(col("format"))
     decodeFeatures(spark, media)
   }
+
+  /** A row carrying an opaque audio payload + declared metadata. */
+  case class AudioRow(doc_id: Long, payload: Array[Byte], format: String)
+
+  /** Extracted audio features: payload stats always; decoded=true adds
+    * container-derived sample rate / length / RMS amplitude. */
+  case class AudioFeatures(doc_id: Long, n_bytes: Long, format: String,
+      sample_rate: Int, n_samples: Long, duration_ms: Double, rms: Double,
+      decoded: Boolean)
+
+  /** Attach REAL encoded audio: deterministic integer triangle waves
+    * as RIFF/WAV PCM-16 (doc_id%3 != 2) or — the codec-less branch —
+    * raw text bytes labeled "mp3" (==2). Integer waveform generation
+    * (no trig) keeps every byte reproducible across partitionings. */
+  def attachAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      if (id % 3 == 2) AudioRow(id, text.getBytes("UTF-8"), "mp3")
+      else {
+        val n = (400 + (id % 10) * 40).toInt
+        val period = (16 + (id % 32)).toInt
+        val samples = Array.tabulate(n) { i =>
+          // triangle wave in [-8192, 8192]
+          val phase = i % period
+          val tri = math.abs(phase * 4 - period * 2) - period
+          (tri * 8192 / period).toShort
+        }
+        AudioRow(id, MediaCodecs.encodeWavPcm16(8000 + (id % 4).toInt * 4000, samples), "wav")
+      }
+    }
+  }
+
+  /** Batch audio decode — same mapPartitions shape as
+    * [[decodeFeatures]]: WAV payloads get REAL RIFF parsing (rate,
+    * samples, RMS); codec-bound formats fall back to payload-level
+    * stats (decoded=false). */
+  def audioFeatures(spark: SparkSession, audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodecs.decodeWav(r.payload) match {
+          case Some(d) =>
+            AudioFeatures(r.doc_id, r.payload.length.toLong, "wav",
+              d.sampleRate, d.nSamples.toLong,
+              d.nSamples.toDouble * 1000.0 / d.sampleRate, d.rms, decoded = true)
+          case None =>
+            AudioFeatures(r.doc_id, r.payload.length.toLong, r.format,
+              0, 0L, 0.0, 0.0, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** End-to-end audio pipeline: attach → repartition by format →
+    * batch-decode. */
+  def audioPipeline(spark: SparkSession, dir: String): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    val audio = attachAudio(spark, graft.Tables.documents(spark, dir))
+      .repartition(col("format")).as[AudioRow]
+    audioFeatures(spark, audio)
+  }
 }

@@ -55,6 +55,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV codec: PCM round-trip, chunk walking, and end-to-end audio") {
+    // round-trip: a known constant signal has RMS |s|/32768
+    val samples = Array.fill(1000)(16384.toShort)
+    val d = MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(44100, samples)).get
+    assert((d.sampleRate, d.channels, d.bitsPerSample, d.nSamples) == ((44100, 1, 16, 1000)))
+    assert(math.abs(d.rms - 0.5) < 1e-12)
+    // silence
+    assert(MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(8000, Array.fill(10)(0.toShort))).get.rms == 0.0)
+    // unknown chunks between fmt and data are skipped per the RIFF spec
+    val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](100, -100))
+    val withList = {
+      val junk = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val out = new Array[Byte](wav.length + junk.length)
+      System.arraycopy(wav, 0, out, 0, 36)            // RIFF..fmt chunk
+      System.arraycopy(junk, 0, out, 36, junk.length) // interposed LIST
+      System.arraycopy(wav, 36, out, 36 + junk.length, wav.length - 36)
+      out
+    }
+    assert(MediaCodecs.decodeWav(withList).get.nSamples == 2)
+    // foreign bytes refuse to decode
+    assert(MediaCodecs.decodeWav("not audio at all".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav(MediaCodecs.encodePgm(2, 2, (_, _) => 0)).isEmpty)
+
+    // end-to-end: WAV payloads really decode, mp3 branch falls back
+    val feats = Multimodal.audioPipeline(spark, dir).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      if (f.doc_id % 3 == 2) assert(!f.decoded && f.format == "mp3")
+      else {
+        assert(f.decoded, s"doc ${f.doc_id}")
+        assert(f.sample_rate == 8000 + (f.doc_id % 4) * 4000)
+        assert(f.n_samples == 400 + (f.doc_id % 10) * 40)
+        assert(f.duration_ms == f.n_samples * 1000.0 / f.sample_rate)
+        assert(f.rms > 0.0 && f.rms < 1.0)
+      }
+    }
+  }
+
   test("stubbed decode emits deterministic features with real batch plumbing") {
     val feats = Multimodal.pipeline(spark, dir)
     val rows = feats.collect()
