@@ -96,6 +96,77 @@ object MediaCodecs {
       acc / (width * height) / maxVal))
   }
 
+  final case class DecodedVideo(width: Int, height: Int, nFrames: Int,
+      sampledFrames: Seq[Int], sampledMeanLuma: Seq[Double])
+
+  /** Encode frames of 8-bit luma as YUV4MPEG2 (y4m, C420 with constant
+    * chroma): the `YUV4MPEG2 W# H# F#:#` header line then one
+    * `FRAME\n` marker + raw Y/U/V planes per frame — the standard
+    * uncompressed interchange format every video toolchain reads. */
+  def encodeY4m(width: Int, height: Int, frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val chromaLen = (width / 2) * (height / 2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header, 0, header.length)
+    frames.foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { out.write(f(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      var i = 0
+      while (i < 2 * chromaLen) { out.write(128); i += 1 } // neutral chroma
+    }
+    out.toByteArray
+  }
+
+  /** Decode a y4m payload with FRAME SAMPLING — the video analogue of
+    * the image/audio parsers: parse the header (W/H/F tags), count
+    * frames, and fully read only every `sampleEvery`-th frame's luma
+    * plane (mean luma per sampled frame); unsampled frames are skipped
+    * by plane arithmetic, never touched — exactly how a 100 TB video
+    * pipeline avoids decoding what it doesn't sample. C420 only (the
+    * overwhelmingly common subsampling); anything else → None. */
+  def decodeY4m(payload: Array[Byte], sampleEvery: Int): Option[DecodedVideo] = {
+    val headEnd = payload.indexOf('\n'.toInt)
+    if (headEnd < 9) return None
+    val header = new String(payload, 0, headEnd, "US-ASCII")
+    val parts = header.split(" ")
+    if (parts(0) != "YUV4MPEG2") return None
+    def tag(p: Char): Option[String] =
+      parts.iterator.drop(1).find(_.headOption.contains(p)).map(_.tail)
+    val width = tag('W').map(_.toInt).getOrElse(return None)
+    val height = tag('H').map(_.toInt).getOrElse(return None)
+    if (width <= 0 || height <= 0) return None
+    if (!tag('C').forall(_.startsWith("420"))) return None // C absent = 420
+    val lumaLen = width * height
+    val frameLen = lumaLen + 2 * ((width / 2) * (height / 2))
+    val marker = "FRAME".getBytes("US-ASCII")
+    var pos = headEnd + 1
+    var frame = 0
+    val sampled = Seq.newBuilder[Int]
+    val lumas = Seq.newBuilder[Double]
+    while (pos < payload.length) {
+      // FRAME marker + optional parameters up to newline
+      if (pos + marker.length > payload.length ||
+        !marker.indices.forall(i => payload(pos + i) == marker(i))) return None
+      val nl = payload.indexOf('\n'.toInt, pos)
+      if (nl < 0 || nl + frameLen >= payload.length + 1) return None
+      if (frame % sampleEvery == 0) {
+        var acc = 0.0
+        var i = nl + 1
+        while (i <= nl + lumaLen) { acc += (payload(i) & 0xff); i += 1 }
+        sampled += frame
+        lumas += acc / lumaLen / 255.0
+      }
+      pos = nl + 1 + frameLen
+      frame += 1
+    }
+    Some(DecodedVideo(width, height, frame, sampled.result(), lumas.result()))
+  }
+
   /** Encode mono 16-bit PCM as a canonical RIFF/WAVE file: RIFF
     * header, `fmt ` chunk (PCM, mono, 16-bit), `data` chunk with
     * little-endian samples — byte-for-byte the classic 44-byte-header

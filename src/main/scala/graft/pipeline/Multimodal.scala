@@ -167,4 +167,68 @@ object Multimodal {
       .repartition(col("format")).as[AudioRow]
     audioFeatures(spark, audio)
   }
+
+  /** A row carrying an opaque video payload + declared metadata. */
+  case class VideoRow(doc_id: Long, payload: Array[Byte], format: String)
+
+  /** Frame-sampled video features: container stats always;
+    * decoded=true adds true dims, frame count and the sampled frames'
+    * mean luma (only sampled frames are ever read). */
+  case class VideoFeatures(doc_id: Long, n_bytes: Long, format: String,
+      width: Int, height: Int, n_frames: Int, n_sampled: Int,
+      mean_luma: Double, decoded: Boolean)
+
+  /** Every SampleEvery-th frame is fully decoded; the rest are skipped
+    * by plane arithmetic. */
+  val SampleEvery = 3
+
+  /** Attach REAL encoded video: deterministic moving-gradient y4m
+    * clips (doc_id%3 != 2) or raw text bytes labeled "mp4" (==2, the
+    * codec-less branch). Tiny dims/frame counts keep rows KB-sized;
+    * the lakehouse schema is identical with GB payloads. */
+  def attachVideo(spark: SparkSession, docs: DataFrame): Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      if (id % 3 == 2) VideoRow(id, text.getBytes("UTF-8"), "mp4")
+      else {
+        val w = ((id % 4) * 4 + 8).toInt
+        val h = ((id % 3) * 4 + 8).toInt
+        val nFrames = (4 + id % 6).toInt
+        val frames = (0 until nFrames).map { t => (x: Int, y: Int) =>
+          ((x * 8 + y * 4 + t * 16 + id) % 256).toInt
+        }
+        VideoRow(id, MediaCodecs.encodeY4m(w, h, frames), "y4m")
+      }
+    }
+  }
+
+  /** Batch frame-sampled decode — same mapPartitions shape as the
+    * image/audio paths. */
+  def videoFeatures(spark: SparkSession, video: Dataset[VideoRow]): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    video.mapPartitions { rows =>
+      rows.map { r =>
+        MediaCodecs.decodeY4m(r.payload, SampleEvery) match {
+          case Some(d) =>
+            val mean = if (d.sampledMeanLuma.isEmpty) 0.0
+              else d.sampledMeanLuma.sum / d.sampledMeanLuma.length
+            VideoFeatures(r.doc_id, r.payload.length.toLong, "y4m",
+              d.width, d.height, d.nFrames, d.sampledFrames.length, mean,
+              decoded = true)
+          case None =>
+            VideoFeatures(r.doc_id, r.payload.length.toLong, r.format,
+              0, 0, 0, 0, 0.0, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** End-to-end video pipeline: attach → repartition by format →
+    * frame-sampled batch decode. */
+  def videoPipeline(spark: SparkSession, dir: String): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    val video = attachVideo(spark, graft.Tables.documents(spark, dir))
+      .repartition(col("format")).as[VideoRow]
+    videoFeatures(spark, video)
+  }
 }

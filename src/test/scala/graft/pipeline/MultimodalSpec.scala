@@ -94,6 +94,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real y4m codec: header parse, frame sampling, end-to-end video") {
+    // 2 frames of constant luma 100 and 200 at 4x4
+    val clip = MediaCodecs.encodeY4m(4, 4,
+      Seq((_, _) => 100, (_, _) => 200, (_, _) => 50, (_, _) => 250))
+    val d = MediaCodecs.decodeY4m(clip, sampleEvery = 3).get
+    assert((d.width, d.height, d.nFrames) == ((4, 4, 4)))
+    // frames 0 and 3 sampled; 1 and 2 skipped untouched
+    assert(d.sampledFrames == Seq(0, 3))
+    assert(math.abs(d.sampledMeanLuma.head - 100.0 / 255.0) < 1e-12)
+    assert(math.abs(d.sampledMeanLuma(1) - 250.0 / 255.0) < 1e-12)
+    // sampling every frame reads all of them
+    assert(MediaCodecs.decodeY4m(clip, sampleEvery = 1).get.sampledFrames == Seq(0, 1, 2, 3))
+    // foreign bytes / truncated clips refuse to decode
+    assert(MediaCodecs.decodeY4m("not a video".getBytes, 1).isEmpty)
+    assert(MediaCodecs.decodeY4m(clip.dropRight(5), 1).isEmpty)
+
+    // end-to-end: y4m payloads decode with sampled luma, mp4 falls back
+    val feats = Multimodal.videoPipeline(spark, dir).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      if (f.doc_id % 3 == 2) assert(!f.decoded && f.format == "mp4")
+      else {
+        assert(f.decoded, s"doc ${f.doc_id}")
+        assert(f.width == (f.doc_id % 4) * 4 + 8)
+        assert(f.height == (f.doc_id % 3) * 4 + 8)
+        assert(f.n_frames == 4 + f.doc_id % 6)
+        assert(f.n_sampled == (f.n_frames + Multimodal.SampleEvery - 1) / Multimodal.SampleEvery)
+        assert(f.mean_luma > 0.0 && f.mean_luma < 1.0)
+      }
+    }
+  }
+
   test("stubbed decode emits deterministic features with real batch plumbing") {
     val feats = Multimodal.pipeline(spark, dir)
     val rows = feats.collect()
