@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus build CLI — the pipeline-family analogue
+  * of [[Replicate]]: documents parquet → retention decisions (exact +
+  * near dedup), benchmark decontamination, split/mixture assignment,
+  * sequence packing — one filtered, annotated corpus plus its
+  * composition report, written as parquet.
+  *
+  * Stage order matters and mirrors production pipelines: dedup first
+  * (a duplicated benchmark doc must not survive via its copy),
+  * decontamination second (drops eval overlap from the kept set),
+  * then split/packing over what remains.
+  *
+  * Usage: `sbt "runMain graft.CorpusPipeline <sfDir> <outDir>"`.
+  * At 100 TB the same lines run on a cluster with the parquet paths
+  * pointed at the lake — every stage is the scale-shaped operator
+  * documented in SURVEY §5. */
+object CorpusPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CorpusPipeline <sfDir> <outDir>")
+    val Array(sfDir, out) = args.take(2)
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. retention: exact + near-dup keep/drop decisions per doc
+    val keep = pipeline.Dedup.keeplist(spark, sfDir)
+    // 2. decontamination: docs sharing an n-gram with the benchmark slice
+    val contaminated = pipeline.Dedup.decontaminate(spark, sfDir)
+      .select(col("doc_id"), lit("benchmark_overlap").as("drop_reason"))
+    // 3. the kept corpus with split + packing coordinates
+    val kept = keep.filter(col("keep"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val packed = pipeline.Corpus.packSequences(spark, sfDir)
+      .join(kept, Seq("doc_id"), "left_semi")
+
+    packed.write.mode("overwrite").parquet(s"$out/corpus_packed")
+    keep.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("drop_reason").isNotNull && col("keep"), col("drop_reason"))
+          .otherwise(col("reason")).as("reason"),
+        (col("keep") && col("drop_reason").isNull).as("keep"))
+      .write.mode("overwrite").parquet(s"$out/retention_report")
+
+    val n = Tables.documents(spark, sfDir).count()
+    val nKept = packed.count()
+    println(s"corpus built: $out/corpus_packed ($nKept of $n docs kept), " +
+      s"$out/retention_report")
+    spark.stop()
+  }
+}
