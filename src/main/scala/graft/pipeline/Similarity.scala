@@ -220,4 +220,49 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank, bucket
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------ #30c recall
+
+  /** ANN quality evaluation: recall@k of the LSH and IVF indexes
+    * against the exact brute-force ground truth — the measurement loop
+    * that tunes planes/probes before an index ships. Per query: how
+    * many of the true top-k each index surfaced.
+    *
+    * Scale: the ground-truth side is queries×k rows (tiny by
+    * construction — recall is always evaluated on a query SAMPLE, not
+    * the corpus); joins are on (query_id, neighbor_id); each index
+    * pipeline keeps its own documented scale shape. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val lsh = annLshBucketed(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("lsh_hit"))
+    val ivf = annIvf(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("ivf_hit"))
+    bf.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("lsh_hit"), lit(0L))).as("n_lsh_hits"),
+        sum(coalesce(col("ivf_hit"), lit(0L))).as("n_ivf_hits"))
+      .withColumn("recall_lsh",
+        round(col("n_lsh_hits").cast("double") / col("n_exact"), 6))
+      .withColumn("recall_ivf",
+        round(col("n_ivf_hits").cast("double") / col("n_exact"), 6))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH bf AS ($annBruteForceSql),
+       |lshq AS ($annLshBucketedSql),
+       |ivfq AS ($annIvfSql)
+       |SELECT bf.query_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_hits,
+       |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ivf_hits,
+       |  round(CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall_lsh,
+       |  round(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall_ivf
+       |FROM bf
+       |LEFT JOIN lshq l ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
+       |LEFT JOIN ivfq i ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
+       |GROUP BY bf.query_id
+       |ORDER BY bf.query_id""".stripMargin
 }
