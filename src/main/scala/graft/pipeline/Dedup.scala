@@ -408,6 +408,59 @@ object Dedup {
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
   }
 
+  // ------------------------------------------------------------ #26b MinHash accuracy
+
+  /** MinHash estimator quality: estimated vs TRUE char-shingle Jaccard
+    * for every LSH candidate pair — the measurement that tunes
+    * signature length / band layout before a dedup config ships (the
+    * dedup-side analogue of [[Similarity.annRecall]]).
+    *
+    * Scale: the candidate side is the (post-LSH, tiny) pair set; true
+    * Jaccard for those pairs comes from the same inverted shingle
+    * index the jaccard operator uses (shuffle on shingle hash, never
+    * all-pairs). */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val inv = explodedShingleHashes(spark, dir).distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    minhashLsh(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
+      .join(sizes.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .join(common, col("doc_id_1") === col("d1") && col("doc_id_2") === col("d2"), "left")
+      .withColumn("true_jaccard", round(coalesce(col("c"), lit(0L)).cast("double") /
+        (col("s1.sz") + col("s2.sz") - coalesce(col("c"), lit(0L))).cast("double"), 6))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))
+      .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"),
+        col("true_jaccard"), col("abs_err"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  val minhashAccuracySql: String =
+    s"""WITH mh AS ($minhashLshSql),
+       |codes AS (
+       |  SELECT doc_id, ${charCodesSql("lower(text)")} AS codes FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${shingleHashesFromCodesSql("codes", ShingleK)} AS shash FROM codes),
+       |inv AS (
+       |  SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(shash) AS h FROM sh)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT mh.doc_id_1, mh.doc_id_2, mh.est_jaccard,
+       |  round(CAST(COALESCE(c, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(c, 0) AS DOUBLE), 6) AS true_jaccard,
+       |  round(abs(mh.est_jaccard - round(CAST(COALESCE(c, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(c, 0) AS DOUBLE), 6)), 6) AS abs_err
+       |FROM mh
+       |JOIN sizes s1 ON mh.doc_id_1 = s1.doc_id
+       |JOIN sizes s2 ON mh.doc_id_2 = s2.doc_id
+       |LEFT JOIN common ON mh.doc_id_1 = common.d1 AND mh.doc_id_2 = common.d2
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   // ------------------------------------------------------------ #27 SimHash
 
   /** SimHash block partition: 3 blocks of 11/11/10 bits — pigeonhole
