@@ -420,7 +420,10 @@ object Dedup {
     * index the jaccard operator uses (shuffle on shingle hash, never
     * all-pairs). */
   def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val inv = explodedShingleHashes(spark, dir).distinct()
+    // localCheckpoint: `inv` feeds sizes AND both sides of the common
+    // self-join — without it the interpreted shingle-hash subtree
+    // would be re-evaluated once per reference (the kmeans/IVF lesson)
+    val inv = explodedShingleHashes(spark, dir).distinct().localCheckpoint()
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val common = inv.as("a").join(inv.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
