@@ -313,6 +313,53 @@ object Corpus {
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 
+  /** Source-interleaved training order — the curriculum pass that
+    * round-robins sources so no contiguous run of one source dominates
+    * a training window. Each doc gets a deterministic shuffled rank
+    * WITHIN its source (the [[sample]] LCG, doc_id ties), and the
+    * global order key is computed ARITHMETICALLY:
+    * (rank-1) × n_sources + source_index. No global window anywhere —
+    * a single ROW_NUMBER over the corpus would serialize 100 TB
+    * through one task; the arithmetic key gives the same round-robin
+    * order (holes where a source exhausts are harmless: ordering, not
+    * addressing). Per-source ranks are one shuffle on source. */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .withColumn("bucket", expr(s"((doc_id * $SampleA + $SampleC) div 65536) % $MixScale"))
+    // source registry: tiny (provenance key space), so the single-
+    // partition rank window and the broadcast back are both safe
+    val sources = d.select(col("source")).distinct()
+      .withColumn("source_idx",
+        row_number().over(Window.orderBy(col("source"))).cast("bigint") - 1)
+    val nSources = sources.select(count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
+    d.join(sources, "source").crossJoin(nSources)
+      .withColumn("rank_in_source", row_number().over(w).cast("bigint"))
+      .withColumn("interleave_key",
+        (col("rank_in_source") - 1) * col("n_sources") + col("source_idx"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"), col("interleave_key"))
+      .orderBy(col("interleave_key"))
+  }
+
+  val interleaveSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ((doc_id * $SampleA + $SampleC) // 65536) % $MixScale AS bucket
+       |  FROM documents),
+       |sources AS (
+       |  SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1 AS source_idx
+       |  FROM (SELECT DISTINCT source FROM d)),
+       |n AS (SELECT COUNT(*) AS n_sources FROM sources),
+       |ranked AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.bucket, d.doc_id) AS BIGINT) AS rank_in_source,
+       |    s.source_idx
+       |  FROM d JOIN sources s ON d.source = s.source)
+       |SELECT doc_id, source, rank_in_source,
+       |  (rank_in_source - 1) * n.n_sources + source_idx AS interleave_key
+       |FROM ranked CROSS JOIN n
+       |ORDER BY interleave_key""".stripMargin
+
   /** Scalar int8 quantization of the embedding column — the standard
     * memory-4× ANN-index prep (per-dimension affine map onto 0..255).
     * Two passes: a (dim)-grain min/max aggregate (64 rows — broadcasts
