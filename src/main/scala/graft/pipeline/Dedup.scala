@@ -420,22 +420,26 @@ object Dedup {
     * index the jaccard operator uses (shuffle on shingle hash, never
     * all-pairs). */
   def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: `inv` feeds sizes AND both sides of the common
-    // self-join — without it the interpreted shingle-hash subtree
-    // would be re-evaluated once per reference (the kmeans/IVF lesson)
-    val inv = explodedShingleHashes(spark, dir).distinct().localCheckpoint()
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val common = inv.as("a").join(inv.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("c"))
+    // True Jaccard is computed PER CANDIDATE PAIR from the two docs'
+    // distinct shingle-hash arrays (array_intersect) — linear in the
+    // pair count. An inverted-index self-join on the char shingles is
+    // the WRONG shape here: char 5-grams on a low-entropy corpus are
+    // hot (the §5 f² lesson — word-grams exist in ngramJaccard
+    // precisely for rarity), and the postings join measured 75 s at
+    // sf0.1 vs ~1 s for this formulation. localCheckpoint because the
+    // per-doc set frame feeds both sides of the pair join.
+    val sets = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.ShingleHash.shingleHashes(lower(col("text")), ShingleK).as("shash"))
+      .select(col("doc_id"), array_distinct(col("shash")).as("shs"))
+      .localCheckpoint()
     minhashLsh(spark, dir)
       .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
-      .join(sizes.as("s1"), col("doc_id_1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("doc_id_2") === col("s2.doc_id"))
-      .join(common, col("doc_id_1") === col("d1") && col("doc_id_2") === col("d2"), "left")
-      .withColumn("true_jaccard", round(coalesce(col("c"), lit(0L)).cast("double") /
-        (col("s1.sz") + col("s2.sz") - coalesce(col("c"), lit(0L))).cast("double"), 6))
+      .join(sets.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .withColumn("inter", size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("long"))
+      .withColumn("true_jaccard", round(col("inter").cast("double") /
+        (size(col("s1.shs")) + size(col("s2.shs")) - col("inter")).cast("double"), 6))
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))
       .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"),
         col("true_jaccard"), col("abs_err"))
@@ -448,20 +452,18 @@ object Dedup {
        |  SELECT doc_id, ${charCodesSql("lower(text)")} AS codes FROM documents),
        |sh AS (
        |  SELECT doc_id, ${shingleHashesFromCodesSql("codes", ShingleK)} AS shash FROM codes),
-       |inv AS (
-       |  SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(shash) AS h FROM sh)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY doc_id),
-       |common AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-       |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT mh.doc_id_1, mh.doc_id_2, mh.est_jaccard,
-       |  round(CAST(COALESCE(c, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(c, 0) AS DOUBLE), 6) AS true_jaccard,
-       |  round(abs(mh.est_jaccard - round(CAST(COALESCE(c, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(c, 0) AS DOUBLE), 6)), 6) AS abs_err
-       |FROM mh
-       |JOIN sizes s1 ON mh.doc_id_1 = s1.doc_id
-       |JOIN sizes s2 ON mh.doc_id_2 = s2.doc_id
-       |LEFT JOIN common ON mh.doc_id_1 = common.d1 AND mh.doc_id_2 = common.d2
+       |sets AS (SELECT doc_id, list_distinct(shash) AS shs FROM sh),
+       |joined AS (
+       |  SELECT mh.doc_id_1, mh.doc_id_2, mh.est_jaccard,
+       |    CAST(len(list_intersect(s1.shs, s2.shs)) AS BIGINT) AS inter,
+       |    len(s1.shs) AS sz1, len(s2.shs) AS sz2
+       |  FROM mh
+       |  JOIN sets s1 ON mh.doc_id_1 = s1.doc_id
+       |  JOIN sets s2 ON mh.doc_id_2 = s2.doc_id)
+       |SELECT doc_id_1, doc_id_2, est_jaccard,
+       |  round(CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE), 6) AS true_jaccard,
+       |  round(abs(est_jaccard - round(CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE), 6)), 6) AS abs_err
+       |FROM joined
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
   // ------------------------------------------------------------ #27 SimHash
