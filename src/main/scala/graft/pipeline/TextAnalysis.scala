@@ -225,6 +225,134 @@ object TextAnalysis {
        |FROM starts
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ------------------------------------------------------------ #33d repetition
+
+  /** Gopher-style per-doc repetition signals (Rae et al. 2021 §A1.1):
+    * top-token fraction, duplicate-token fraction, top-bigram
+    * fraction — the standard filters for boilerplate / degenerate
+    * repetition before training.
+    *
+    * Scale: two (doc, gram)-grain wordcount shuffles with map-side
+    * combine, re-aggregated to doc grain (the second groupBy reuses
+    * the doc_id-prefixed partitioning), then a doc-keyed join of the
+    * two stat frames — no corpus-sized relation is ever broadcast,
+    * nothing is quadratic in doc length. The token array is staged
+    * once per doc and exploded with explode_outer (plain explode
+    * infers a size() filter that re-inlines the interpreted HOF at
+    * the scan — see [[graft.functions.Hashes]] scaladoc). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toked = docs(spark, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tokStats = toked
+      .select(col("doc_id"), explode_outer(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(col("token")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(col("token")).as("n_distinct"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_c"))
+    // bigram starts: explicit guard — Spark's sequence(1, 0) steps
+    // DOWNWARD ([1, 0]), it is not empty like DuckDB generate_series
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bigramStats = toked
+      .select(col("doc_id"), bigrams.as("bigrams"))
+      .select(col("doc_id"), explode_outer(col("bigrams")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(col("bigram")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_c"))
+    tokStats.join(bigramStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("top_c").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"), 6)
+          .as("top_token_frac"),
+        round(col("dup_c").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"), 6)
+          .as("dup_token_frac"),
+        col("n_bigrams"),
+        round(col("top_bigram_c").cast("double") / greatest(col("n_bigrams"), lit(1L)).cast("double"), 6)
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+       |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |ts AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |    MAX(c) AS top_c, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+       |  FROM tc GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       |  FROM d),
+       |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_c FROM bc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(ts.n_tokens, 0) AS n_tokens,
+       |  COALESCE(ts.n_distinct, 0) AS n_distinct,
+       |  round(CAST(COALESCE(ts.top_c, 0) AS DOUBLE) / CAST(greatest(COALESCE(ts.n_tokens, 0), 1) AS DOUBLE), 6) AS top_token_frac,
+       |  round(CAST(COALESCE(ts.dup_c, 0) AS DOUBLE) / CAST(greatest(COALESCE(ts.n_tokens, 0), 1) AS DOUBLE), 6) AS dup_token_frac,
+       |  COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+       |  round(CAST(COALESCE(bs.top_bigram_c, 0) AS DOUBLE) / CAST(greatest(COALESCE(bs.n_bigrams, 0), 1) AS DOUBLE), 6) AS top_bigram_frac
+       |FROM d
+       |LEFT JOIN ts ON d.doc_id = ts.doc_id
+       |LEFT JOIN bs ON d.doc_id = bs.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ #33e commonness
+
+  /** Unigram-LM commonness score — the CCNet-style cross-doc quality
+    * signal with the log replaced by an exact rational: each doc's
+    * average GLOBAL occurrence count of its tokens. Rare-token-heavy
+    * docs (typically noise) score low; boilerplate scores high. The
+    * real CCNet ranks by KenLM perplexity; an ln-based score is not
+    * hash-comparable across engines (libm ulp drift), and the
+    * frequency average ranks docs identically for filtering.
+    *
+    * Scale: one wordcount shuffle for the vocabulary relation, then a
+    * token-keyed join of corpus tokens against it — vocab ≪ corpus
+    * (Heaps' law), so AQE broadcasts it when it fits and falls back
+    * to a shuffle join with skew splitting (hot stopword keys) when
+    * it doesn't; no mandatory hint. The exploded token frame feeds
+    * both the vocabulary agg and the join probe, so it is
+    * localCheckpointed — without it the interpreted split+filter
+    * subtree executes twice (the kmeans/IVF lesson). */
+  def commonness(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("token"))
+      .localCheckpoint()
+    val vocab = tok.filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("gf"))
+    tok.join(vocab, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("token")).as("n_tokens"),
+        sum(coalesce(col("gf"), lit(0L))).as("sum_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+        round(col("sum_freq").cast("double") / greatest(col("n_tokens"), lit(1L)).cast("double"), 6)
+          .as("avg_token_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val commonnessSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+       |g AS (SELECT token, COUNT(*) AS gf FROM tok GROUP BY 1),
+       |s AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(g.gf) AS BIGINT) AS sum_freq
+       |  FROM tok t JOIN g ON t.token = g.token GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_tokens, 0) AS n_tokens,
+       |  COALESCE(s.sum_freq, 0) AS sum_freq,
+       |  round(CAST(COALESCE(s.sum_freq, 0) AS DOUBLE) / CAST(greatest(COALESCE(s.n_tokens, 0), 1) AS DOUBLE), 6) AS avg_token_freq
+       |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------ #34 fingerprint
 
   /** Polynomial rolling-hash document fingerprints: one full-text hash

@@ -84,6 +84,50 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals match a brute-force per-doc count") {
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq).toMap
+    val rows = TextAnalysis.repetition(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      val counts = toks.groupBy(identity).map(_._2.length).toSeq
+      val bigrams = if (toks.length < 2) Seq.empty[String]
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val bcounts = bigrams.groupBy(identity).map(_._2.length).toSeq
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_distinct") == counts.length)
+      assert(r.getAs[Long]("n_bigrams") == bigrams.length)
+      def frac(top: Int, n: Int): Double = top.toDouble / math.max(n, 1).toDouble
+      assert(math.abs(r.getAs[Double]("top_token_frac") -
+        frac(if (counts.isEmpty) 0 else counts.max, toks.length)) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("dup_token_frac") -
+        frac(counts.filter(_ >= 2).sum, toks.length)) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("top_bigram_frac") -
+        frac(if (bcounts.isEmpty) 0 else bcounts.max, bigrams.length)) <= 1e-6)
+    }
+  }
+
+  test("commonness equals the brute-force global-frequency average") {
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq).toMap
+    val global = texts.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val rows = TextAnalysis.commonness(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      val sumFreq = toks.map(global).sum
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("sum_freq") == sumFreq)
+      assert(math.abs(r.getAs[Double]("avg_token_freq") -
+        sumFreq.toDouble / math.max(toks.length, 1).toDouble) <= 1e-6)
+    }
+  }
+
   test("chunk covers every token with the documented stride geometry") {
     val rows = TextAnalysis.chunk(spark, dir).collect()
     val nToks = graft.Tables.documents(spark, dir)
