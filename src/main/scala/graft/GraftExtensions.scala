@@ -9,7 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions with the SQL function registry, so
   * `spark.sql("SELECT shingle_hash(text, 5) ...")` plans the codegen'd
-  * expression directly.
+  * expression directly, and injects the
+  * [[graft.plans.RangeJoinRewrite]] optimizer rule (interval joins →
+  * bucket-expansion equi-joins; off until
+  * `spark.graft.rangeJoin.bucketWidth` is set).
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
@@ -20,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
 

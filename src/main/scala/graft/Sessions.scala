@@ -21,6 +21,9 @@ object Sessions {
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      // graft's SQL functions + the RangeJoinRewrite optimizer rule —
+      // the same line a cluster deployment puts in spark-defaults
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -361,6 +361,57 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** RANGE JOIN, AUTOMATIC — the same interval-join problem written
+    * the NAIVE way: a pure inequality join (`tb` within ±6 minutes of
+    * `ta`, no manual buckets, no equi key), which Spark alone would
+    * plan as a broadcast nested-loop join — quadratic, the worst plan
+    * a 100 TB query can hit. The injected
+    * [[graft.plans.RangeJoinRewrite]] optimizer rule (active via
+    * [[graft.GraftExtensions]], width from
+    * `spark.graft.rangeJoin.bucketWidth`) rewrites it into the same
+    * bucket-expansion equi-join [[qRangeJoin]] builds by hand. The
+    * `require` makes the dependency explicit: without the rule this
+    * query must fail fast, not silently run O(n²).
+    *
+    * The width conf intentionally stays set on the session: Verify /
+    * Bench re-optimize at write time (a new QueryExecution wraps the
+    * plan), so unsetting it after building the frame would re-plan
+    * the nested loop. No other operator's join is inequality-only, so
+    * the session-wide setting perturbs nothing else. */
+  def qRangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 360L * 1000000 // ±6 min; pairs/event stays O(10) at sf0.1
+    spark.conf.set(graft.plans.RangeJoinRewrite.WidthConf, (2 * windowUs).toString)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+    val a = ev.select(col("event_type").as("type_a"), col("t").as("ta"),
+      col("event_id").as("ea"))
+    val b = ev.select(col("t").as("tb"), col("event_id").as("eb"))
+    val out = a.join(b,
+        col("tb") >= col("ta") - windowUs && col("tb") <= col("ta") + windowUs &&
+          col("ea") =!= col("eb"))
+      .groupBy(col("type_a"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(abs(col("ta") - col("tb"))).as("max_gap_us"))
+      .orderBy(col("type_a"))
+    require(out.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.nonEmpty,
+      "RangeJoinRewrite did not fire (is graft.GraftExtensions on " +
+        "spark.sql.extensions?) — refusing to run the naive interval join as a nested loop")
+    out
+  }
+
+  val qRangeJoinAutoSql: String = {
+    val w = 360L * 1000000
+    s"""SELECT a.event_type AS type_a, COUNT(*) AS n_pairs,
+       |  MAX(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS max_gap_us
+       |FROM events a JOIN events b
+       |  ON epoch_us(b.ts) >= epoch_us(a.ts) - $w
+       |  AND epoch_us(b.ts) <= epoch_us(a.ts) + $w
+       |  AND a.event_id <> b.event_id
+       |GROUP BY 1 ORDER BY type_a""".stripMargin
+  }
+
   val qRangeJoinSql: String = {
     val w = 6L * 3600 * 1000000
     s"""SELECT a.user_id, COUNT(*) AS n_pairs,
