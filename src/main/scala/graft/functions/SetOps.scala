@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst set/array counters over `array<long>` columns —
+  * the per-candidate-pair hot path of the MinHash estimator-quality
+  * operator ([[graft.pipeline.Dedup.minhashAccuracy]]).
+  *
+  * The Catalyst built-ins for the same math are interpreted per row:
+  * `size(filter(zip_with(a, b, _ === _), identity))` allocates the
+  * zipped array and evaluates boxed lambdas per element, and
+  * `array_intersect` builds a hash set per call. At ~75k candidate
+  * pairs × ~300-element shingle sets that interpreted overhead is the
+  * entire query cost (measured ~7 s of an sf0.1 noop-write, vs <1 s
+  * when the scored columns are pruned). These compile into
+  * whole-stage codegen as primitive loops — same design as [[VecDot]]
+  * and [[ShingleHash]] (SURVEY.md §4).
+  */
+object SetOps {
+
+  /** Column wrapper: positions where both arrays hold the same long. */
+  def eqCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      LongArrayEqCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column wrapper: |a ∩ b| for SORTED DISTINCT long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SortedSetIntersectCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Count of positions i where `a[i] == b[i]` — the MinHash
+  * agreement count. Equal-length inputs expected (fixed-width
+  * signatures); a length mismatch yields NULL, not a prefix count —
+  * bad data surfaces as null (the [[VecDot]] convention). Elements
+  * must be non-null (minhash aggregates never produce null slots). */
+case class LongArrayEqCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_array_eq_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else LongArrayEqCount.compute(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.LongArrayEqCount.compute($a, $b);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongArrayEqCount {
+  /** Called from generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+}
+
+/** |a ∩ b| by a single merge walk — REQUIRES both inputs sorted
+  * ascending with distinct non-null elements (i.e. `sort_array` of a
+  * `collect_set` / `array_distinct` result). O(|a| + |b|) with no
+  * per-row allocation, where `array_intersect` builds a hash set per
+  * call. Values are identical to `size(array_intersect(a, b))` under
+  * the set precondition. */
+case class SortedSetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_set_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedSetIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedSetIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedSetIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedSetIntersectCount {
+  /** Called from generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}

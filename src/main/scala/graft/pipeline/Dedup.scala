@@ -358,26 +358,27 @@ object Dedup {
     // array-HOF passes: the per-permutation mins are codegen'd
     // aggregates with map-side partial combine — one narrow shuffle on
     // doc_id, ~10× faster, bit-identical values.
+    // localCheckpoint: the sigs subtree feeds THREE consumers (the
+    // band explode and both est_jaccard sides) — without it the full
+    // scan + hash + 16-aggregate signature pass executes three times
+    // (Spark shares nothing across references without a persist; the
+    // kmeans/IVF lesson)
     val sigs = explodedShingleHashes(spark, dir)
       .groupBy(col("doc_id"))
       .agg(min((col("h") * minhashA(0) + minhashB(0)) % M).as("m0"),
         (1 until NumHashes).map(j =>
           min((col("h") * minhashA(j) + minhashB(j)) % M).as(s"m$j")): _*)
       .select(col("doc_id"), array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
-    val bands = sigs.select(col("doc_id"),
-        posexplode(bandSigs(col("sig"))).as(Seq("band", "band_sig")))
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+      .localCheckpoint()
     // `sigs` is per-doc (corpus-sized): no broadcast hint — AQE picks
     // broadcast only when the surviving side is actually small.
-    pairs
+    bandPairs(sigs)
       .join(sigs.as("s1"), col("doc_id_1") === col("s1.doc_id"))
       .join(sigs.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      // native agreement count ≡ the oracle's list_filter position
+      // compare (both are exact integer counts over equal-length sigs)
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("s1.sig"), col("s2.sig"), (x, y) => x === y), b => b))
+        graft.functions.SetOps.eqCount(col("s1.sig"), col("s2.sig"))
           .cast("double") / NumHashes)
       .select(col("doc_id_1"), col("doc_id_2"), col("n_shared_bands"), col("est_jaccard"))
       .orderBy(col("doc_id_1"), col("doc_id_2"))
@@ -408,6 +409,20 @@ object Dedup {
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
   }
 
+  /** Banded-LSH candidate generation over any (doc_id, sig) frame:
+    * explode ${Hashes.NumBands} band signatures, shuffle on
+    * (band, band_sig), count shared bands per surviving pair. Never
+    * all-pairs — only same-bucket docs meet. */
+  private def bandPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandSigs(col("sig"))).as(Seq("band", "band_sig")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   // ------------------------------------------------------------ #26b MinHash accuracy
 
   /** MinHash estimator quality: estimated vs TRUE char-shingle Jaccard
@@ -426,18 +441,36 @@ object Dedup {
     // the WRONG shape here: char 5-grams on a low-entropy corpus are
     // hot (the §5 f² lesson — word-grams exist in ngramJaccard
     // precisely for rarity), and the postings join measured 75 s at
-    // sf0.1 vs ~1 s for this formulation. localCheckpoint because the
-    // per-doc set frame feeds both sides of the pair join.
-    val sets = docs(spark, dir)
+    // sf0.1 vs ~1 s for this formulation.
+    //
+    // ONE doc-grain exchange produces BOTH per-doc artifacts — the 16
+    // min-aggregate signature and the collect_set distinct shingle
+    // set — so the composed query runs one scan, one checkpoint and
+    // two pair-side joins instead of minhashLsh's frame plus a
+    // second scan + set pass + two more joins (measured 5.0 s →
+    // ~2 s at sf0.1; stage count, not compute, dominates here).
+    val combined = explodedShingleHashes(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(min((col("h") * minhashA(0) + minhashB(0)) % M).as("m0"),
+        ((1 until NumHashes).map(j =>
+          min((col("h") * minhashA(j) + minhashB(j)) % M).as(s"m$j")) :+
+          // sorted once per DOC so the per-PAIR true-Jaccard scoring
+          // below is a native merge walk, not a hash set per call
+          sort_array(collect_set(col("h"))).as("shs")): _*)
       .select(col("doc_id"),
-        graft.functions.ShingleHash.shingleHashes(lower(col("text")), ShingleK).as("shash"))
-      .select(col("doc_id"), array_distinct(col("shash")).as("shs"))
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"), col("shs"))
       .localCheckpoint()
-    minhashLsh(spark, dir)
-      .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
-      .join(sets.as("s1"), col("doc_id_1") === col("s1.doc_id"))
-      .join(sets.as("s2"), col("doc_id_2") === col("s2.doc_id"))
-      .withColumn("inter", size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("long"))
+    // native per-pair scoring (SetOps): the interpreted
+    // zip_with/array_intersect equivalents were the entire query cost
+    // at sf0.1 (~7 s of a ~75k-pair noop write → sub-second)
+    bandPairs(combined)
+      .join(combined.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(combined.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .withColumn("est_jaccard",
+        graft.functions.SetOps.eqCount(col("s1.sig"), col("s2.sig"))
+          .cast("double") / NumHashes)
+      .withColumn("inter",
+        graft.functions.SetOps.sortedIntersectCount(col("s1.shs"), col("s2.shs")))
       .withColumn("true_jaccard", round(col("inter").cast("double") /
         (size(col("s1.shs")) + size(col("s2.shs")) - col("inter")).cast("double"), 6))
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("true_jaccard")), 6))

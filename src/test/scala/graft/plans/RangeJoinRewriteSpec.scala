@@ -145,6 +145,30 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded fuzz: random points/intervals agree with brute force at several widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    // cluster values near multiples of the widths so bucket boundaries
+    // are hit constantly
+    def v(): Long = rnd.nextInt(21) * 50L - 500L + rnd.nextInt(3) - 1
+    val ps = Seq.tabulate(200)(i => (i.toLong, v())).toDF("pid", "t")
+    val is = Seq.tabulate(60) { i =>
+      val a = v(); val b = v()
+      (i.toLong, a, b) // unordered on purpose: some intervals empty
+    }.toDF("iid", "lo", "hi")
+    val naive = ps.join(is, col("t") >= col("lo") && col("t") <= col("hi"))
+    assert(!optimizedHasGenerate(naive))
+    val want = naive.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 7L, 50L, 1000L, 100000L)) {
+      withWidth(w) {
+        val joined = ps.join(is, col("t") >= col("lo") && col("t") <= col("hi"))
+        assert(optimizedHasGenerate(joined), s"width $w")
+        assert(collectPairs(joined) == want, s"width $w")
+      }
+    }
+  }
+
   test("plain-SQL BETWEEN gets the rewrite") {
     withWidth(100L) {
       points.createOrReplaceTempView("pts")
