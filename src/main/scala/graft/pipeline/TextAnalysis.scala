@@ -353,6 +353,62 @@ object TextAnalysis {
        |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #33f quality filter
+
+  /** Quality-filter thresholds — Gopher-rule shapes (Rae et al. 2021
+    * §A1.1) recalibrated to this corpus's signal quantiles so every
+    * reason code actually fires (each cut lands near a p90-p97
+    * quantile at sf0.01). */
+  val MinTokens = 15L
+  val MaxTopTokenFrac = 0.15d
+  val MaxDupTokenFrac = 0.95d
+  val MaxTopBigramFrac = 0.09d
+  val MinQualityScore = 0.55d
+
+  /** The quality pipeline's END PRODUCT — the quality-side analogue of
+    * [[graft.pipeline.Dedup.keeplist]]: per-doc keep/drop decision
+    * composing the length, repetition and heuristic-quality signals,
+    * with the FIRST failing rule as the reason code (rule order =
+    * cheapest-to-explain first, the usual filter-report convention).
+    *
+    * Scale: both signal frames are doc-grain projections/aggregations
+    * of one corpus scan; the composition adds a single doc-keyed
+    * join. Map-only rules after that. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val r = repetition(spark, dir).select("doc_id", "n_tokens",
+      "top_token_frac", "dup_token_frac", "top_bigram_frac")
+    val q = quality(spark, dir).select("doc_id", "quality_score")
+    val reason = when(col("n_tokens") < MinTokens, "too_short")
+      .when(col("top_token_frac") > MaxTopTokenFrac, "top_token")
+      .when(col("dup_token_frac") > MaxDupTokenFrac, "dup_tokens")
+      .when(col("top_bigram_frac") > MaxTopBigramFrac, "top_bigram")
+      .when(col("quality_score") < MinQualityScore, "low_quality")
+      .otherwise("kept")
+    r.join(q, Seq("doc_id"))
+      .withColumn("reason", reason)
+      .select(col("doc_id"), col("reason"), (col("reason") === "kept").as("keep"),
+        col("n_tokens"), col("top_token_frac"), col("dup_token_frac"),
+        col("top_bigram_frac"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH r AS ($repetitionSql),
+       |q AS ($qualitySql),
+       |reasons AS (
+       |  SELECT r.doc_id, r.n_tokens, r.top_token_frac, r.dup_token_frac,
+       |    r.top_bigram_frac, q.quality_score,
+       |    CASE WHEN r.n_tokens < $MinTokens THEN 'too_short'
+       |         WHEN r.top_token_frac > $MaxTopTokenFrac THEN 'top_token'
+       |         WHEN r.dup_token_frac > $MaxDupTokenFrac THEN 'dup_tokens'
+       |         WHEN r.top_bigram_frac > $MaxTopBigramFrac THEN 'top_bigram'
+       |         WHEN q.quality_score < $MinQualityScore THEN 'low_quality'
+       |         ELSE 'kept' END AS reason
+       |  FROM r JOIN q ON r.doc_id = q.doc_id)
+       |SELECT doc_id, reason, (reason = 'kept') AS keep, n_tokens,
+       |  top_token_frac, dup_token_frac, top_bigram_frac, quality_score
+       |FROM reasons ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ #34 fingerprint
 
   /** Polynomial rolling-hash document fingerprints: one full-text hash
