@@ -447,4 +447,91 @@ object Queries {
       |FROM filled
       |WHERE is_event = 1 AND asof_orderkey IS NOT NULL
       |ORDER BY user_id, time_us, event_id""".stripMargin
+
+  // ------------------------------------------------------------ #23j percentiles
+
+  /** (numerator, denominator, column name) — percentiles as exact
+    * rationals so the index arithmetic is pure BIGINT in both engines
+    * (0.9 * n in IEEE doubles rounds differently than you'd hope). */
+  val Percentiles: Seq[(Int, Int, String)] =
+    Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90"), (99, 100, "p99"))
+
+  /** Exact per-group percentiles, positionally computed (type-1
+    * quantile: the value at rank ⌈p·n⌉, ties broken by the unique
+    * event_id) — interpolation-free, so the output is a VALUE FROM THE
+    * DATA and hash-stable across engines.
+    *
+    * Scale: one shuffle on the group key; rank and group-count share
+    * the same window partition, then a single partial-agg collapse.
+    * (For percentiles over a 100 TB UNGROUPED column you'd reach for
+    * approx_percentile's t-digest instead — sketches merge; global
+    * sorts don't.) */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val pcols = Percentiles.map { case (num, den, name) =>
+      max(when(col("rn") === expr(s"($num * n + ${den - 1}) div $den"), col("value"))).as(name)
+    }
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_rows"), pcols: _*)
+      .orderBy(col("event_type"))
+  }
+
+  val qPercentilesSql: String = {
+    val pcols = Percentiles.map { case (num, den, name) =>
+      s"MAX(CASE WHEN rn = ($num * n + ${den - 1}) // $den THEN value END) AS $name"
+    }
+    s"""WITH ranked AS (
+       |  SELECT event_type, value, event_id,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_type, MAX(n) AS n_rows,
+       |  ${pcols.mkString(",\n  ")}
+       |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------ #23i salted join
+
+  /** Salt fan-out for the skew-salted join. */
+  val JoinSalt = 8
+
+  /** Fact⋈dim join with EXPLICIT key salting — the standard fix when
+    * one join key is hot enough to bury a task: the fact side gets a
+    * deterministic salt (event_id % S), the dim side replicates S ways,
+    * and the join key becomes (key, salt), spreading each hot key over
+    * S tasks. The oracle is the PLAIN join — salting must not change
+    * results, only the partition histogram.
+    *
+    * When to reach for it at 100 TB: AQE's skew-join splitting already
+    * handles most sort-merge skew, and a broadcastable dim (like this
+    * one) needs no salting at all — but when BOTH sides are large AND
+    * a handful of keys dominate (power-law user activity), salting is
+    * the layout that keeps the reducers balanced, at the documented
+    * cost of an S× dim replication. Salt comes from a stored column
+    * (event_id), not rand(): deterministic under retries and
+    * speculative execution — a rand() salt silently breaks exactly-once
+    * task retry semantics. */
+  def qSkewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("e_salt", (col("event_id") % JoinSalt).cast("int"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0), lit(JoinSalt - 1))).as("d_salt"))
+    ev.join(dim, col("user_id") === col("c_custkey") && col("e_salt") === col("d_salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qSkewSaltedJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 }

@@ -1003,4 +1003,91 @@ object CdcOps {
       |  COUNT(CASE WHEN cdc_end_of_batch THEN 1 END) AS n_eob,
       |  COUNT(DISTINCT cdc_operation) AS n_distinct_ops
       |FROM cdc GROUP BY 1 ORDER BY batch_id""".stripMargin
+
+  /** Snapshot-merge cutoff: day 15 of the synthetic log — mid-log, so
+    * both the snapshot and the incremental batch are non-trivial. */
+  val SnapshotCutoffUs: Long = GenerationStartUs + 15L * 86400 * 1000000
+
+  /** #14d: incremental snapshot merge — the CDC→lakehouse pattern: a
+    * base-table SNAPSHOT materialized up to T0 has a later log slice
+    * (T0, now] MERGEd onto it, yielding the state a full replay would
+    * produce (the replicator's upsert/delete semantics —
+    * InsertOperationHandler / PreparedUpdateOperationHandler /
+    * RowDeleteOperationHandler — applied incrementally instead of
+    * from the log's beginning). `merge_action` reports what a
+    * `MERGE INTO` would have done per key: inserted / updated /
+    * carried (deleted keys drop out).
+    *
+    * Scale: this is THE reason CDC-on-Spark exists at 100 TB — replay
+    * cost must be O(new changes + snapshot), never O(log). The batch
+    * side reduces to one row per touched key (window over only the
+    * slice), then a single full-outer join against the snapshot; AQE
+    * broadcasts the reduced batch when it fits (the common case — a
+    * day's keys ≪ the table), and a bucketed/partitioned snapshot
+    * store makes the snapshot-side exchange vanish entirely. Both
+    * window frames here already hash-partition on the key, so the
+    * join reuses their exchanges. */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame =
+    snapshotMergeFromLog(cdcLog(spark, dir), SnapshotCutoffUs)
+
+  /** Same operator over ANY conforming CDC-log relation with an
+    * arbitrary snapshot cutoff — bring your own log. */
+  def snapshotMergeFromLog(log: DataFrame, cutoffUs: Long): DataFrame = {
+    val writes = log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    // the stored snapshot: last-writer-wins state at T0 (deleted keys absent)
+    val snapshot = writes.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), col("event_id").as("s_event_id"), col("time_us").as("s_time_us"),
+        col("cdc_operation").as("s_op"), col("value").as("s_value"), col("props").as("s_props"))
+    // the incremental batch: one surviving change per touched key
+    val batch = writes.filter(col("time_us") > cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("b_event_id"), col("time_us").as("b_time_us"),
+        col("cdc_operation").as("b_op"), col("value").as("b_value"), col("props").as("b_props"))
+    val batchWins = col("b_event_id").isNotNull
+    snapshot.join(batch, Seq("user_id"), "full_outer")
+      .filter(col("b_op").isNull || col("b_op") =!= RowDelete)
+      .select(col("user_id"),
+        when(!batchWins, "carried")
+          .when(col("s_event_id").isNull, "inserted")
+          .otherwise("updated").as("merge_action"),
+        coalesce(col("b_event_id"), col("s_event_id")).as("last_event_id"),
+        coalesce(col("b_time_us"), col("s_time_us")).as("last_write_us"),
+        coalesce(col("b_op"), col("s_op")).as("last_op"),
+        when(batchWins, col("b_value")).otherwise(col("s_value")).as("value"),
+        when(batchWins, col("b_props")).otherwise(col("s_props")).as("props"))
+      .orderBy(col("user_id"))
+  }
+
+  val snapshotMergeSql: String = CdcLogAdapter.oracleCte +
+    s""", writes AS (SELECT * FROM cdc WHERE cdc_operation IN (1, 2, 3)),
+       |snap AS (
+       |  SELECT user_id, event_id AS s_event_id, time_us AS s_time_us,
+       |    cdc_operation AS s_op, value AS s_value, props AS s_props
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes WHERE time_us <= $SnapshotCutoffUs)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |batch AS (
+       |  SELECT user_id, event_id AS b_event_id, time_us AS b_time_us,
+       |    cdc_operation AS b_op, value AS b_value, props AS b_props
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes WHERE time_us > $SnapshotCutoffUs)
+       |  WHERE rn = 1)
+       |SELECT COALESCE(s.user_id, b.user_id) AS user_id,
+       |  CASE WHEN b_event_id IS NULL THEN 'carried'
+       |       WHEN s_event_id IS NULL THEN 'inserted'
+       |       ELSE 'updated' END AS merge_action,
+       |  COALESCE(b_event_id, s_event_id) AS last_event_id,
+       |  COALESCE(b_time_us, s_time_us) AS last_write_us,
+       |  COALESCE(b_op, s_op) AS last_op,
+       |  CASE WHEN b_event_id IS NULL THEN s_value ELSE b_value END AS value,
+       |  CASE WHEN b_event_id IS NULL THEN s_props ELSE b_props END AS props
+       |FROM snap s FULL OUTER JOIN batch b ON s.user_id = b.user_id
+       |WHERE b_op IS NULL OR b_op <> 3
+       |ORDER BY user_id""".stripMargin
 }

@@ -405,4 +405,66 @@ object Corpus {
       |  CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
       |  CAST(SUM(CASE WHEN q >= 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------ vocab growth
+
+  /** Docs per vocabulary-growth bucket. */
+  val VocabBucketDocs = 50L
+
+  /** Vocabulary growth curve (the Heaps'-law check every corpus build
+    * plots): new distinct BIGRAM types per [[VocabBucketDocs]]-doc
+    * ingest bucket, plus the cumulative vocabulary size. A corpus
+    * whose curve flattens too fast is repetitive; one that never
+    * flattens is noise — either way this is the first diagnostic
+    * before tokenizer training. Types are word bigrams: the unigram
+    * vocabulary saturates in the first bucket on any bounded-lexicon
+    * corpus, while the combinatorial n-gram space keeps producing new
+    * types — same curve a subword tokenizer's merge table grows on.
+    *
+    * Scale: a type's first sighting is min(doc_id) — one type-keyed
+    * shuffle with map-side combine (the wordcount shape), then the
+    * bucket aggregation and cumulative window run over the TINY bucket
+    * relation (corpus/[[VocabBucketDocs]] rows), so the
+    * single-partition cumulative window costs nothing corpus-sized. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val firstSeen = toked
+      .select(col("doc_id"), explode_outer(bigrams).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("bigram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val buckets = firstSeen
+      .withColumn("bucket", col("first_doc") - (col("first_doc") % VocabBucketDocs))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    buckets
+      .withColumn("cum_types",
+        sum(col("n_new_types")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       |  FROM d),
+       |first_seen AS (
+       |  SELECT bigram, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+       |buckets AS (
+       |  SELECT first_doc - (first_doc % $VocabBucketDocs) AS bucket, COUNT(*) AS n_new_types
+       |  FROM first_seen GROUP BY 1)
+       |SELECT bucket, n_new_types,
+       |  CAST(SUM(n_new_types) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+       |FROM buckets ORDER BY bucket""".stripMargin
 }

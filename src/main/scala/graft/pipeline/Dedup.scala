@@ -146,6 +146,75 @@ object Dedup {
        |WHERE round(CAST(n_common AS DOUBLE) / CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) >= $JaccardThreshold
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  /** Containment threshold: |A∩B|/min(|A|,|B|) at or above this pairs
+    * the docs even when symmetric Jaccard stays below its cut. */
+  val ContainmentThreshold = 0.8
+
+  /** Shingle-containment near-dup pairs — the ASYMMETRIC companion of
+    * [[ngramJaccard]]: containment C(A→B) = |A∩B| / |A| flags a doc
+    * EMBEDDED in a larger one (quote farms, concatenated dumps,
+    * boilerplate wrappers), which symmetric Jaccard structurally
+    * misses once the size ratio grows (J ≤ |A|/|B| no matter how
+    * complete the overlap). Emits both directions plus the Jaccard
+    * for context, and `jaccard_missed` marking pairs only this
+    * operator catches.
+    *
+    * Scale: identical layout to [[ngramJaccard]] — one inverted-index
+    * shuffle on the shingle, pair aggregation on (doc1, doc2), no
+    * all-pairs anywhere; the same hot-shingle frequency cap applies. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= ShingleWords)
+      .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val inv = sh.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .withColumn("containment_1", round(col("n_common").cast("double") / col("s1.sz").cast("double"), 6))
+      .withColumn("containment_2", round(col("n_common").cast("double") / col("s2.sz").cast("double"), 6))
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("s1.sz") + col("s2.sz") - col("n_common")).cast("double"), 6))
+      .filter(greatest(col("containment_1"), col("containment_2")) >= ContainmentThreshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_common"),
+        col("containment_1"), col("containment_2"), col("jaccard"),
+        (col("jaccard") < JaccardThreshold).as("jaccard_missed"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  val containmentSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tokens
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $wordShinglesSql AS shingles
+       |  FROM toks WHERE len(tokens) >= $ShingleWords),
+       |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id_1, doc_id_2, n_common,
+       |    round(CAST(n_common AS DOUBLE) / CAST(s1.sz AS DOUBLE), 6) AS containment_1,
+       |    round(CAST(n_common AS DOUBLE) / CAST(s2.sz AS DOUBLE), 6) AS containment_2,
+       |    round(CAST(n_common AS DOUBLE) / CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) AS jaccard
+       |  FROM common
+       |  JOIN sizes s1 ON doc_id_1 = s1.doc_id
+       |  JOIN sizes s2 ON doc_id_2 = s2.doc_id)
+       |SELECT doc_id_1, doc_id_2, n_common, containment_1, containment_2, jaccard,
+       |  (jaccard < $JaccardThreshold) AS jaccard_missed
+       |FROM scored
+       |WHERE greatest(containment_1, containment_2) >= $ContainmentThreshold
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   /** Duplicate clustering — the final stage of a dedup pipeline:
     * connected components over the near-dup candidate graph
     * (ngramJaccard pairs at τ=$JaccardThreshold), labeling every
@@ -600,4 +669,85 @@ object Dedup {
        |      list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (acc, x) -> acc + x)
        |    / (sqrt(a.n2) * sqrt(b.n2)), 6) >= $CosineThreshold
        |ORDER BY vec_id_1, vec_id_2""".stripMargin
+
+  // ------------------------------------------------------------ #25d span coverage
+
+  val SpanTokens = 16 // tokens per span (Lee et al. 2021 use 50; scaled to the corpus)
+  val SpanStride = 8  // sliding-window stride
+
+  /** Cross-doc duplicated-span coverage — the exact-substring dedup
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") at span granularity: for each doc, the
+    * fraction of its sliding [[SpanTokens]]-token windows whose exact
+    * content also occurs in ANOTHER doc. Docs with high coverage are
+    * partial copies that whole-doc dedup (exact / MinHash at the doc
+    * grain) misses — the standard next filter after [[keeplist]].
+    *
+    * Scale: span fan-out is map-only (sequence+explode+slice+md5); a
+    * digest is cross-doc-duplicated iff min(doc_id) ≠ max(doc_id) over
+    * its occurrences — one digest-keyed shuffle with map-side combine
+    * and NO count-distinct. The surviving dup-digest relation is
+    * rare-by-construction (duplicated spans only), so AQE broadcasts
+    * it for the probe join and the corpus-sized span frame never
+    * re-shuffles. The span frame feeds both the dup aggregation and
+    * the probe, so it is localCheckpointed (interpreted split/slice
+    * would otherwise run twice — the kmeans/IVF lesson). */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val spans = d
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"), col("toks"),
+        explode_outer(sequence(lit(1), size(col("toks")) - (SpanTokens - 1), lit(SpanStride)))
+          .as("start_tok"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("start_tok"), lit(SpanTokens)))).as("digest"))
+      .localCheckpoint()
+    val dupDigests = spans
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("min_doc") =!= col("max_doc"))
+      .select(col("digest"), lit(true).as("is_dup"))
+    val perDoc = spans
+      .join(dupDigests, Seq("digest"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("dup_span_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCoverageSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - ${SpanTokens - 1}, $SpanStride)) AS start_tok
+       |  FROM t WHERE len(toks) >= $SpanTokens),
+       |spans AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(toks, start_tok, start_tok + ${SpanTokens - 1}), ' ')) AS digest
+       |  FROM starts),
+       |dup AS (
+       |  SELECT digest, true AS is_dup FROM spans
+       |  GROUP BY digest HAVING MIN(doc_id) <> MAX(doc_id)),
+       |per_doc AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |  FROM spans s LEFT JOIN dup d USING (digest) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  COALESCE(p.n_spans, 0) AS n_spans,
+       |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       |  round(CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE) /
+       |    CAST(greatest(COALESCE(p.n_spans, 0), 1) AS DOUBLE), 6) AS dup_span_frac
+       |FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

@@ -1,0 +1,30 @@
+package graft.analytics
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Independent checks for analytics queries beyond the SQL oracle. */
+class QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted join returns exactly the plain join's aggregate") {
+    val salted = Queries.qSkewSaltedJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(salted.nonEmpty)
+    assert(salted == plain)
+  }
+
+  test("salted join joins on (key, salt) — the salt actually reaches the join") {
+    val plan = Queries.qSkewSaltedJoin(spark, dir).queryExecution.optimizedPlan.toString
+    assert(plan.contains("e_salt") && plan.contains("d_salt"),
+      s"salt columns missing from the optimized plan:\n$plan")
+  }
+}

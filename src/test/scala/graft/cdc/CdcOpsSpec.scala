@@ -64,6 +64,44 @@ class CdcOpsSpec extends SparkSpec {
     assert(out == Set((8, 3.0), (6, 4.0)))
   }
 
+  test("snapshot merge equals full replay at any cutoff; actions are honest") {
+    // user 1: snapshot-era insert, batch update        → updated
+    // user 2: snapshot-era insert, no batch change     → carried
+    // user 3: first write in the batch                 → inserted
+    // user 4: snapshot-era insert, batch delete        → gone
+    // user 5: deleted in snapshot era, batch re-insert → inserted
+    val log = mkLog(Seq(
+      (1L, 10L, 1L, RowInsert, 1L, 1.0),
+      (1L, 80L, 2L, RowUpdate, 1L, 1.5),
+      (2L, 20L, 3L, RowInsert, 2L, 2.0),
+      (3L, 70L, 4L, RowInsert, 3L, 3.0),
+      (4L, 30L, 5L, RowInsert, 4L, 4.0),
+      (4L, 90L, 6L, RowDelete, 4L, 0.0),
+      (5L, 10L, 7L, RowInsert, 5L, 5.0),
+      (5L, 40L, 8L, RowDelete, 5L, 0.0),
+      (5L, 60L, 9L, RowInsert, 5L, 5.5)))
+    val merged = CdcOps.snapshotMergeFromLog(log, cutoffUs = 50L).collect()
+    val actions = merged.map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[String]("merge_action")).toMap
+    assert(actions == Map(1L -> "updated", 2L -> "carried", 3L -> "inserted", 5L -> "inserted"))
+
+    // merged state (any cutoff) must equal the full LWW replay
+    val replay = CdcOps.replicateLwwFromLog(log).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[Long]("last_write_us"), r.getAs[Double]("value"))).toSet
+    for (cutoff <- Seq(0L, 50L, 1000L)) {
+      val m = CdcOps.snapshotMergeFromLog(log, cutoff).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[Long]("last_write_us"), r.getAs[Double]("value"))).toSet
+      assert(m == replay, s"cutoff $cutoff")
+    }
+    // degenerate cutoffs: everything inserted / everything carried
+    assert(CdcOps.snapshotMergeFromLog(log, 0L).collect()
+      .forall(_.getAs[String]("merge_action") == "inserted"))
+    assert(CdcOps.snapshotMergeFromLog(log, 1000L).collect()
+      .forall(_.getAs[String]("merge_action") == "carried"))
+  }
+
   test("TTL expiry: a write is dead exactly when write_time + ttl <= now") {
     import org.apache.spark.sql.functions.{col, when, lit}
     val boundary = CdcOps.NowUs - 86400L * 1000000L // expires exactly at NowUs

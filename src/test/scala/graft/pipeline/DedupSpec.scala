@@ -9,6 +9,39 @@ class DedupSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("span coverage equals a brute-force span scan") {
+    val cov = Dedup.spanCoverage(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_span_frac"))).toMap
+    assert(cov.nonEmpty)
+
+    // reference implementation: enumerate every sliding span locally
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def spans(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < Dedup.SpanTokens) Seq.empty
+      else (0 to toks.length - Dedup.SpanTokens by Dedup.SpanStride)
+        .map(i => toks.slice(i, i + Dedup.SpanTokens).mkString(" "))
+    }
+    val all = texts.flatMap { case (id, t) => spans(t).map(s => (id, s)) }
+    val dup = all.groupBy(_._2).filter { case (_, occ) =>
+      occ.map(_._1).distinct.size > 1
+    }.keySet
+    val expected = texts.map { case (id, t) =>
+      val ss = spans(t)
+      val d = ss.count(dup)
+      id -> (ss.size.toLong, d.toLong,
+        BigDecimal(d.toDouble / math.max(ss.size, 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(cov == expected)
+    assert(expected.values.exists(_._2 > 0),
+      "corpus should contain at least one cross-doc duplicated span")
+  }
+
   test("clusters fixpoint equals union-find over the candidate pairs") {
     val pairs = Dedup.ngramJaccard(spark, dir)
       .select("doc_id_1", "doc_id_2").collect()
