@@ -1004,6 +1004,50 @@ object CdcOps {
       |  COUNT(DISTINCT cdc_operation) AS n_distinct_ops
       |FROM cdc GROUP BY 1 ORDER BY batch_id""".stripMargin
 
+  /** #14e: log compaction — the minimal log that reproduces current
+    * state (the Kafka-compacted-topic / Scylla-postimage-stream shape):
+    * one surviving change per key — the newest write or a tombstone —
+    * plus that key's write-amplification (how many earlier changes the
+    * compaction dropped). Feeding a consumer the compacted log yields
+    * exactly the [[replicateLww]] state; unlike replicateLww the
+    * tombstones are KEPT, because a log (unlike a snapshot) must still
+    * tell downstream consumers about deletions.
+    *
+    * Scale: single shuffle on the key; rank and per-key count share
+    * the same window partition. Compaction is the standard antidote to
+    * unbounded CDC retention — at 100 TB you run it per time-bucket
+    * and keep raw history only inside the confidence/TTL window. */
+  def compaction(spark: SparkSession, dir: String): DataFrame =
+    compactionFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation. */
+  def compactionFromLog(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("time_us").as("last_write_us"), col("cdc_operation").as("last_op"),
+        (col("cdc_operation") === RowDelete).as("is_tombstone"),
+        col("value"), col("props"),
+        (col("n_changes") - 1).as("n_superseded"))
+      .orderBy(col("user_id"))
+  }
+
+  val compactionSql: String = CdcLogAdapter.oracleCte +
+    """SELECT user_id, event_id AS last_event_id, time_us AS last_write_us,
+      |  cdc_operation AS last_op, (cdc_operation = 3) AS is_tombstone,
+      |  value, props, n_changes - 1 AS n_superseded
+      |FROM (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM cdc WHERE cdc_operation IN (1, 2, 3))
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** Snapshot-merge cutoff: day 15 of the synthetic log — mid-log, so
     * both the snapshot and the incremental batch are non-trivial. */
   val SnapshotCutoffUs: Long = GenerationStartUs + 15L * 86400 * 1000000

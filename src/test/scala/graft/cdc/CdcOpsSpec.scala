@@ -102,6 +102,31 @@ class CdcOpsSpec extends SparkSpec {
       .forall(_.getAs[String]("merge_action") == "carried"))
   }
 
+  test("compacted log replays to exactly the full log's LWW state") {
+    val log = mkLog(Seq(
+      (1L, 10L, 1L, RowInsert, 1L, 1.0),
+      (1L, 20L, 2L, RowUpdate, 1L, 2.0),
+      (1L, 30L, 3L, RowUpdate, 1L, 3.0),   // user 1: 2 superseded
+      (2L, 10L, 4L, RowInsert, 2L, 4.0),
+      (2L, 40L, 5L, RowDelete, 2L, 0.0),   // user 2: tombstone survives
+      (3L, 15L, 6L, RowInsert, 3L, 5.0)))  // user 3: nothing superseded
+    val compacted = CdcOps.compactionFromLog(log)
+    val byUser = compacted.collect().map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[Boolean]("is_tombstone"), r.getAs[Long]("n_superseded"))).toMap
+    assert(byUser == Map(1L -> (false, 2L), 2L -> (true, 1L), 3L -> (false, 0L)))
+
+    // replaying the compacted log reproduces the full log's LWW state
+    val replayable = compacted.select(
+      col("user_id"), col("last_event_id").as("event_id"),
+      col("last_write_us").as("time_us"), col("last_op").as("cdc_operation"),
+      col("value"), col("props"))
+    val fromCompacted = CdcOps.replicateLwwFromLog(replayable).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    val fromFull = CdcOps.replicateLwwFromLog(log).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    assert(fromCompacted == fromFull)
+  }
+
   test("TTL expiry: a write is dead exactly when write_time + ttl <= now") {
     import org.apache.spark.sql.functions.{col, when, lit}
     val boundary = CdcOps.NowUs - 86400L * 1000000L // expires exactly at NowUs
