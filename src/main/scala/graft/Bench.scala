@@ -17,26 +17,38 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // noop sink: forces full materialization of every output column —
-      // a bare count() would let Catalyst prune the computed columns
-      // and under-report map-only queries.
-      // Two timed repetitions, report the MIN: a single GC/JIT pause in
-      // a one-sample bench fabricates an order-of-magnitude outlier
-      // (an 18.6 s entry in a driver run re-measured at 0.9-1.7 s in
-      // isolation); min-of-2 bounds the damage one pause can do while
-      // still charging every query its real plan+shuffle cost.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-        }
-        (System.nanoTime() - t0) / 1e9
+    // noop sink: forces full materialization of every output column —
+    // a bare count() would let Catalyst prune the computed columns
+    // and under-report map-only queries.
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop leftover localCheckpoint blocks: ~20 operators checkpoint
+      // an intermediate frame, and 73 queries' worth of retained blocks
+      // in one session squeezes the heap until storage eviction + GC
+      // churn dominate (measured: emb_kmeans 59 s in-suite vs 2.4 s
+      // isolated). Untimed — a real deployment runs one job per app.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     }
+    // Two FULL PASSES, per-query min ACROSS passes (not back-to-back
+    // reps): this host is a VM whose multi-second scheduler stalls
+    // span adjacent runs, so consecutive reps both absorb the same
+    // pause (measured: random queries spiking 10-25 s in-suite vs
+    // 0.6-2 s isolated, different queries each bench run). A stall
+    // lands on different queries in each pass; the cross-pass min
+    // recovers the real per-plan cost at identical total work.
+    val ordered = SparkEntry.queries.toSeq
+    val pass1 = ordered.map { case (n, fn) => n -> once(n, fn) }
+    val pass2 = ordered.map { case (n, fn) => n -> once(n, fn) }
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failures are recorded as -1 markers; they must not skew the total

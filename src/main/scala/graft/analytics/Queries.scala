@@ -448,6 +448,50 @@ object Queries {
       |WHERE is_event = 1 AND asof_orderkey IS NOT NULL
       |ORDER BY user_id, time_us, event_id""".stripMargin
 
+  // ------------------------------------------------------------ #23k profit
+
+  /** Product-line profit by (nation, year) — the TPC-H Q9 shape over
+    * this schema: lineitem ⋈ orders is the one genuine big⋈big join
+    * (both fact-sized → shuffle join on the order key, AQE-skew
+    * handled), while part (filtered), supplier and nation are
+    * broadcast dims. Unit cost is modeled off p_retailprice (this
+    * schema carries no partsupp). All money math is DECIMAL-exact
+    * until the final cast.
+    *
+    * Plan to check in `.explain`: the part filter prunes BEFORE its
+    * broadcast (predicate pushdown into the dim scan), lineitem's scan
+    * reads only its 6 needed columns, exactly ONE sort-merge/shuffle
+    * exchange pair for l⋈o. */
+  def qProfit(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val costFrac = lit(0.1).cast("decimal(18,2)")
+    val amount = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))) -
+      dec2(col("p_retailprice")) * dec2(col("l_quantity")) * costFrac
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val qProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,2))) AS DOUBLE) AS profit,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin
+
   // ------------------------------------------------------------ #23j percentiles
 
   /** (numerator, denominator, column name) — percentiles as exact
