@@ -282,6 +282,31 @@ object Queries {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  /** CUBE over (priority, status): all four grouping sets in ONE
+    * aggregation — map-side grouping-set expansion (each input row
+    * fans to its 4 set memberships before the single shuffle), so the
+    * full cross-tab costs one exchange, not four queries. At 100 TB
+    * the fan-out factor (2^dims) is the knob: cube 2-3 dims, rollup
+    * hierarchies, never cube a high-cardinality column. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("priority"), col("status"))
+
+  val qCubeSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
   /** Anti join: customers with no orders (NOT EXISTS → left_anti; the
     * shuffle is on the key both sides, broadcast when one side is
     * small — Catalyst picks per stats/AQE). */

@@ -174,6 +174,78 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val PqSubspaces = 4 // M: subvectors per vector (64 dims → 4 × 16)
+  val PqSubDim = 16
+  val PqCodes = 16    // K: codebook entries per subspace → 4-bit codes
+
+  /** Product quantization — the memory side of a billion-vector ANN
+    * index (IVF-PQ): each vector is encoded as [[PqSubspaces]] 4-bit
+    * codes (here packed into one int), compressing 64 float dims to
+    * 16 bits at the cost of the reported reconstruction error.
+    * Codebooks are the first [[PqCodes]] vectors' subslices — the same
+    * deterministic seeding as [[annIvf]]/emb_kmeans (a trained run
+    * would Lloyd-iterate per subspace exactly like emb_kmeans does
+    * globally; the encode path below is identical either way).
+    *
+    * Scale: the codebook (M·K·subdim doubles) broadcasts; encoding is
+    * one map-side scoring pass + a per-(vector, subspace) argmin
+    * window over M·K scored rows — O(n·M·K) work, no shuffle wider
+    * than the vector id. Distances via ‖x‖²−2x·c+‖c‖² with the native
+    * [[graft.functions.VecDot]] fold; the per-subspace errors sum
+    * through DECIMAL so the total is order-independent (the doc'd
+    * bit-stability rule for double aggregation). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val subs = vecs(spark, dir)
+      .select(col("vec_id"), col("v"),
+        explode_outer(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("sn2", dot(col("sub"), col("sub")))
+      // feeds both the codebook filter and the probe join — one pass
+      .localCheckpoint()
+    val cb = subs.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sub").as("csub"), col("sn2").as("cn2"))
+    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist2"), col("code"))
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("dist2", col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("code").cast("long") * pow(lit(16.0), col("m")).cast("long")).as("pq_code"),
+        round(sum(col("dist2").cast("decimal(27,12)")).cast("double"), 6).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val annPqSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""$vecsCteSql,
+       |subs AS (
+       |  SELECT vec_id, m.m AS m,
+       |    list_slice(v, m.m * $PqSubDim + 1, m.m * $PqSubDim + $PqSubDim) AS sub
+       |  FROM vecs, LATERAL (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m) m),
+       |subs2 AS (
+       |  SELECT vec_id, m, sub, ${dotSql("sub", "sub")} AS sn2 FROM subs),
+       |cb AS (
+       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS csub, sn2 AS cn2
+       |  FROM subs2 WHERE vec_id < $PqCodes),
+       |scored AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |    s.sn2 - 2.0 * ${dotSql("s.sub", "c.csub")} + c.cn2 AS dist2
+       |  FROM subs2 s JOIN cb c ON s.m = c.m),
+       |chosen AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT vec_id,
+       |  CAST(SUM(CAST(code AS BIGINT) * CAST(pow(16, m) AS BIGINT)) AS BIGINT) AS pq_code,
+       |  round(CAST(SUM(CAST(dist2 AS DECIMAL(27,12))) AS DOUBLE), 6) AS recon_err
+       |FROM chosen GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
   val annIvfSql: String = {
     val cCos =
       """round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
