@@ -473,6 +473,71 @@ object Queries {
       |WHERE is_event = 1 AND asof_orderkey IS NOT NULL
       |ORDER BY user_id, time_us, event_id""".stripMargin
 
+  // ------------------------------------------------------------ #23n funnel
+
+  /** Staged conversion funnel over the event stream (page_view →
+    * click → purchase, each stage strictly after the previous): the
+    * classic product-analytics query. Each user's stage times are
+    * nested conditional minima computed in ONE pass over the user's
+    * partition — min(click after first view) depends on min(view),
+    * so the projections chain over the same window partition (no
+    * re-shuffle, no self-join against a per-user aggregate). Gaps
+    * sum as exact BIGINT µs; rates/averages are one IEEE divide at
+    * the end (round 6).
+    *
+    * Scale: one shuffle on user_id, then a constant-width global
+    * aggregate — the same two-exchange shape regardless of corpus
+    * size. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "page_view", col("t"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("t") > col("t1"), col("t"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("t") > col("t2"), col("t"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    staged.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_viewed"),
+      count(col("t2")).as("n_clicked"),
+      count(col("t3")).as("n_purchased"),
+      round(count(col("t2")).cast("double") / greatest(count(col("t1")), lit(1L)).cast("double"), 6)
+        .as("view_to_click_rate"),
+      round(count(col("t3")).cast("double") / greatest(count(col("t2")), lit(1L)).cast("double"), 6)
+        .as("click_to_purchase_rate"),
+      round(sum(col("t2") - col("t1")).cast("double") / greatest(count(col("t2")), lit(1L)).cast("double"), 6)
+        .as("avg_view_to_click_us"),
+      round(sum(col("t3") - col("t2")).cast("double") / greatest(count(col("t3")), lit(1L)).cast("double"), 6)
+        .as("avg_click_to_purchase_us"))
+  }
+
+  val qFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |staged AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'page_view' THEN t END) AS t1
+      |  FROM ev GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, ANY_VALUE(s.t1) AS t1,
+      |    MIN(CASE WHEN e.event_type = 'click' AND e.t > s.t1 THEN e.t END) AS t2
+      |  FROM ev e JOIN staged s ON e.user_id = s.user_id GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, ANY_VALUE(s.t1) AS t1, ANY_VALUE(s.t2) AS t2,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.t > s.t2 THEN e.t END) AS t3
+      |  FROM ev e JOIN s2 s ON e.user_id = s.user_id GROUP BY 1)
+      |SELECT COUNT(*) AS n_users,
+      |  COUNT(t1) AS n_viewed,
+      |  COUNT(t2) AS n_clicked,
+      |  COUNT(t3) AS n_purchased,
+      |  round(CAST(COUNT(t2) AS DOUBLE) / CAST(greatest(COUNT(t1), 1) AS DOUBLE), 6) AS view_to_click_rate,
+      |  round(CAST(COUNT(t3) AS DOUBLE) / CAST(greatest(COUNT(t2), 1) AS DOUBLE), 6) AS click_to_purchase_rate,
+      |  round(CAST(SUM(t2 - t1) AS DOUBLE) / CAST(greatest(COUNT(t2), 1) AS DOUBLE), 6) AS avg_view_to_click_us,
+      |  round(CAST(SUM(t3 - t2) AS DOUBLE) / CAST(greatest(COUNT(t3), 1) AS DOUBLE), 6) AS avg_click_to_purchase_us
+      |FROM s3""".stripMargin
+
   // ------------------------------------------------------------ #23k profit
 
   /** Product-line profit by (nation, year) — the TPC-H Q9 shape over

@@ -353,6 +353,76 @@ object TextAnalysis {
        |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #33g bigram LM
+
+  /** Bigram-LM fluency score — [[commonness]] extended to 2-gram
+    * context (one step closer to CCNet's KenLM perplexity, still in
+    * engine-exact arithmetic): each bigram instance scores
+    * P(w2|w1) ≈ C(w1 w2) / C(w1) from GLOBAL corpus counts; the doc
+    * reports the average. Degenerate repetition scores high, random
+    * token soup scores low — complementary failure modes to the
+    * repetition signals. Per-instance ratios pass through
+    * DECIMAL(27,12) before summing (double addition is
+    * order-dependent; the decimal sum is partition-stable — the
+    * bit-stability rule every double aggregate here follows), plus a
+    * fully-integer pooled variant (Σ bigram counts / Σ prefix counts).
+    *
+    * Scale: two wordcount shuffles (bigram grain, token grain), two
+    * probe joins AQE-broadcast when the count relations fit, one
+    * doc-grain aggregate. The exploded bigram frame feeds the count
+    * aggregation AND the probe — localCheckpointed once. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toked = docs(spark, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bigramArr = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val inst = toked
+      .select(col("doc_id"), explode_outer(bigramArr).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+      .localCheckpoint()
+    val bc = inst.groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
+    val uc = docs(spark, dir)
+      .select(explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("uc"))
+    inst.join(bc, Seq("bigram"))
+      .join(uc, inst("prefix") === uc("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bc")).as("sum_bigram_freq"),
+        sum(col("uc")).as("sum_prefix_freq"),
+        round((sum((col("bc").cast("double") / col("uc").cast("double")).cast("decimal(27,12)"))
+          .cast("double") / count(lit(1)).cast("double")), 6).as("avg_cond_prob"),
+        round(sum(col("bc")).cast("double") / sum(col("uc")).cast("double"), 6)
+          .as("pooled_cond_prob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |inst AS (
+       |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prefix FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       |    FROM d)),
+       |bc AS (SELECT bigram, COUNT(*) AS bc FROM inst GROUP BY 1),
+       |uc AS (
+       |  SELECT token, COUNT(*) AS uc FROM (SELECT unnest(toks) AS token FROM d) GROUP BY 1)
+       |SELECT i.doc_id,
+       |  COUNT(*) AS n_bigrams,
+       |  CAST(SUM(bc.bc) AS BIGINT) AS sum_bigram_freq,
+       |  CAST(SUM(uc.uc) AS BIGINT) AS sum_prefix_freq,
+       |  round(CAST(SUM(CAST(CAST(bc.bc AS DOUBLE) / CAST(uc.uc AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cond_prob,
+       |  round(CAST(SUM(bc.bc) AS DOUBLE) / CAST(SUM(uc.uc) AS DOUBLE), 6) AS pooled_cond_prob
+       |FROM inst i
+       |JOIN bc ON i.bigram = bc.bigram
+       |JOIN uc ON i.prefix = uc.token
+       |GROUP BY 1 ORDER BY i.doc_id""".stripMargin
+
   // ------------------------------------------------------------ #33f quality filter
 
   /** Quality-filter thresholds — Gopher-rule shapes (Rae et al. 2021
