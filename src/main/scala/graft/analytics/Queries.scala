@@ -473,6 +473,58 @@ object Queries {
       |WHERE is_event = 1 AND asof_orderkey IS NOT NULL
       |ORDER BY user_id, time_us, event_id""".stripMargin
 
+  // ------------------------------------------------------------ #23o retention
+
+  val RetentionBucketUs: Long = 7L * 86400 * 1000000 // weekly cohorts
+
+  /** Cohort retention matrix — users grouped by first-activity week,
+    * counted in each later week they return (the other
+    * product-analytics classic next to [[qFunnel]]). The cohort
+    * assignment is a per-user min over the user partition — chained
+    * in the SAME window pass as the activity rows, no self-join —
+    * then one (cohort, offset) aggregate over distinct user-weeks.
+    *
+    * Scale: shuffle on user_id, distinct on (user, week) rides the
+    * same partitioning prefix, final aggregate is cohort² rows
+    * (tiny). Retention rate joins the cohort size back — a
+    * cohort-keyed relation, AQE-broadcast. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val base = Tables.events(spark, dir)
+      // `div` (floor division) — Column./ would divide as DOUBLE
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $RetentionBucketUs").as("week"))
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .select(col("user_id"), col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+    val cohortSizes = base.filter(col("week_offset") === 0)
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+    base
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_users"),
+        round(col("n_active").cast("double") / col("cohort_users").cast("double"), 6)
+          .as("retention_rate"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val qRetentionSql: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id,
+       |    MIN(epoch_us(ts) // $RetentionBucketUs) OVER (PARTITION BY user_id) AS cohort_week,
+       |    epoch_us(ts) // $RetentionBucketUs
+       |      - MIN(epoch_us(ts) // $RetentionBucketUs) OVER (PARTITION BY user_id) AS week_offset
+       |  FROM events),
+       |sizes AS (
+       |  SELECT cohort_week, COUNT(*) AS cohort_users FROM act WHERE week_offset = 0 GROUP BY 1),
+       |cells AS (
+       |  SELECT cohort_week, week_offset, COUNT(*) AS n_active FROM act GROUP BY 1, 2)
+       |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_users,
+       |  round(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6) AS retention_rate
+       |FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+       |ORDER BY c.cohort_week, c.week_offset""".stripMargin
+
   // ------------------------------------------------------------ #23n funnel
 
   /** Staged conversion funnel over the event stream (page_view →
