@@ -406,6 +406,47 @@ object Corpus {
       |  CAST(SUM(CASE WHEN q >= 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ shard balance
+
+  val BalanceShards = 8
+
+  /** Size-balanced output sharding — the writer-balance problem every
+    * 100 TB corpus dump has: equal DOC counts per output file still
+    * skew bytes badly when doc sizes do. Round-robin by per-source
+    * size rank (docs ranked by n_chars desc inside their source, shard
+    * = rank mod S) deals every source's large docs evenly across
+    * shards — the streaming-friendly cousin of LPT bin packing, with
+    * NO global window anywhere (ranks are per-source partitions, the
+    * corpus_interleave lesson). Output: per-shard byte/doc totals +
+    * the spread stats you'd alarm on.
+    *
+    * Scale: one shuffle on source for the rank windows, one tiny
+    * (S-row) aggregate. The assignment column itself is what a writer
+    * would partition the dump by. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.spread(Tables.documents(spark, dir))
+      .withColumn("shard", ((row_number().over(w) - 1) % BalanceShards).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("shard"))
+  }
+
+  val shardBalanceSql: String =
+    s"""WITH assigned AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) - 1) % $BalanceShards AS INT) AS shard
+       |  FROM documents)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  MIN(n_chars) AS min_chars,
+       |  MAX(n_chars) AS max_chars
+       |FROM assigned GROUP BY 1 ORDER BY shard""".stripMargin
+
   // ------------------------------------------------------------ vocab growth
 
   /** Docs per vocabulary-growth bucket. */
