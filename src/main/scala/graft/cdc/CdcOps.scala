@@ -1048,6 +1048,61 @@ object CdcOps {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Hot-stream multiple: a stream is flagged when it carries more
+    * than this multiple of the mean per-stream change count. */
+  val HotStreamFactor = 1.5
+
+  /** #14f: per-stream traffic stats — the worker-balance dashboard the
+    * reference's task scheduler implicitly depends on (one task per
+    * vnode: a hot stream IS a hot worker): change counts, distinct
+    * keys, time span, share of total traffic, and a hot flag at
+    * [[HotStreamFactor]]× the mean. The skew this surfaces is exactly
+    * what AQE skew-join splitting and salting (q_skew_salted_join)
+    * exist to absorb downstream.
+    *
+    * Scale: one shuffle on the stream key with map-side combine; the
+    * global mean is a 1-row aggregate joined back (AQE broadcast —
+    * never a driver collect). */
+  def streamStats(spark: SparkSession, dir: String): DataFrame =
+    streamStatsFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation. */
+  def streamStatsFromLog(log: DataFrame): DataFrame = {
+    val perStream = log.groupBy(col("cdc_stream_id"))
+      .agg(count(lit(1)).as("n_changes"),
+        countDistinct(col("user_id")).as("n_keys"),
+        min(col("time_us")).as("first_us"),
+        max(col("time_us")).as("last_us"))
+    val totals = perStream.agg(
+      sum(col("n_changes")).as("total_changes"),
+      count(lit(1)).as("n_streams"))
+    // 1-row side → broadcast nested loop, never a real cartesian
+    perStream.crossJoin(totals)
+      .select(col("cdc_stream_id"), col("n_changes"), col("n_keys"),
+        col("first_us"), col("last_us"),
+        round(col("n_changes").cast("double") / col("total_changes").cast("double"), 6)
+          .as("traffic_share"),
+        (col("n_changes").cast("double") * col("n_streams").cast("double") >
+          col("total_changes").cast("double") * HotStreamFactor).as("is_hot"))
+      .orderBy(col("cdc_stream_id"))
+  }
+
+  val streamStatsSql: String = CdcLogAdapter.oracleCte +
+    s""", per_stream AS (
+       |  SELECT cdc_stream_id, COUNT(*) AS n_changes,
+       |    COUNT(DISTINCT user_id) AS n_keys,
+       |    MIN(time_us) AS first_us, MAX(time_us) AS last_us
+       |  FROM cdc GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(SUM(n_changes) AS BIGINT) AS total_changes, COUNT(*) AS n_streams
+       |  FROM per_stream)
+       |SELECT cdc_stream_id, n_changes, n_keys, first_us, last_us,
+       |  round(CAST(n_changes AS DOUBLE) / CAST(total_changes AS DOUBLE), 6) AS traffic_share,
+       |  (CAST(n_changes AS DOUBLE) * CAST(n_streams AS DOUBLE)
+       |    > CAST(total_changes AS DOUBLE) * $HotStreamFactor) AS is_hot
+       |FROM per_stream CROSS JOIN totals
+       |ORDER BY cdc_stream_id""".stripMargin
+
   /** Snapshot-merge cutoff: day 15 of the synthetic log — mid-log, so
     * both the snapshot and the incremental batch are non-trivial. */
   val SnapshotCutoffUs: Long = GenerationStartUs + 15L * 86400 * 1000000

@@ -406,6 +406,75 @@ object Corpus {
       |  CAST(SUM(CASE WHEN q >= 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ outliers
+
+  val OutliersPerLabel = 5
+
+  /** Embedding outlier triage — the farthest-from-centroid vectors per
+    * label (mislabeled / corrupt / off-distribution points, the triage
+    * pass before centroids or ANN indexes are trusted). Rank-based on
+    * purpose: a z-score cut needs a variance, and double variance is
+    * partition-order-dependent — ranks only compare identical
+    * expression values, so they are exactly engine-stable.
+    *
+    * Scale: (label, dim)-grain DECIMAL-exact centroid aggregate (tiny
+    * — labels × dims rows), broadcast back, map-side ‖x−c‖² scoring
+    * via the native [[graft.functions.VecDot]], one per-label top-N
+    * window. */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot.dot
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val cent = vecs
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(27,12)")).cast("double") / count(lit(1)), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    vecs.join(broadcast(cent), Seq("label"))
+      .withColumn("dist2", col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= OutliersPerLabel)
+      .select(col("label"), col("rank"), col("vec_id"), round(col("dist2"), 6).as("dist2"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  val embOutliersSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, label, v, ${dot("v", "v")} AS n2 FROM e),
+       |dims AS (
+       |  SELECT label, i.i AS pos,
+       |    round(CAST(SUM(CAST(v[i.i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS m
+       |  FROM vecs, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+       |  GROUP BY label, i.i),
+       |cent AS (
+       |  SELECT label, list(m ORDER BY pos) AS cv FROM dims GROUP BY label),
+       |centn AS (
+       |  SELECT label, cv, ${dot("cv", "cv")} AS cn2 FROM cent),
+       |scored AS (
+       |  SELECT x.label, x.vec_id,
+       |    x.n2 - 2.0 * ${dot("x.v", "c.cv")} + c.cn2 AS dist2
+       |  FROM vecs x JOIN centn c ON x.label = c.label),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT label, rank, vec_id, round(dist2, 6) AS dist2
+       |FROM ranked WHERE rank <= $OutliersPerLabel
+       |ORDER BY label, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ shard balance
 
   val BalanceShards = 8
