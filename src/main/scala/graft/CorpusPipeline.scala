@@ -4,14 +4,15 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus build CLI — the pipeline-family analogue
   * of [[Replicate]]: documents parquet → retention decisions (exact +
-  * near dedup), benchmark decontamination, split/mixture assignment,
-  * sequence packing — one filtered, annotated corpus plus its
-  * composition report, written as parquet.
+  * near dedup), benchmark decontamination, quality filtering,
+  * split/mixture assignment, sequence packing — one filtered,
+  * annotated corpus plus its composition report, written as parquet.
   *
   * Stage order matters and mirrors production pipelines: dedup first
   * (a duplicated benchmark doc must not survive via its copy),
   * decontamination second (drops eval overlap from the kept set),
-  * then split/packing over what remains.
+  * quality rules third (cheap per-doc signals over what remains),
+  * then split/packing over the survivors.
   *
   * Usage: `sbt "runMain graft.CorpusPipeline <sfDir> <outDir>"`.
   * At 100 TB the same lines run on a cluster with the parquet paths
@@ -29,15 +30,22 @@ object CorpusPipeline {
     // 2. decontamination: docs sharing an n-gram with the benchmark slice
     val contaminated = pipeline.Dedup.decontaminate(spark, sfDir)
       .select(col("doc_id"), lit("benchmark_overlap").as("drop_reason"))
-    // 3. the kept corpus with split + packing coordinates
+    // 3. quality rules: length/repetition/heuristic keep-or-drop
+    val lowQuality = pipeline.TextAnalysis.qualityFilter(spark, sfDir)
+      .filter(!col("keep"))
+      .select(col("doc_id"), concat(lit("quality_"), col("reason")).as("drop_reason"))
+    // one reason per dropped doc, fixed priority via min()
+    val drops = contaminated.unionByName(lowQuality)
+      .groupBy(col("doc_id")).agg(min(col("drop_reason")).as("drop_reason"))
+    // 4. the kept corpus with split + packing coordinates
     val kept = keep.filter(col("keep"))
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
     val packed = pipeline.Corpus.packSequences(spark, sfDir)
       .join(kept, Seq("doc_id"), "left_semi")
 
     packed.write.mode("overwrite").parquet(s"$out/corpus_packed")
-    keep.join(contaminated, Seq("doc_id"), "left")
+    keep.join(drops, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("drop_reason").isNotNull && col("keep"), col("drop_reason"))
           .otherwise(col("reason")).as("reason"),
