@@ -720,4 +720,43 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
+  /** Correlated scalar subquery, decorrelated — lineitems priced above
+    * their OWN order's average price, rolled up per order priority.
+    * The oracle keeps the textbook correlated form
+    * `l_extendedprice > (SELECT AVG(..) WHERE l2.l_orderkey = l.l_orderkey)`;
+    * here the subquery becomes a window aggregate over the l_orderkey
+    * partition — ONE shuffle on the key instead of a per-row rescan
+    * (the standard decorrelation; written explicitly so the plan is a
+    * visible Window + join rather than an opaque subquery).
+    *
+    * The per-order average is a DECIMAL-exact windowed sum divided
+    * once — bit-stable under any partitioning on both engines, so the
+    * `>` comparison can't flap on summation order. */
+  def qCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    val flagged = Tables.lineitem(spark, dir)
+      .withColumn("order_avg",
+        sum(dec2(col("l_extendedprice"))).over(w).cast("double") / count(lit(1)).over(w))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") > col("order_avg")).cast("int").as("above"))
+    flagged.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lineitems"),
+        sum(col("above")).as("n_above_own_avg"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qCorrelatedSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT l.l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_lineitems,
+      |  CAST(SUM(CASE WHEN l.l_extendedprice > (
+      |    SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM lineitem l2 WHERE l2.l_orderkey = l.l_orderkey)
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_above_own_avg
+      |FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -577,4 +577,71 @@ object Corpus {
        |SELECT bucket, n_new_types,
        |  CAST(SUM(n_new_types) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
        |FROM buckets ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------ #28j power iteration
+
+  /** Two matvec rounds of distributed power iteration toward the top
+    * principal direction of the uncentered gram matrix Σᵢ xᵢxᵢᵀ —
+    * the 100 TB PCA building block. Each round u[j] = Σᵢ (xᵢ·v)·xᵢⱼ
+    * is ONE corpus scan (codegen'd [[graft.functions.VecDot]] against
+    * the broadcast direction) plus ONE dim-keyed exchange of ≤dim
+    * keys with map-side partial sums; the dim×dim covariance matrix
+    * is never materialized and no row talks to another row. The
+    * updated direction re-broadcasts as a 1-row array aggregate
+    * (same relational re-broadcast as [[embKmeans]]' centroids).
+    *
+    * Start vector = all-ones; directions stay UNNORMALIZED (two
+    * rounds don't overflow, and normalizing is O(dim) driver work at
+    * the consumer) so every output is an exact DECIMAL sum — the
+    * cross-row sums round-trip through DECIMAL(27,12), bit-stable
+    * under any partitioning on both engines. */
+  def embPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot.dot
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+    // u[pos] = Σ_rows (v·direction) * v[pos], DECIMAL-exact, rounded
+    def matvec(direction: DataFrame): DataFrame =
+      vecs.join(broadcast(direction), lit(true))
+        .withColumn("s", dot(col("v"), col("dv")))
+        .select(col("s"), posexplode_outer(col("v")).as(Seq("pos", "x")))
+        .select(col("pos"), (col("s") * col("x")).cast("decimal(27,12)").as("sx"))
+        .groupBy(col("pos"))
+        .agg(round(sum(col("sx")).cast("double"), 6).as("m"))
+
+    val ones = vecs.limit(1).select(transform(col("v"), _ => lit(1.0d)).as("dv"))
+    val u1 = matvec(ones).localCheckpoint() // feeds d1 AND the output join
+    val d1 = u1.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("dv"))
+    val u2 = matvec(d1)
+    u1.select(col("pos"), col("m").as("u1"))
+      .join(u2.select(col("pos"), col("m").as("u2")), Seq("pos"))
+      .select((col("pos") + 1).cast("int").as("dim"), col("u1"), col("u2"))
+      .orderBy(col("dim"))
+  }
+
+  val embPowerIterationSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |s1 AS (
+       |  SELECT v, ${dot("v", "list_transform(v, x -> CAST(1.0 AS DOUBLE))")} AS s FROM e),
+       |u1 AS (
+       |  SELECT i.i AS pos, round(CAST(SUM(CAST(s * v[i.i] AS DECIMAL(27,12))) AS DOUBLE), 6) AS m
+       |  FROM s1, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+       |  GROUP BY i.i),
+       |d1 AS (SELECT list(m ORDER BY pos) AS dv FROM u1),
+       |s2 AS (
+       |  SELECT v, ${dot("v", "d1.dv")} AS s FROM e CROSS JOIN d1),
+       |u2 AS (
+       |  SELECT i.i AS pos, round(CAST(SUM(CAST(s * v[i.i] AS DECIMAL(27,12))) AS DOUBLE), 6) AS m
+       |  FROM s2, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+       |  GROUP BY i.i)
+       |SELECT CAST(u1.pos AS INT) AS dim, u1.m AS u1, u2.m AS u2
+       |FROM u1 JOIN u2 ON u1.pos = u2.pos
+       |ORDER BY dim""".stripMargin
+  }
 }

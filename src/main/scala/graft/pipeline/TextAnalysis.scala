@@ -500,4 +500,57 @@ object TextAnalysis {
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), (acc, x) -> (acc * 257 + x) % ${Hashes.M}) AS fp_b
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------ #33g tf-idf
+
+  val TfidfTopK = 5
+
+  /** TF-IDF keyword extraction — the top-[[TfidfTopK]] terms per
+    * document by tf·(N/df), with a LINEAR idf: ln() is not
+    * hash-comparable across engines (libm ulp differences — SURVEY
+    * §6), and for per-doc RANKING the monotone N/df orders terms
+    * identically to log(N/df). The score is (tf·N)/df — an exact
+    * integer product followed by ONE correctly-rounded double
+    * division, deterministic on both engines.
+    *
+    * Scale: tf is one (doc, token)-keyed exchange with map-side
+    * combine; df comes from a COUNT window over the token partition
+    * of that same frame — one more exchange, and the tf subtree is
+    * referenced exactly once (a tf⋈df self-join would execute the
+    * whole tokenize+count subtree twice); N broadcasts as a 1-row
+    * aggregate; the top-k is a doc-keyed window. Nothing quadratic,
+    * nothing driver-side. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.withColumn("df", count(lit(1)).over(wTok))
+      .join(broadcast(n), lit(true))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfTopK)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.token) AS rnk
+       |  FROM tf JOIN df USING (token) CROSS JOIN n)
+       |SELECT doc_id, rnk, token, tf, df, round(score, 6) AS score
+       |FROM scored WHERE rnk <= $TfidfTopK
+       |ORDER BY doc_id, rnk""".stripMargin
 }
