@@ -1189,4 +1189,81 @@ object CdcOps {
        |FROM snap s FULL OUTER JOIN batch b ON s.user_id = b.user_id
        |WHERE b_op IS NULL OR b_op <> 3
        |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------ dead-letter queue
+
+  /** Dead-letter classification — the consumer-side triage a
+    * production CDC pipeline runs BEFORE applying changes: rather
+    * than crash (or silently mis-apply) on a protocol-violating
+    * change, tag it with the first failing rule and route it to a
+    * side sink. Rules over this log:
+    *
+    *  - `ttl_on_delete`: a TTL on a tombstone operation — Scylla TTLs
+    *    apply to written cells, a TTL'd delete is contradictory
+    *    (reference applies TTL only on insert/update preparation,
+    *    scylla-cdc-replicator operations ignore TTL on deletes).
+    *  - `unpaired_left_bound` / `unpaired_right_bound`: range
+    *    tombstones arrive as bound PAIRS (left then right — the
+    *    consume-once lag pairing [[rangeDelete]] relies on, reference
+    *    RangeTombstoneState); a left bound whose next range-op in the
+    *    stream is another left, or a right bound not preceded by a
+    *    left, cannot be paired.
+    *
+    * The pairing context comes from ignore-nulls `last`/`first`
+    * windows over the (stream, time, event) order restricted to
+    * range ops — ONE stream-keyed exchange, no self-join; the final
+    * per-reason rollup is a tiny-key aggregate. At 100 TB this is the
+    * same one-shuffle shape as [[streamOrdering]]. */
+  def dlq(spark: SparkSession, dir: String): DataFrame = {
+    val isRange = col("cdc_operation").isin(
+      RangeDeleteInclLeft, RangeDeleteExclLeft,
+      RangeDeleteInclRight, RangeDeleteExclRight)
+    val isLeft = col("cdc_operation").isin(RangeDeleteInclLeft, RangeDeleteExclLeft)
+    val isRight = col("cdc_operation").isin(RangeDeleteInclRight, RangeDeleteExclRight)
+    val w = Window.partitionBy(col("cdc_stream_id")).orderBy(col("time_us"), col("event_id"))
+    val rangeOp = when(isRange, col("cdc_operation"))
+    val reason = when(col("cdc_ttl").isNotNull &&
+        col("cdc_operation").isin(RowDelete, PartitionDelete,
+          RangeDeleteInclLeft, RangeDeleteExclLeft,
+          RangeDeleteInclRight, RangeDeleteExclRight), "ttl_on_delete")
+      .when(isLeft && !coalesce(col("next_range_op").isin(
+        RangeDeleteInclRight, RangeDeleteExclRight), lit(false)), "unpaired_left_bound")
+      .when(isRight && !coalesce(col("prev_range_op").isin(
+        RangeDeleteInclLeft, RangeDeleteExclLeft), lit(false)), "unpaired_right_bound")
+      .otherwise("ok")
+    cdcLog(spark, dir)
+      .withColumn("prev_range_op",
+        last(rangeOp, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_range_op",
+        first(rangeOp, ignoreNulls = true).over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("reason", reason)
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_changes"),
+        countDistinct(col("cdc_stream_id")).as("n_streams"),
+        min(col("time_us")).as("first_time_us"),
+        max(col("time_us")).as("last_time_us"))
+      .orderBy(col("reason"))
+  }
+
+  val dlqSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT reason, COUNT(*) AS n_changes,
+       |  COUNT(DISTINCT cdc_stream_id) AS n_streams,
+       |  MIN(time_us) AS first_time_us, MAX(time_us) AS last_time_us
+       |FROM (
+       |  SELECT cdc_stream_id, time_us,
+       |    CASE
+       |      WHEN cdc_ttl IS NOT NULL AND cdc_operation IN (3,4,5,6,7,8) THEN 'ttl_on_delete'
+       |      WHEN cdc_operation IN (5,6) AND NOT COALESCE(
+       |        first_value(CASE WHEN cdc_operation IN (5,6,7,8) THEN cdc_operation END IGNORE NULLS)
+       |          OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id
+       |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) IN (7,8), false)
+       |        THEN 'unpaired_left_bound'
+       |      WHEN cdc_operation IN (7,8) AND NOT COALESCE(
+       |        last_value(CASE WHEN cdc_operation IN (5,6,7,8) THEN cdc_operation END IGNORE NULLS)
+       |          OVER (PARTITION BY cdc_stream_id ORDER BY time_us, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IN (5,6), false)
+       |        THEN 'unpaired_right_bound'
+       |      ELSE 'ok' END AS reason
+       |  FROM cdc)
+       |GROUP BY reason ORDER BY reason""".stripMargin
 }
