@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level operations a training-data pipeline runs besides
@@ -577,6 +578,55 @@ object Corpus {
        |SELECT bucket, n_new_types,
        |  CAST(SUM(n_new_types) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
        |FROM buckets ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------ #28i token-budget selection
+
+  /** Token-budget curation — keep the highest-quality documents until
+    * a token budget (30% of the corpus's tokens) is spent: the
+    * "rank by quality, cut at N tokens" step every training-mix
+    * recipe ends with.
+    *
+    * The global running sum over the quality order is computed as a
+    * DISTRIBUTED two-phase prefix sum, not a single-partition window:
+    * docs bucket by a VALUE-derived quality band (a monotone function
+    * of the sort key — ntile would need its own global sort), the
+    * per-band token totals (≤20 rows) prefix-sum on the driver-sized
+    * side and broadcast back as band offsets, and the within-band
+    * running sum is a band-partitioned window. offset + within-band
+    * sum = the exact global prefix sum, with no stage ever holding
+    * more than one band's rows in one task. */
+  def selectBudget(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("band", least(floor(col("quality_score") * 20), lit(19.0d)).cast("int"))
+    val total = q.agg(sum(col("n_tokens")).as("total"))
+      .select(expr("(total * 3) div 10").as("budget"))
+    val wOff = Window.orderBy(col("band").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = q.groupBy(col("band")).agg(sum(col("n_tokens")).as("band_tokens"))
+      .withColumn("band_offset", coalesce(sum(col("band_tokens")).over(wOff), lit(0L)))
+      .select(col("band"), col("band_offset"))
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum_tokens", col("band_offset") + sum(col("n_tokens")).over(wIn))
+      .join(broadcast(total), lit(true))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"), col("doc_id"))
+  }
+
+  val selectBudgetSql: String =
+    s"""WITH q AS (${TextAnalysis.qualitySql}),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM q),
+       |c AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, n_tokens, quality_score, cum_tokens
+       |FROM c CROSS JOIN tot WHERE cum_tokens <= (total * 3) // 10
+       |ORDER BY cum_tokens, doc_id""".stripMargin
 
   // ------------------------------------------------------------ #28j power iteration
 
