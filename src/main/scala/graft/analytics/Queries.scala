@@ -732,19 +732,26 @@ object Queries {
     *
     * The per-order average is a DECIMAL-exact windowed sum divided
     * once — bit-stable under any partitioning on both engines, so the
-    * `>` comparison can't flap on summation order. */
+    * `>` comparison can't flap on summation order.
+    *
+    * The groupBy(l_orderkey) straight after the window REUSES the
+    * window's partitioning (no second exchange) and shrinks the
+    * orders join to order grain — also what lets the priority rollup
+    * use a plain count(*) instead of a countDistinct expand over
+    * every lineitem. */
   def qCorrelated(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
-    val flagged = Tables.lineitem(spark, dir)
+    val perOrder = Tables.lineitem(spark, dir)
       .withColumn("order_avg",
         sum(dec2(col("l_extendedprice"))).over(w).cast("double") / count(lit(1)).over(w))
-      .select(col("l_orderkey"),
-        (col("l_extendedprice") > col("order_avg")).cast("int").as("above"))
-    flagged.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_li"),
+        sum((col("l_extendedprice") > col("order_avg")).cast("int")).as("n_above"))
+    perOrder.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_lineitems"),
-        sum(col("above")).as("n_above_own_avg"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_li")).as("n_lineitems"),
+        sum(col("n_above")).as("n_above_own_avg"))
       .orderBy(col("o_orderpriority"))
   }
 

@@ -78,6 +78,38 @@ object TextAnalysis {
        |FROM withbest ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ #31b lang-id evaluation
+
+  /** Language-ID confusion matrix — the accuracy-evaluation twin of
+    * [[langId]] (same family as ann_recall / dedup_minhash_accuracy:
+    * measure the approximation against ground truth, as a query).
+    * Cells are (labeled, predicted) counts plus each cell's share of
+    * its labeled row — the diagonal share IS per-language recall.
+    *
+    * Scale: langId is a map-only projection, the matrix a tiny-key
+    * aggregate (≤|langs|² cells); the row-total window runs over that
+    * tiny cell relation, never over data. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val wRow = org.apache.spark.sql.expressions.Window.partitionBy(col("labeled_lang"))
+    langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_labeled", sum(col("n_docs")).over(wRow))
+      .withColumn("cell_frac", round(col("n_docs").cast("double") / col("n_labeled"), 6))
+      .orderBy(col("labeled_lang"), col("predicted_lang"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH li AS ($langIdSql),
+       |cells AS (
+       |  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+       |  FROM li GROUP BY 1, 2)
+       |SELECT labeled_lang, predicted_lang, n_docs,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS n_labeled,
+       |  round(CAST(n_docs AS DOUBLE)
+       |    / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT), 6) AS cell_frac
+       |FROM cells ORDER BY labeled_lang, predicted_lang""".stripMargin
+
   // ------------------------------------------------------------ #32 quality score
 
   /** Length / punctuation / stopword heuristic quality score in [0,1]:
