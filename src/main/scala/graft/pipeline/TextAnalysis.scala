@@ -546,21 +546,25 @@ object TextAnalysis {
     * division, deterministic on both engines.
     *
     * Scale: tf is one (doc, token)-keyed exchange with map-side
-    * combine; df comes from a COUNT window over the token partition
-    * of that same frame — one more exchange, and the tf subtree is
-    * referenced exactly once (a tf⋈df self-join would execute the
-    * whole tokenize+count subtree twice); N broadcasts as a 1-row
-    * aggregate; the top-k is a doc-keyed window. Nothing quadratic,
-    * nothing driver-side. */
+    * combine, localCheckpointed because it feeds BOTH df and the join
+    * probe (the [[graft.pipeline.Dedup.clusters]] / embKmeans lesson —
+    * without it the tokenize+count subtree executes twice). df is a
+    * token-keyed groupBy over that frame and joins back on token — a
+    * hash join AQE can SKEW-SPLIT on hot tokens ("the" lands in every
+    * doc; a token-partitioned count WINDOW would pin all its rows in
+    * one task with no skew remedy, which is why df is not a window).
+    * N broadcasts as a 1-row aggregate; the top-k is a doc-keyed
+    * window (docs bound the partition, no skew). */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-    tf.withColumn("df", count(lit(1)).over(wTok))
+    tf.join(df, Seq("token"))
       .join(broadcast(n), lit(true))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rnk", row_number().over(w))
