@@ -588,28 +588,35 @@ object Corpus {
     *
     * The global running sum over the quality order is computed as a
     * DISTRIBUTED two-phase prefix sum, not a single-partition window:
-    * docs bucket by a VALUE-derived quality band (a monotone function
-    * of the sort key — ntile would need its own global sort), the
-    * per-band token totals (≤20 rows) prefix-sum on the driver-sized
-    * side and broadcast back as band offsets, and the within-band
-    * running sum is a band-partitioned window. offset + within-band
-    * sum = the exact global prefix sum, with no stage ever holding
-    * more than one band's rows in one task. */
+    * `repartitionByRange` on the sort key range-partitions the corpus
+    * (its sampler balances partitions even when scores tie — doc_id
+    * disambiguates; a VALUE-derived band would pin a dense quality
+    * band in one task), the per-partition token totals (≤shuffle-
+    * partitions rows) prefix-sum in a tiny window and broadcast back
+    * as offsets, and the within-partition running sum is a
+    * partition-local window. offset + within-partition sum = the
+    * exact global prefix sum; the result is independent of where the
+    * sampled range boundaries land. The ranged frame feeds the
+    * offsets AND the probe — localCheckpoint so the quality subtree
+    * executes once (and partition ids stay frozen). */
   def selectBudget(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.quality(spark, dir)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      .withColumn("band", least(floor(col("quality_score") * 20), lit(19.0d)).cast("int"))
-    val total = q.agg(sum(col("n_tokens")).as("total"))
+      .repartitionByRange(parts, col("quality_score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val total = ranged.agg(sum(col("n_tokens")).as("total"))
       .select(expr("(total * 3) div 10").as("budget"))
-    val wOff = Window.orderBy(col("band").desc).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = q.groupBy(col("band")).agg(sum(col("n_tokens")).as("band_tokens"))
-      .withColumn("band_offset", coalesce(sum(col("band_tokens")).over(wOff), lit(0L)))
-      .select(col("band"), col("band_offset"))
-    val wIn = Window.partitionBy(col("band"))
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tokens")).as("part_tokens"))
+      .withColumn("part_offset", coalesce(sum(col("part_tokens")).over(wOff), lit(0L)))
+      .select(col("pid"), col("part_offset"))
+    val wIn = Window.partitionBy(col("pid"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.join(broadcast(offsets), Seq("band"))
-      .withColumn("cum_tokens", col("band_offset") + sum(col("n_tokens")).over(wIn))
+    ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_tokens", col("part_offset") + sum(col("n_tokens")).over(wIn))
       .join(broadcast(total), lit(true))
       .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("cum_tokens"))
