@@ -219,16 +219,18 @@ object Queries {
   /** Exact per-group median (and quartile row counts), computed
     * POSITIONALLY — middle one/two sorted values averaged through
     * DECIMAL — so both engines agree bit-for-bit with no dependence on
-    * their quantile interpolation flavors. One sort-shuffle per group
-    * key; at scale this is the standard exact-percentile layout
-    * (approx sketches are the alternative when exactness can yield). */
+    * their quantile interpolation flavors. Ranks come from
+    * [[graft.functions.DistributedRanks]]: exact global position per
+    * group without a group-partitioned window (approx sketches are
+    * the alternative when exactness can yield). */
   def qMedian(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    val ranked = c
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    // 5 market segments: a segment-partitioned window = one task per
+    // fifth of all customers; rank distributed instead (see
+    // DistributedRanks scaladoc)
+    val ranked = graft.functions.DistributedRanks.withGroupRanks(
+      Tables.customer(spark, dir)
+        .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey")),
+      "c_mktsegment", Seq(col("c_acctbal"), col("c_custkey")))
     ranked
       // floor division to match the oracle's `//` (Column./ is double division)
       .filter(col("rn") === floor((col("n") + 1) / 2) ||
@@ -647,18 +649,20 @@ object Queries {
     * event_id) — interpolation-free, so the output is a VALUE FROM THE
     * DATA and hash-stable across engines.
     *
-    * Scale: one shuffle on the group key; rank and group-count share
-    * the same window partition, then a single partial-agg collapse.
-    * (For percentiles over a 100 TB UNGROUPED column you'd reach for
-    * approx_percentile's t-digest instead — sketches merge; global
-    * sorts don't.) */
+    * Scale: ranks and group counts via
+    * [[graft.functions.DistributedRanks]] — range-partitioned, so a
+    * hot event_type never occupies one task — then a single
+    * partial-agg collapse. (For percentiles over a 100 TB UNGROUPED
+    * column you'd reach for approx_percentile's t-digest instead —
+    * sketches merge; global sorts don't.) */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    val wAll = Window.partitionBy(col("event_type"))
-    val ranked = Tables.events(spark, dir)
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
+    // ~5 event types: an event_type-partitioned rank window would pin
+    // each type's full data in one task (windows can't skew-split) —
+    // DistributedRanks range-partitions instead, so ranks stay exact
+    // while every task stays bounded
+    val ranked = graft.functions.DistributedRanks.withGroupRanks(
+      Tables.events(spark, dir).select(col("event_type"), col("value"), col("event_id")),
+      "event_type", Seq(col("value"), col("event_id")))
     val pcols = Percentiles.map { case (num, den, name) =>
       max(when(col("rn") === expr(s"($num * n + ${den - 1}) div $den"), col("value"))).as(name)
     }

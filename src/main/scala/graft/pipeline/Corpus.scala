@@ -334,9 +334,12 @@ object Corpus {
       .withColumn("source_idx",
         row_number().over(Window.orderBy(col("source"))).cast("bigint") - 1)
     val nSources = sources.select(count(lit(1)).as("n_sources"))
-    val w = Window.partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))
-    d.join(sources, "source").crossJoin(nSources)
-      .withColumn("rank_in_source", row_number().over(w).cast("bigint"))
+    // per-source ranks via DistributedRanks: a source-partitioned
+    // window would pin a whole source's docs in one task
+    val ranked = graft.functions.DistributedRanks
+      .withGroupRanks(d, "source", Seq(col("bucket"), col("doc_id")))
+    ranked.join(sources, "source").crossJoin(nSources)
+      .withColumn("rank_in_source", col("rn").cast("bigint"))
       .withColumn("interleave_key",
         (col("rank_in_source") - 1) * col("n_sources") + col("source_idx"))
       .select(col("doc_id"), col("source"), col("rank_in_source"), col("interleave_key"))
@@ -437,9 +440,20 @@ object Corpus {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
-    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
-    vecs.join(broadcast(cent), Seq("label"))
+    // two-stage top-N: the global top-N of a label is contained in
+    // the union of its per-input-partition top-Ns (true for ANY row
+    // placement), so prune to ≤ N×partitions candidates in bounded
+    // (label, pid) windows first — a label-partitioned window over
+    // the full data would pin each label's vectors in one task
+    val scored = vecs.join(broadcast(cent), Seq("label"))
       .withColumn("dist2", col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("label"), col("pid"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    scored
+      .withColumn("lrank", row_number().over(wLocal))
+      .filter(col("lrank") <= OutliersPerLabel)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= OutliersPerLabel)
       .select(col("label"), col("rank"), col("vec_id"), round(col("dist2"), 6).as("dist2"))
@@ -494,10 +508,12 @@ object Corpus {
     * (S-row) aggregate. The assignment column itself is what a writer
     * would partition the dump by. */
   def shardBalance(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
-    Tables.spread(Tables.documents(spark, dir))
-      .withColumn("shard", ((row_number().over(w) - 1) % BalanceShards).cast("int"))
+    // per-source size ranks via DistributedRanks (a source-partitioned
+    // window would pin a whole source's docs in one task)
+    graft.functions.DistributedRanks.withGroupRanks(
+        Tables.spread(Tables.documents(spark, dir)),
+        "source", Seq(col("n_chars").desc, col("doc_id")))
+      .withColumn("shard", ((col("rn") - 1) % BalanceShards).cast("int"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
