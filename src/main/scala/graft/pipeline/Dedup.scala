@@ -90,12 +90,32 @@ object Dedup {
        |      i -> $concat))""".stripMargin
   }
 
-  /** n-gram Jaccard near-dup pairs via an inverted shingle index —
-    * explode shingles, self-join on the shingle (shuffle on shingle,
-    * never all-pairs), count common, Jaccard = |∩| / |∪|.
-    * The same formulation runs verbatim at 100 TB: hot shingles can be
-    * frequency-capped, and AQE handles residual skew. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Hot-shingle document-frequency cap: shingles occurring in more
+    * than this many documents are dropped from the inverted index
+    * BEFORE pair generation. A shingle shared by f docs emits f²
+    * candidate pairs no matter how the join is executed (AQE can split
+    * a skewed join's INPUT, never its output), and a 100 TB web corpus
+    * is full of exactly such shingles — license blocks, boilerplate
+    * headers, navigation chrome. Capping df bounds the candidate count
+    * by C·|inverted index| and, as a bonus, improves precision: viral
+    * boilerplate stops gluing unrelated docs together. Similarity is
+    * then Jaccard/containment over the CAPPED shingle universe — the
+    * same stopword-removal semantics on both the Spark and oracle
+    * sides, so results stay hash-comparable. */
+  val MaxShingleDf = 50
+
+  /** Shared inverted-index build for [[ngramJaccard]] / [[containment]]:
+    * word-shingle sets → df-capped inverted index → per-doc sizes +
+    * per-pair common counts. Returns (sizes, candidates).
+    *
+    * Scale shape: the df aggregation is a groupBy (map-side combine,
+    * AQE-splittable) — NOT a count window, which would pin a hot
+    * shingle's postings in one task. The hot-shingle relation is tiny
+    * by construction (only df > [[MaxShingleDf]] survivors), so the
+    * anti-join broadcasts; `inv` feeds the df agg and the probe, hence
+    * the localCheckpoint (interpreted shingle HOFs would otherwise
+    * re-evaluate per consumer — the kmeans/IVF lesson). */
+  private def cappedShingleFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // The short-doc filter tests the CHEAP staged token column, and the
     // explode is the outer variant — both to keep the optimizer from
     // inlining the expensive shingle expression into a pushed-down
@@ -105,12 +125,48 @@ object Dedup {
         filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
       .filter(size(col("toks")) >= ShingleWords)
       .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
     val inv = sh.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
-    val common = inv.as("a").join(inv.as("b"),
+      .localCheckpoint()
+    val hot = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select(col("shingle"))
+    val invC = inv.join(hot, Seq("shingle"), "left_anti")
+    val sizes = invC.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val candidates = invC.as("a").join(invC.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .agg(count(lit(1)).as("n_common"))
+    (sizes, candidates)
+  }
+
+  /** Test-visible candidate-pair frame (pre-threshold): with the df
+    * cap active, its row count is bounded by [[MaxShingleDf]]·|index|
+    * even when one viral shingle appears in every document —
+    * NgramCapSpec drives that corpus through here. */
+  private[pipeline] def ngramCandidates(spark: SparkSession, dir: String): DataFrame =
+    cappedShingleFrames(spark, dir)._2
+
+  /** The shared df-cap + sizes + pairing CTE chain, generated from the
+    * same constants as the Spark side (used by the jaccard,
+    * containment and cluster oracles). */
+  private def cappedCommonSql: String =
+    s"""inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |hot AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) > $MaxShingleDf),
+       |invc AS (SELECT doc_id, shingle FROM inv WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM invc GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
+       |  FROM invc a JOIN invc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** n-gram Jaccard near-dup pairs via an inverted shingle index —
+    * explode shingles, drop hot shingles (df > [[MaxShingleDf]]),
+    * self-join on the shingle (shuffle on shingle, never all-pairs),
+    * count common, Jaccard = |∩| / |∪| over the capped universe.
+    * The same formulation runs verbatim at 100 TB: the df cap bounds
+    * the f² pair blow-up, and AQE handles residual join-input skew. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (sizes, common) = cappedShingleFrames(spark, dir)
     // No broadcast hint on `sizes`: it is per-doc (corpus-sized), so a
     // mandatory broadcast would OOM when the corpus outgrows executor
     // memory. The candidate-pair side is small post-LSH/threshold, so
@@ -132,12 +188,7 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id, $wordShinglesSql AS shingles
        |  FROM toks WHERE len(tokens) >= $ShingleWords),
-       |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
-       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-       |common AS (
-       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
-       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |$cappedCommonSql
        |SELECT doc_id_1, doc_id_2, n_common,
        |  round(CAST(n_common AS DOUBLE) / CAST(s1.sz + s2.sz - n_common AS DOUBLE), 6) AS jaccard
        |FROM common
@@ -161,19 +212,10 @@ object Dedup {
     *
     * Scale: identical layout to [[ngramJaccard]] — one inverted-index
     * shuffle on the shingle, pair aggregation on (doc1, doc2), no
-    * all-pairs anywhere; the same hot-shingle frequency cap applies. */
+    * all-pairs anywhere; the same [[MaxShingleDf]] hot-shingle
+    * frequency cap bounds the pair count. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
-      .filter(size(col("toks")) >= ShingleWords)
-      .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val inv = sh.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
-    val common = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .agg(count(lit(1)).as("n_common"))
+    val (sizes, common) = cappedShingleFrames(spark, dir)
     common
       .join(sizes.as("s1"), col("doc_id_1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("doc_id_2") === col("s2.doc_id"))
@@ -195,12 +237,7 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id, $wordShinglesSql AS shingles
        |  FROM toks WHERE len(tokens) >= $ShingleWords),
-       |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
-       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-       |common AS (
-       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, COUNT(*) AS n_common
-       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |$cappedCommonSql,
        |scored AS (
        |  SELECT doc_id_1, doc_id_2, n_common,
        |    round(CAST(n_common AS DOUBLE) / CAST(s1.sz AS DOUBLE), 6) AS containment_1,
@@ -278,11 +315,13 @@ object Dedup {
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens) - ${ShingleWords - 1}),
        |      i -> $concat)) AS shingles
        |  FROM toks WHERE len(tokens) >= $ShingleWords),
-       |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
        |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |hot AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) > $MaxShingleDf),
+       |invc AS (SELECT doc_id, shingle FROM inv WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM invc GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM invc a JOIN invc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |edges0 AS (
        |  SELECT d1, d2 FROM common
