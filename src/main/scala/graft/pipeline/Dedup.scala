@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.Tables
 import graft.functions.Hashes
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` / `embeddings` tables
@@ -350,7 +351,6 @@ object Dedup {
     * 100 TB corpus goes through; every stage is the same
     * one-shuffle-per-key layout as its standalone operator. */
   def keeplist(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val exact = docs(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("digest"))
       .withColumn("exact_canon", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
@@ -666,25 +666,79 @@ object Dedup {
 
   // ------------------------------------------------------------ #28 embedding cosine
 
-  /** Embedding near-dup: pairs with cosine ≥ $CosineThreshold — exact
-    * all-pairs, the oracle-checked baseline; the 100 TB path is the
-    * LSH-bucketed variant in [[Similarity.annLshBucketed]] (same
-    * scoring, sub-quadratic candidates).
+  /** Cells for the [[embedCosine]] triangle-inequality pruning — at
+    * corpus scale this grows ~√n so per-cell populations stay bounded
+    * (the pruning GUARANTEE below is independent of K; K only tunes
+    * how much work the bound can discard). */
+  val PruneCells = 16
+
+  /** Embedding near-dup: pairs with cosine ≥ $CosineThreshold — EXACT
+    * (identical to brute-force all-pairs, which is what the oracle SQL
+    * still states), but laid out so no full-table broadcast or
+    * nested-loop join ever appears in the plan.
     *
-    * Exact brute force as a declarative broadcast join: the build side
-    * is a Spark broadcast relation (block-fetched by executors — the
-    * operand table never round-trips through a driver `collect()`),
-    * the pair condition `id1 < id2` rides the broadcast-nested-loop
-    * join, and scoring is the native codegen'd [[graft.functions.VecDot]]
-    * fold — ascending-index, exactly the oracle's list_reduce order,
-    * bit-identical values. When the matrix outgrows executor memory,
-    * this operator no longer applies — that regime is what the LSH
-    * variant is for. */
+    * Layout: assign every vector to its nearest of [[PruneCells]]
+    * deterministic centroids (angular distance), record each cell's
+    * max angle R_c, and generate candidates only through centroid
+    * pairs with θ(c1,c2) ≤ θτ + R_c1 + R_c2. Angular distance is a
+    * metric (geodesic on the sphere), so by the triangle inequality a
+    * pair (a,b) with θ(a,b) ≤ θτ can never span a discarded cell pair
+    * — pruning is provably lossless, for ANY data. Survivor pairs are
+    * exact-refined with the native codegen'd [[graft.functions.VecDot]]
+    * fold (ascending-index, the oracle's list_reduce order,
+    * bit-identical values), so the result equals all-pairs at τ no
+    * matter how well the bound pruned.
+    *
+    * Scale: centroids (K rows) and the ≤K² surviving cell-pair
+    * relation broadcast; the vector table is shuffled ONCE on its cell
+    * key and joined by cell-pair equi-keys — an AQE-skew-splittable
+    * hash join, never a broadcast of the corpus. Worst case (data
+    * where nothing prunes, e.g. isotropic random vectors at a low τ)
+    * the COMPUTE is still O(n²) — inherent to an exact all-pairs
+    * contract — but memory stays bounded: scoring streams through the
+    * join, nothing corpus-sized is ever resident. On clustered real
+    * embeddings the bound discards most cell pairs and the work drops
+    * toward O(n²/K). The sub-quadratic APPROXIMATE paths remain
+    * [[Similarity.annLshBucketed]] / [[Similarity.annIvf]]. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+    val cent = e.filter(col("vec_id") < PruneCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    def angle(cos: Column): Column = acos(least(greatest(cos, lit(-1.0)), lit(1.0)))
+    // nearest centroid per vector (annIvf's assignment shape: K-row
+    // broadcast, vec_id is high-cardinality so the window is skew-safe)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", graft.functions.VecDot.dot(col("v"), col("cv")) /
+        (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"),
+        angle(col("c_cos")).as("theta"))
+      // feeds the radii agg and both pair sides — one execution
+      .localCheckpoint()
+    val radii = assigned.groupBy(col("cell")).agg(max(col("theta")).as("radius"))
+    // ordered centroid pairs surviving the triangle bound (K² rows of
+    // metadata; the 1e-9 slack keeps double rounding from ever flipping
+    // a boundary decision toward a false prune)
+    val thetaTau = math.acos(CosineThreshold)
+    val cellPairs = cent.as("c1").join(broadcast(cent.select(
+        col("cid").as("cid2"), col("cv").as("cv2"), col("cn2").as("cn22"))), lit(true))
+      .select(col("cid").as("cell_1"), col("cid2").as("cell_2"),
+        angle(graft.functions.VecDot.dot(col("cv"), col("cv2")) /
+          (sqrt(col("cn2")) * sqrt(col("cn22")))).as("cdist"))
+      .join(radii.select(col("cell").as("cell_1"), col("radius").as("r1")), Seq("cell_1"))
+      .join(radii.select(col("cell").as("cell_2"), col("radius").as("r2")), Seq("cell_2"))
+      .filter(col("cdist") <= lit(thetaTau) + col("r1") + col("r2") + lit(1e-9))
+      .select(col("cell_1"), col("cell_2"))
+    // every ordered (cell(a), cell(b)) appears at most once in
+    // cellPairs, so a qualifying pair meets exactly once
+    assigned.as("a")
+      .join(broadcast(cellPairs), col("a.cell") === col("cell_1"))
+      .join(assigned.as("b"),
+        col("cell_2") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
         round(graft.functions.VecDot.dot(col("a.v"), col("b.v")) /
           (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cos_sim"))
