@@ -707,8 +707,10 @@ object Queries {
     * speculative execution — a rand() salt silently breaks exactly-once
     * task retry semantics. */
   def qSkewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // pmod, not %: Scala/Spark % of a negative event_id would yield a
+    // negative salt matching no dim replica — those rows would vanish
     val ev = Tables.events(spark, dir)
-      .withColumn("e_salt", (col("event_id") % JoinSalt).cast("int"))
+      .withColumn("e_salt", pmod(col("event_id"), lit(JoinSalt)).cast("int"))
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"),
         explode(sequence(lit(0), lit(JoinSalt - 1))).as("d_salt"))

@@ -50,8 +50,14 @@ object DistributedRanks {
       .withColumn("n", sum(col("cnt")).over(wGrp))
       .select(col(group), col("pid"), col("part_offset"), col("n"))
     val wLocal = Window.partitionBy(col(group), col("pid")).orderBy(sort: _*)
-    ranged.join(broadcast(offsets), Seq(group, "pid"))
+    // null-safe group equality: the naive Window.partitionBy(group)
+    // this helper replaces keeps NULL as its own partition, so a plain
+    // equi-join (NULL never matches) would silently drop those rows
+    val off = offsets
+      .withColumnRenamed(group, "__grp").withColumnRenamed("pid", "__pid")
+    ranged.join(broadcast(off),
+        col(group) <=> col("__grp") && col("pid") === col("__pid"))
       .withColumn("rn", col("part_offset") + row_number().over(wLocal))
-      .drop("pid", "part_offset")
+      .drop("pid", "part_offset", "__grp", "__pid")
   }
 }

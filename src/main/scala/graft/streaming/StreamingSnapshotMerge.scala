@@ -87,13 +87,14 @@ object StreamingSnapshotMerge {
   def liveView(snapshot: DataFrame): DataFrame =
     snapshot.filter(!col("deleted")).drop("deleted")
 
-  /** Driver-held snapshot for specs/smoke runs. localCheckpoint per
-    * swap truncates lineage so the stored plan never grows with the
-    * number of merged batches. */
+  /** Driver-held snapshot for specs/smoke runs. The merger hands swap
+    * a frame derived from a per-batch localCheckpoint, so the stored
+    * plan never grows with the number of merged batches. */
   final class InMemorySnapshotStore(spark: SparkSession) {
     @volatile private var current: DataFrame = emptySnapshot(spark)
     def read(): DataFrame = current
-    def swap(next: DataFrame): Unit = { current = next.localCheckpoint() }
+    /** `next` must already be lineage-truncated (see [[attach]]). */
+    def swap(next: DataFrame): Unit = { current = next }
   }
 
   /** Attach the merger to a streaming CDC-log DataFrame (conforming
@@ -104,7 +105,11 @@ object StreamingSnapshotMerge {
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (df: DataFrame, _: Long) =>
-        val merged = mergeReduced(store.read(), reduceSlice(df))
+        // checkpoint the merged frame ONCE: both the trim clock below
+        // and the stored snapshot read it — without the checkpoint the
+        // reduce+merge (and the batch source read) would execute twice
+        // per micro-batch, and lineage would grow across batches
+        val merged = mergeReduced(store.read(), reduceSlice(df)).localCheckpoint()
         // one-scalar action: the snapshot's own clock drives the trim
         val now = merged.agg(max(col("last_write_us"))).head()
         if (!now.isNullAt(0)) store.swap(trim(merged, now.getLong(0), confidenceUs))

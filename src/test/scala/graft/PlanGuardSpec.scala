@@ -2,16 +2,23 @@ package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 
-/** Plan-shape regression guards — the scale properties the round-2
-  * verdict demanded, locked in as tests:
+/** Plan-shape regression guards — the scale properties the round-2/3
+  * verdicts demanded, locked in as tests:
   *  - no CDC operator may FORCE a broadcast: every cdc_* relation
   *    derives from the log, so a mandatory broadcast is a driver OOM
   *    on a delete-heavy 100× log (AQE decides at runtime instead);
-  *  - no oracle query may plan a CartesianProduct: the only sanctioned
-  *    all-pairs shape is dedup_embed_cosine's CONDITIONED
-  *    broadcast-nested-loop (id1 < id2 rides the broadcast).
-  * Planning only — nothing executes, so the whole surface checks in
-  * seconds at sf0.001. */
+  *  - no oracle query may plan a CartesianProduct (dedup_embed_cosine's
+  *    former conditioned nested-loop is gone too — it now equi-joins
+  *    on triangle-pruned cell pairs, see EmbedCosineSpec);
+  *  - the five skew-hardened operators may never regress to a window
+  *    partitioned by their lone hot key over unreduced data (the
+  *    DistributedRanks / two-stage-top-N rewrites of round 3).
+  * Mostly planning-time; operators built on an EAGER localCheckpoint
+  * (q_median, q_percentiles, corpus_interleave, corpus_shard_balance,
+  * corpus_select_budget, text_tfidf, text_bigram_lm,
+  * dedup_span_coverage, ann_pq, ann_ivf, dedup_*) do run their
+  * checkpointed subtree at DataFrame-construction time — still seconds
+  * at sf0.001. */
 class PlanGuardSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -43,5 +50,36 @@ class PlanGuardSpec extends SparkSpec {
         assert(!physical.contains("CartesianProduct"),
           s"$name plans a CartesianProduct:\n$physical")
       }
+  }
+
+  test("skew-hardened operators keep no lone-hot-key window over unreduced data") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Window => LWindow}
+    // window partitions cannot be skew-split by AQE, so a window keyed
+    // by ONE few-valued column over the raw data pins a whole group in
+    // one task — these five were rewritten in round 3 and must stay
+    // rewritten. A lone-hot-key window IS legitimate above a reducer:
+    // the (group × pid) offsets aggregate of DistributedRanks, or the
+    // per-(group, pid) rank-filter prune of the two-stage top-N.
+    val targets = Seq(
+      "q_median" -> "c_mktsegment",
+      "q_percentiles" -> "event_type",
+      "corpus_interleave" -> "source",
+      "corpus_shard_balance" -> "source",
+      "emb_outliers" -> "label")
+    def reduced(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.size >= 2 => ()
+      case f: Filter if f.child.collectFirst {
+        case w: LWindow if w.partitionSpec.size >= 2 => () }.nonEmpty => ()
+    }.nonEmpty
+    targets.foreach { case (name, hotKey) =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.size == 1 &&
+            w.partitionSpec.head.references.map(_.name).toSeq == Seq(hotKey) =>
+          assert(reduced(w.child),
+            s"$name: window partitioned by lone hot key '$hotKey' over unreduced data:\n$w")
+        case _ => ()
+      }
+    }
   }
 }

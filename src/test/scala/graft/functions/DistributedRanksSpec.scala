@@ -58,4 +58,16 @@ class DistributedRanksSpec extends SparkSpec {
     val df = (1 to 10).map(i => ("g" + i, i, i.toLong)).toDF("grp", "v", "id")
     assertSame(df, "grp", Seq(col("v"), col("id")), Seq("grp", "id"))
   }
+
+  test("keeps a NULL group as its own partition, like the naive window") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val g = if (i % 3 == 0) null else "g" + (i % 2)
+      (g, (i * 13) % 7, i.toLong)
+    }.toDF("grp", "v", "id")
+    assertSame(df, "grp", Seq(col("v"), col("id")), Seq("id"))
+    // every input row survives — the null-group rows must not be
+    // dropped by the offsets join
+    assert(DistributedRanks.withGroupRanks(df, "grp", Seq(col("id"))).count() == 200)
+  }
 }
