@@ -60,4 +60,34 @@ object DistributedRanks {
       .withColumn("rn", col("part_offset") + row_number().over(wLocal))
       .drop("pid", "part_offset", "__grp", "__pid")
   }
+
+  /** Grouped INCLUSIVE running sum of an integral `value` under the
+    * sort order, as column `out` — the prefix-sum twin of
+    * [[withGroupRanks]], with the same two-phase layout: a
+    * `Window.partitionBy(group).orderBy(...).rowsBetween(...)` running
+    * sum serializes each group through one task; here only bounded
+    * (group, range-partition) slices ever sit in a window, and the
+    * per-slice totals (a tiny groups × partitions frame) bridge them.
+    * The result is independent of where the sampled range boundaries
+    * land. */
+  def withGroupPrefixSum(df: DataFrame, group: String, sort: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .withColumn("__v", value)
+      .repartitionByRange(parts, (col(group) +: sort): _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wOff = Window.partitionBy(col(group)).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col(group), col("pid")).agg(sum(col("__v")).as("cnt"))
+      .withColumn("part_offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col(group).as("__grp"), col("pid").as("__pid"), col("part_offset"))
+    val wLocal = Window.partitionBy(col(group), col("pid")).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets),
+        col(group) <=> col("__grp") && col("pid") === col("__pid"))
+      .withColumn(out, col("part_offset") + sum(col("__v")).over(wLocal))
+      .drop("pid", "__v", "part_offset", "__grp", "__pid")
+  }
 }

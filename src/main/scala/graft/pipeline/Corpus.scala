@@ -242,20 +242,22 @@ object Corpus {
     * oracle agree row-for-row.
     *
     * Scale: a SINGLE global running sum would serialize the corpus
-    * through one partition — instead docs hash into [[NumShards]]
-    * independent packing streams (in production: one per output file
-    * writer) and the cumulative sum runs per shard. One shuffle on
-    * shard; the window is partition-local after it. NumShards scales
-    * with the writer pool, not the data. */
+    * through one partition, and even a per-shard
+    * `Window.partitionBy(shard)` puts a whole shard's token stream in
+    * ONE task (shards are few-valued by design). The running sum is
+    * instead the two-phase range-partitioned prefix sum of
+    * [[graft.functions.DistributedRanks.withGroupPrefixSum]] — every
+    * task holds a bounded (shard, range-slice), so ANY shard count
+    * works, including NumShards ≪ cores. Shards still map to the
+    * output-writer pool. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.spread(Tables.documents(spark, dir))
+    val toks = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("bigint").as("n_tokens"))
       .withColumn("shard", (col("doc_id") % NumShards).cast("int"))
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    graft.functions.DistributedRanks
+      .withGroupPrefixSum(toks, "shard", Seq(col("doc_id")), col("n_tokens"), "run_sum")
+      .withColumn("start_offset", col("run_sum") - col("n_tokens"))
       .withColumn("seq_idx", (col("start_offset") / SeqLen).cast("bigint"))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_offset"), col("seq_idx"))
       .orderBy(col("doc_id"))

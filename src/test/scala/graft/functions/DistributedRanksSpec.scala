@@ -59,6 +59,21 @@ class DistributedRanksSpec extends SparkSpec {
     assertSame(df, "grp", Seq(col("v"), col("id")), Seq("grp", "id"))
   }
 
+  test("prefix sum matches the naive running-sum window under skew") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      val g = if (i % 4 == 0) "g" + (i % 3) else "hot"
+      (g, i.toLong, ((i * 37) % 90 + 1).toLong)
+    }.toDF("grp", "id", "v")
+    val wNaive = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("run", sum(col("v")).over(wNaive))
+      .select("id", "run").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = DistributedRanks.withGroupPrefixSum(df, "grp", Seq(col("id")), col("v"), "run")
+      .select("id", "run").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("keeps a NULL group as its own partition, like the naive window") {
     import spark.implicits._
     val df = (1 to 200).map { i =>
