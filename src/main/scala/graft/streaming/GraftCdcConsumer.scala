@@ -61,6 +61,8 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var consumerSet = false
   private var generations: Option[Vector[CdcGeneration]] = None
   private var generationListener: CdcGeneration => Unit = _ => ()
+  private var tableGenerations: Map[String, Vector[CdcGeneration]] = Map.empty
+  private var tableGenerationListener: (String, CdcGeneration) => Unit = (_, _) => ()
   private var partitionConsumer: Option[Iterator[Delivered] => Unit] = None
   private var queryWindowMs: Long = 30000L // reference DEFAULT_QUERY_TIME_WINDOW_SIZE_MS
   private var confidenceMs: Long = 30000L  // reference DEFAULT_CONFIDENCE_WINDOW_SIZE_MS
@@ -123,7 +125,11 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     * Requires the driver-callback path (the master lives on the
     * driver in the reference too). */
   def withGenerations(gens: Seq[CdcGeneration]): this.type = {
-    require(gens.nonEmpty, "withGenerations requires at least one generation")
+    generations = Some(validatedTimeline(gens)); this
+  }
+
+  private def validatedTimeline(gens: Seq[CdcGeneration]): Vector[CdcGeneration] = {
+    require(gens.nonEmpty, "a generation timeline requires at least one generation")
     val sorted = gens.sortBy(_.startUs).toVector
     sorted.zip(sorted.tail).foreach { case (a, b) =>
       require(a.endUs.contains(b.startUs),
@@ -132,7 +138,25 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     }
     require(sorted.init.forall(_.endUs.isDefined) ,
       "only the last generation may be open-ended")
-    generations = Some(sorted); this
+    sorted
+  }
+
+  /** Tablet-era metadata model — the reference's
+    * `TabletBasedCDCMetadataModel` (scylla-cdc-base
+    * .../master/TabletBasedCDCMetadataModel.java:27-45): one master
+    * loop, but EVERY TABLE owns its own `TableCDCController`-style
+    * generation lifecycle (init → runMasterStep → advance +
+    * configureWorkers, TableCDCController.java:42-55,160-167), so two
+    * tables cross their generation boundaries independently. Give each
+    * added source its own timeline; sources without one are plain
+    * (non-generation-tracked) consumers. Per-table switchover keeps
+    * the same confidence-window barrier as [[withGenerations]], scoped
+    * to that table's query. Mutually exclusive with the cluster-wide
+    * [[withGenerations]] timeline — the reference also picks ONE
+    * metadata model per consumer. */
+  def withTableGenerations(name: String, gens: Seq[CdcGeneration]): this.type = {
+    require(!tableGenerations.contains(name), s"duplicate table timeline: $name")
+    tableGenerations += name -> validatedTimeline(gens); this
   }
 
   /** Invoked on every re-task — the `transport.configureWorkers(tasks)`
@@ -145,6 +169,13 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     generationListener = l; this
   }
 
+  /** Per-table configureWorkers callback (tablet model): invoked with
+    * (table, generation) on that table's initial tasking and on each
+    * of its switchovers — independent tables fire independently. */
+  def withTableGenerationSwitchListener(l: (String, CdcGeneration) => Unit): this.type = {
+    tableGenerationListener = l; this
+  }
+
   def withCheckpointLocation(path: String): this.type = { checkpointLocation = Some(path); this }
   def withStateStore(store: CdcStateStore): this.type = { stateStore = Some(store); this }
   def withQueryName(name: String): this.type = { queryName = name; this }
@@ -154,12 +185,19 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     require(partitionConsumer.isEmpty || !consumerSet,
       "withConsumer and withPartitionConsumer are mutually exclusive — " +
         "the driver callback would be silently ignored")
-    require(generations.isEmpty || partitionConsumer.isEmpty,
-      "withGenerations requires the driver-callback path — the master's " +
-        "switchover barrier is driver-side state, like the reference master")
+    require((generations.isEmpty && tableGenerations.isEmpty) || partitionConsumer.isEmpty,
+      "withGenerations/withTableGenerations require the driver-callback path — " +
+        "the master's switchover barrier is driver-side state, like the reference master")
+    require(generations.isEmpty || tableGenerations.isEmpty,
+      "withGenerations and withTableGenerations are mutually exclusive — " +
+        "pick ONE metadata model per consumer, like the reference")
+    tableGenerations.keys.foreach { t =>
+      require(sources.exists(_._1 == t), s"withTableGenerations names unknown source: $t")
+    }
     new GraftCdcConsumer(spark, sources, consumer, partitionConsumer, queryWindowMs,
       confidenceMs, workersCount, backoff, maxRetryAttempts, checkpointLocation,
-      stateStore, queryName, generations, generationListener)
+      stateStore, queryName, generations, generationListener,
+      tableGenerations, tableGenerationListener)
   }
 }
 
@@ -179,7 +217,10 @@ final class GraftCdcConsumer private[streaming] (
     stateStore: Option[CdcStateStore],
     queryName: String,
     generations: Option[Vector[CdcGeneration]] = None,
-    generationListener: CdcGeneration => Unit = _ => ()) extends AutoCloseable {
+    generationListener: CdcGeneration => Unit = _ => (),
+    tableGenerations: Map[String, Vector[CdcGeneration]] = Map.empty,
+    tableGenerationListener: (String, CdcGeneration) => Unit = (_, _) => ())
+    extends AutoCloseable {
 
   private var running: Vector[StreamingQuery] = Vector.empty
 
@@ -190,6 +231,11 @@ final class GraftCdcConsumer private[streaming] (
   private var currentGen: Option[CdcGeneration] = None
   private var switches: Vector[Int] = Vector.empty
   private var genDelivered: Map[Int, Long] = Map.empty
+  // tablet model: the same three, keyed per table (one
+  // TableCDCController's state each — TableCDCController.java:23-24)
+  private var tableCurrent: Map[String, CdcGeneration] = Map.empty
+  private var tableSwitches: Map[String, Vector[Int]] = Map.empty
+  private var tableDelivered: Map[(String, Int), Long] = Map.empty
 
   /** The generation currently being consumed (switchover mode). */
   def currentGeneration: Option[CdcGeneration] = genLock.synchronized(currentGen)
@@ -199,6 +245,18 @@ final class GraftCdcConsumer private[streaming] (
   /** Per-generation callback delivery counts (replays under the retry
     * path count like the callback sees them). */
   def generationProgress: Map[Int, Long] = genLock.synchronized(genDelivered)
+
+  /** Tablet model: the generation a TABLE is currently consuming. */
+  def currentGeneration(table: String): Option[CdcGeneration] =
+    genLock.synchronized(tableCurrent.get(table))
+  /** Tablet model: a table's re-task order (initial tasking first). */
+  def generationSwitches(table: String): Seq[Int] =
+    genLock.synchronized(tableSwitches.getOrElse(table, Vector.empty))
+  /** Tablet model: a table's per-generation delivery counts. */
+  def generationProgress(table: String): Map[Int, Long] =
+    genLock.synchronized(tableDelivered.collect {
+      case ((t, gid), n) if t == table => gid -> n
+    })
 
   /** Index of the generation containing time t: the last one with
     * startUs <= t (generations are contiguous and sorted). Changes
@@ -222,6 +280,22 @@ final class GraftCdcConsumer private[streaming] (
 
   private def countDelivered(gid: Int): Unit = genLock.synchronized {
     genDelivered = genDelivered.updated(gid, genDelivered.getOrElse(gid, 0L) + 1L)
+  }
+
+  /** Per-table advance — one table's runMasterStep outcome
+    * (TableCDCController.runMasterStep → advanceToNextGeneration +
+    * configureWorkers); other tables' controllers are untouched. */
+  private def advanceTableTo(table: String, g: CdcGeneration): Unit = genLock.synchronized {
+    if (!tableCurrent.get(table).exists(_.startUs >= g.startUs)) {
+      tableCurrent += table -> g
+      tableSwitches += table -> (tableSwitches.getOrElse(table, Vector.empty) :+ g.generationId)
+      tableGenerationListener(table, g)
+    }
+  }
+
+  private def countTableDelivered(table: String, gid: Int): Unit = genLock.synchronized {
+    tableDelivered = tableDelivered.updated((table, gid),
+      tableDelivered.getOrElse((table, gid), 0L) + 1L)
   }
 
   /** The delivery pipeline of the FIRST source as a streaming Dataset
@@ -255,7 +329,7 @@ final class GraftCdcConsumer private[streaming] (
     * (reference: Worker loop + ExponentialRetryBackoffWithJitter).
     * Only non-fatal errors retry; interrupts (query.stop())
     * propagate immediately. */
-  private def deliverWithRetry(batch: Dataset[Delivered]): Unit = {
+  private def deliverWithRetry(sourceName: String, batch: Dataset[Delivered]): Unit = {
     val cb = consumer
     val pc = partitionConsumer
     var attempt = 0
@@ -291,8 +365,12 @@ final class GraftCdcConsumer private[streaming] (
                   (d.timeUs == p.lastTimeUs && d.eventId > p.lastEventId)))
               case None => rows
             }
-            generations match {
-              case Some(gens) =>
+            // timeline resolution: this table's own controller (tablet
+            // model) beats the cluster-wide timeline; build() enforces
+            // at most one model is configured
+            tableGenerations.get(sourceName).map(g => (g, true))
+              .orElse(generations.map(g => (g, false))) match {
+              case Some((gens, perTable)) =>
                 // switchover mode: stable-sort the batch by generation
                 // (keeps (streamId, seqNo) order within each one) —
                 // the watermark guarantees no later batch carries an
@@ -300,8 +378,13 @@ final class GraftCdcConsumer private[streaming] (
                 // completely, re-tasks, then begins gen N+1
                 fresh.sortBy(d => genIndexOf(gens, d.timeUs)).foreach { d =>
                   val g = gens(genIndexOf(gens, d.timeUs))
-                  advanceTo(g)
-                  countDelivered(g.generationId)
+                  if (perTable) {
+                    advanceTableTo(sourceName, g)
+                    countTableDelivered(sourceName, g.generationId)
+                  } else {
+                    advanceTo(g)
+                    countDelivered(g.generationId)
+                  }
                   cb(d)
                 }
               case None => fresh.foreach(cb)
@@ -331,14 +414,19 @@ final class GraftCdcConsumer private[streaming] (
     // switchover mode: configure workers for the FIRST generation
     // before any data flows — getGenerationId falls back to
     // fetchFirstGenerationId in the reference
-    // (GenerationBasedCDCMetadataModel.java:33-45)
+    // (GenerationBasedCDCMetadataModel.java:33-45); tablet model runs
+    // the same init PER TABLE (initCurrentGeneration for each
+    // controller, TabletBasedCDCMetadataModel.java:33-35)
     generations.foreach(gens => advanceTo(gens.head))
+    sources.foreach { case (name, _) =>
+      tableGenerations.get(name).foreach(gens => advanceTableTo(name, gens.head))
+    }
     running = sources.map { case (name, source) =>
       var writer = deliveredFor(source).writeStream
         .queryName(if (sources.size == 1) queryName else s"$queryName-$name")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(queryWindowMs))
-        .foreachBatch((batch: Dataset[Delivered], _: Long) => deliverWithRetry(batch))
+        .foreachBatch((batch: Dataset[Delivered], _: Long) => deliverWithRetry(name, batch))
       checkpointLocation.foreach { p =>
         writer = writer.option("checkpointLocation",
           if (sources.size == 1) p else s"$p/$name")

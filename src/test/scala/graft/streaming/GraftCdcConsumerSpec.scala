@@ -136,6 +136,109 @@ class GraftCdcConsumerSpec extends SparkSpec {
     assert(!progress.contains(1))
   }
 
+  test("tablet model: two tables cross generation boundaries independently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // TabletBasedCDCMetadataModel: one master loop, one
+    // TableCDCController per table — `orders` switches at ms(100),
+    // `users` not until ms(250); neither table's runMasterStep may
+    // move the other's generation.
+    val ordersGens = Seq(
+      CdcGeneration(0, ms(0), Some(ms(100)), Seq(1L, 2L)),
+      CdcGeneration(1, ms(100), None, Seq(1L, 3L)))
+    val usersGens = Seq(
+      CdcGeneration(10, ms(0), Some(ms(250)), Seq(5L)),
+      CdcGeneration(11, ms(250), None, Seq(5L, 6L)))
+    val ordersIn = MemoryStream[Change]
+    val usersIn = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val retasked = new ConcurrentLinkedQueue[(String, Int)]()
+    val c = GraftCdcConsumer.builder(spark)
+      .addSource("orders", ordersIn.toDS())
+      .addSource("users", usersIn.toDS())
+      .withTableGenerations("orders", ordersGens)
+      .withTableGenerations("users", usersGens)
+      .withTableGenerationSwitchListener((t, g) => retasked.add((t, g.generationId)))
+      .withConsumer(d => received.add(d))
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"spec_tablet_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      // initCurrentGeneration per controller, before any data
+      assert(c.generationSwitches("orders") == Seq(0))
+      assert(c.generationSwitches("users") == Seq(10))
+      // orders crosses its boundary; users' lone gen-10 change stays
+      // buffered inside the confidence window (no users nudge — a
+      // post-boundary users event would BE a gen-11 delivery)
+      ordersIn.addData(Seq(
+        Change(1, ms(10), 1, 2, 0.0),    // orders gen 0
+        Change(3, ms(150), 2, 2, 0.0)))  // orders gen 1
+      usersIn.addData(Seq(Change(5, ms(20), 1, 2, 0.0))) // users gen 10
+      c.processAllAvailable()
+      ordersIn.addData(Seq(Change(9, ms(100000), 99, 2, 0.0)))  // orders nudge
+      c.processAllAvailable()
+      ordersIn.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // orders nudge
+      c.processAllAvailable()
+      // independent switchover: orders re-tasked onto gen 1, users untouched
+      assert(c.generationSwitches("orders") == Seq(0, 1))
+      assert(c.currentGeneration("orders").map(_.generationId).contains(1))
+      assert(c.generationSwitches("users") == Seq(10))
+      assert(c.currentGeneration("users").map(_.generationId).contains(10))
+      // now users crosses too
+      usersIn.addData(Seq(Change(6, ms(300), 2, 2, 0.0))) // users gen 11
+      c.processAllAvailable()
+      usersIn.addData(Seq(Change(9, ms(100000), 96, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      usersIn.addData(Seq(Change(9, ms(200000), 95, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      assert(c.generationSwitches("users") == Seq(10, 11))
+      assert(c.currentGeneration("users").map(_.generationId).contains(11))
+      assert(c.generationSwitches("orders") == Seq(0, 1)) // untouched by users
+    } finally c.stop()
+    // configureWorkers fired per table, initial tasking first
+    assert(retasked.asScala.toSeq == Seq(
+      ("orders", 0), ("users", 10), ("orders", 1), ("users", 11)))
+    // per-table progress: orders delivered 1 change in gen 0; its gen-1
+    // count carries the main change plus watermark nudges. users'
+    // gen-10 count is its one main change plus the small nudges.
+    val op = c.generationProgress("orders")
+    assert(op(0) == 1 && op(1) >= 1)
+    val up = c.generationProgress("users")
+    assert(up(10) >= 1 && up(11) >= 1)
+    // the cluster-wide (non-tablet) master state stayed untouched
+    assert(c.generationSwitches.isEmpty && c.currentGeneration.isEmpty)
+  }
+
+  test("tablet model validates source names and model exclusivity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val gens = Seq(CdcGeneration(0, ms(0), None, Seq(1L)))
+    intercept[IllegalArgumentException] { // unknown source name
+      GraftCdcConsumer.builder(spark)
+        .addSource("orders", input.toDS())
+        .withTableGenerations("users", gens)
+        .withConsumer(_ => ())
+        .build()
+    }
+    intercept[IllegalArgumentException] { // one metadata model at a time
+      GraftCdcConsumer.builder(spark)
+        .addSource("orders", input.toDS())
+        .withGenerations(gens)
+        .withTableGenerations("orders", gens)
+        .withConsumer(_ => ())
+        .build()
+    }
+    intercept[IllegalArgumentException] { // driver-callback requirement
+      GraftCdcConsumer.builder(spark)
+        .addSource("orders", input.toDS())
+        .withTableGenerations("orders", gens)
+        .withPartitionConsumer(_ => ())
+        .build()
+    }
+  }
+
   test("withGenerations validates contiguity and the driver-callback requirement") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
