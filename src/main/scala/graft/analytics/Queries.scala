@@ -685,6 +685,35 @@ object Queries {
        |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin
   }
 
+  /** Sketch accuracy for [[qPercentilesApprox]]: the rank error of any
+    * reported quantile is bounded by n / accuracy. */
+  val ApproxPercentileAccuracy = 1000
+
+  /** APPROXIMATE per-group percentiles via `approx_percentile` — the
+    * 100 TB path [[qPercentiles]]' scaladoc names: the sketch
+    * (GK-style mergeable summary, the t-digest role) aggregates with
+    * map-side partial merge in ONE exchange of sketch-sized partials,
+    * no ranks, no range repartition, no per-row shuffle of the data
+    * column at all — exactly what an ungrouped (or hot-grouped)
+    * quantile over 100 TB needs, at the cost of a documented rank
+    * error ≤ n / [[ApproxPercentileAccuracy]] (PercentilesApproxSpec
+    * measures it against the exact operator). Not oracle-hashable by
+    * design — sketch internals are engine-specific — so this is a
+    * rows-gated entry; reach for the exact [[qPercentiles]] when the
+    * answer must be reproducible to the row (audits, SLA cutoffs),
+    * and for this one when it must be cheap at scale. */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ps = array(Percentiles.map { case (num, den, _) => lit(num.toDouble / den) }: _*)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(col("value"), ps, lit(ApproxPercentileAccuracy)).as("qs"))
+      .select(col("event_type") +: col("n_rows") +:
+        Percentiles.zipWithIndex.map { case ((_, _, name), i) =>
+          element_at(col("qs"), i + 1).as(name) }: _*)
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------ #23i salted join
 
   /** Salt fan-out for the skew-salted join. */
