@@ -1103,6 +1103,55 @@ object CdcOps {
        |FROM per_stream CROSS JOIN totals
        |ORDER BY cdc_stream_id""".stripMargin
 
+  /** Simulated consumer checkpoint for [[lagReport]]: day 20 of the
+    * synthetic log — fixed, not wall-clock, like [[NowUs]]. */
+  val LagCheckpointUs: Long = GenerationStartUs + 20L * 86400 * 1000000
+
+  /** #14h (`cdc_lag_report`): per-stream consumer-lag dashboard — the
+    * monitoring twin of [[streamStats]] (which ranks stream HOTNESS;
+    * this ranks how far BEHIND the consumer is). Given the consumer's
+    * checkpoint (delivered ⇔ time ≤ [[LagCheckpointUs]]) and the fixed
+    * clock [[NowUs]]: per stream, delivered/pending change counts, the
+    * last delivered and oldest pending ChangeId times, the delivery
+    * lag (now − last delivered), the oldest pending age, and a
+    * caught_up flag. Exactly the per-task progress a production
+    * operator pages on — the reference surfaces the same watermark per
+    * task via CDCConsumer's state store (TaskState.lastConsumedChangeId).
+    *
+    * Scale: one stream-keyed shuffle with conditional aggregates
+    * (map-side combine); 2^20 streams at 100 TB parallelize naturally,
+    * the same layout as every per-stream operator here. */
+  def lagReport(spark: SparkSession, dir: String): DataFrame =
+    lagReportFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation. */
+  def lagReportFromLog(log: DataFrame): DataFrame = {
+    val delivered = col("time_us") <= LagCheckpointUs
+    log.groupBy(col("cdc_stream_id"))
+      .agg(
+        sum(when(delivered, 1L).otherwise(0L)).as("n_delivered"),
+        sum(when(delivered, 0L).otherwise(1L)).as("n_pending"),
+        max(when(delivered, col("time_us"))).as("last_delivered_us"),
+        min(when(!delivered, col("time_us"))).as("oldest_pending_us"))
+      .withColumn("delivery_lag_us", lit(NowUs) - col("last_delivered_us"))
+      .withColumn("oldest_pending_age_us", lit(NowUs) - col("oldest_pending_us"))
+      .withColumn("caught_up", col("n_pending") === 0L)
+      .orderBy(col("cdc_stream_id"))
+  }
+
+  val lagReportSql: String = CdcLogAdapter.oracleCte +
+    s"""SELECT cdc_stream_id,
+       |  CAST(SUM(CASE WHEN time_us <= $LagCheckpointUs THEN 1 ELSE 0 END) AS BIGINT) AS n_delivered,
+       |  CAST(SUM(CASE WHEN time_us <= $LagCheckpointUs THEN 0 ELSE 1 END) AS BIGINT) AS n_pending,
+       |  MAX(CASE WHEN time_us <= $LagCheckpointUs THEN time_us END) AS last_delivered_us,
+       |  MIN(CASE WHEN time_us > $LagCheckpointUs THEN time_us END) AS oldest_pending_us,
+       |  $NowUs - MAX(CASE WHEN time_us <= $LagCheckpointUs THEN time_us END) AS delivery_lag_us,
+       |  $NowUs - MIN(CASE WHEN time_us > $LagCheckpointUs THEN time_us END) AS oldest_pending_age_us,
+       |  (SUM(CASE WHEN time_us <= $LagCheckpointUs THEN 0 ELSE 1 END) = 0) AS caught_up
+       |FROM cdc
+       |GROUP BY cdc_stream_id
+       |ORDER BY cdc_stream_id""".stripMargin
+
   /** Snapshot-merge cutoff: day 15 of the synthetic log — mid-log, so
     * both the snapshot and the incremental batch are non-trivial. */
   val SnapshotCutoffUs: Long = GenerationStartUs + 15L * 86400 * 1000000

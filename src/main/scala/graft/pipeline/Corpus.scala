@@ -105,6 +105,30 @@ object Corpus {
        |ORDER BY n_occurrences DESC, token
        |LIMIT $TopTokens""".stripMargin
 
+  /** HLL++ relative standard deviation for [[topkTokensApprox]] —
+    * estimate error concentrates within a few rsd. */
+  val ApproxDfRsd = 0.02
+
+  /** [[topkTokens]] with document frequency via `approx_count_distinct`
+    * — the swap the exact operator's scaladoc names for 100 TB made
+    * real: HLL++ sketches merge map-side in ONE exchange of
+    * sketch-sized partials, where countDistinct plans an expand +
+    * second (token, doc_id)-grain aggregate. Occurrence counts (and
+    * therefore the top-k row SET and order) stay exact — only n_docs
+    * is estimated, with relative error ~[[ApproxDfRsd]]
+    * (TopkTokensApproxSpec measures it against the exact operator).
+    * Rows-gated: HLL internals are engine-specific, so the estimate
+    * can't hash-match DuckDB by design. */
+  def topkTokensApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        approx_count_distinct(col("doc_id"), ApproxDfRsd).as("n_docs_approx"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(TopTokens)
+
   val KmeansK = 8
 
   /** Distributed k-means, two unrolled Lloyd iterations over the

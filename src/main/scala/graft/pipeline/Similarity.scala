@@ -293,6 +293,129 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-PQ search — the two halves composed the way a billion-vector
+    * index actually runs (#30b's coarse cells + #30d's codes): a query
+    * probes its [[NumProbes]] nearest cells, and every candidate in
+    * them is scored by ASYMMETRIC distance (ADC): the exact query
+    * subvectors against the candidate's 4-bit codebook entries —
+    * Σ_m ‖q_m − codebook[m][code_m(x)]‖². The candidate's floats are
+    * never touched at search time; that is the whole point of PQ (the
+    * index holds 16 bits per vector, not 256 bytes).
+    *
+    * Scale: codebooks, the probe list and the query→code ADC table
+    * (queries × M × K rows) broadcast; candidates shuffle once on the
+    * cell key and once on vec_id for the code lookup — both
+    * AQE-splittable equi-joins, work n/K per probed cell, no floats
+    * moved for candidates. The per-candidate sum over the M=4 subspace
+    * terms goes through DECIMAL, so it is order-independent and
+    * hash-comparable (the doc'd bit-stability rule). */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
+    val assigned = all.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1 || (col("vec_id") < NumQueries && col("crn") <= NumProbes))
+      .localCheckpoint() // feeds cells AND probes — one scoring pass
+    val cells = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = assigned.filter(col("vec_id") < NumQueries && col("crn") <= NumProbes)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val subs = all
+      .select(col("vec_id"), col("v"),
+        explode_outer(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("sn2", dot(col("sub"), col("sub")))
+      .localCheckpoint() // feeds the codebook, the encode pass AND the ADC table
+    val cb = subs.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sub").as("csub"), col("sn2").as("cn2s"))
+    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist2"), col("code"))
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("dist2", col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+    val qdist = subs.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        (col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s")).as("qd"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("approx_dist2"), col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qdist), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("qd").cast("decimal(27,12)")).cast("double"), 6).as("approx_dist2"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_dist2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfPqSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+    val cCos =
+      """round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i])), (acc, x) -> acc + x)
+        |    / (sqrt(a.n2) * sqrt(c.cn2)), 6)""".stripMargin
+    s"""$vecsCteSql,
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM vecs WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT a.vec_id, c.cid,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $cCos DESC, c.cid) AS INT) AS crn
+       |  FROM vecs a CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell
+       |  FROM assigned WHERE vec_id < $NumQueries AND crn <= $NumProbes),
+       |subs AS (
+       |  SELECT vec_id, m.m AS m,
+       |    list_slice(v, m.m * $PqSubDim + 1, m.m * $PqSubDim + $PqSubDim) AS sub
+       |  FROM vecs, LATERAL (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m) m),
+       |subs2 AS (
+       |  SELECT vec_id, m, sub, ${dotSql("sub", "sub")} AS sn2 FROM subs),
+       |cb AS (
+       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS csub, sn2 AS cn2s
+       |  FROM subs2 WHERE vec_id < $PqCodes),
+       |scored AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |    s.sn2 - 2.0 * ${dotSql("s.sub", "c.csub")} + c.cn2s AS dist2
+       |  FROM subs2 s JOIN cb c ON s.m = c.m),
+       |chosen AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1),
+       |qdist AS (
+       |  SELECT vec_id AS query_id, m, code, dist2 AS qd
+       |  FROM scored WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id
+       |  FROM cells c JOIN probes p ON c.cell = p.cell
+       |  WHERE c.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    round(CAST(SUM(CAST(q.qd AS DECIMAL(27,12))) AS DOUBLE), 6) AS approx_dist2
+       |  FROM cand
+       |  JOIN chosen ch ON cand.vec_id = ch.vec_id
+       |  JOIN qdist q ON q.query_id = cand.query_id AND q.m = ch.m AND q.code = ch.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist2, vec_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, vec_id AS neighbor_id, approx_dist2, rank
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ #30c recall
 
   /** ANN quality evaluation: recall@k of the LSH and IVF indexes
