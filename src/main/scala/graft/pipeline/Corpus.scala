@@ -695,9 +695,22 @@ object Corpus {
     * cross-row sums round-trip through DECIMAL(27,12), bit-stable
     * under any partitioning on both engines. */
   def embPowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val (_, u1, u2) = powerIterationFrames(spark, dir)
+    u1.select(col("pos"), col("m").as("u1"))
+      .join(u2.select(col("pos"), col("m").as("u2")), Seq("pos"))
+      .select((col("pos") + 1).cast("int").as("dim"), col("u1"), col("u2"))
+      .orderBy(col("dim"))
+  }
+
+  /** The two power-iteration matvec rounds shared by
+    * [[embPowerIteration]] and [[embPcaProject]]: returns the typed
+    * vector frame plus both unnormalized direction frames (pos, m). */
+  private def powerIterationFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VecDot.dot
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
 
     // u[pos] = Σ_rows (v·direction) * v[pos], DECIMAL-exact, rounded
     def matvec(direction: DataFrame): DataFrame =
@@ -709,38 +722,116 @@ object Corpus {
         .agg(round(sum(col("sx")).cast("double"), 6).as("m"))
 
     val ones = vecs.limit(1).select(transform(col("v"), _ => lit(1.0d)).as("dv"))
-    val u1 = matvec(ones).localCheckpoint() // feeds d1 AND the output join
+    val u1 = matvec(ones).localCheckpoint() // feeds d1 AND a second consumer
     val d1 = u1.groupBy()
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("dv"))
-    val u2 = matvec(d1)
-    u1.select(col("pos"), col("m").as("u1"))
-      .join(u2.select(col("pos"), col("m").as("u2")), Seq("pos"))
-      .select((col("pos") + 1).cast("int").as("dim"), col("u1"), col("u2"))
-      .orderBy(col("dim"))
+    (vecs, u1, matvec(d1))
   }
 
-  val embPowerIterationSql: String = {
-    val dot = (a: String, b: String) =>
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
-    s"""WITH e AS (
-       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private val sqlDot = (a: String, b: String) =>
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
+
+  /** Shared oracle CTE chain for the power-iteration family
+    * (e → s1 → u1 → d1 → s2 → u2); `pos` is 1-based like the Spark
+    * side's `pos + 1`. */
+  private val powerIterationCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |s1 AS (
-       |  SELECT v, ${dot("v", "list_transform(v, x -> CAST(1.0 AS DOUBLE))")} AS s FROM e),
+       |  SELECT v, ${sqlDot("v", "list_transform(v, x -> CAST(1.0 AS DOUBLE))")} AS s FROM e),
        |u1 AS (
        |  SELECT i.i AS pos, round(CAST(SUM(CAST(s * v[i.i] AS DECIMAL(27,12))) AS DOUBLE), 6) AS m
        |  FROM s1, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
        |  GROUP BY i.i),
        |d1 AS (SELECT list(m ORDER BY pos) AS dv FROM u1),
        |s2 AS (
-       |  SELECT v, ${dot("v", "d1.dv")} AS s FROM e CROSS JOIN d1),
+       |  SELECT v, ${sqlDot("v", "d1.dv")} AS s FROM e CROSS JOIN d1),
        |u2 AS (
        |  SELECT i.i AS pos, round(CAST(SUM(CAST(s * v[i.i] AS DECIMAL(27,12))) AS DOUBLE), 6) AS m
        |  FROM s2, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
-       |  GROUP BY i.i)
+       |  GROUP BY i.i)""".stripMargin
+
+  val embPowerIterationSql: String =
+    s"""WITH $powerIterationCtes
        |SELECT CAST(u1.pos AS INT) AS dim, u1.m AS u1, u2.m AS u2
        |FROM u1 JOIN u2 ON u1.pos = u2.pos
        |ORDER BY dim""".stripMargin
+
+  // ------------------------------------------------------------ #28q PCA projection
+
+  /** Per-vector projection onto [[embPowerIteration]]'s converged
+    * direction — the CONSUMER of the 100 TB PCA building block: the
+    * 1-D coordinate every downstream curriculum/binning/outlier pass
+    * wants. The u2 direction re-enters as a 1-row array aggregate and
+    * broadcasts; the projection itself is one codegen'd
+    * [[graft.functions.VecDot]] per row — map-only over the corpus, no
+    * second shuffle after the two matvec exchanges. Direction stays
+    * unnormalized (same contract as the parent operator), so every
+    * score is a deterministic double both engines reproduce. */
+  def embPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot.dot
+    val (vecs, _, u2) = powerIterationFrames(spark, dir)
+    val d2 = u2.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("dv"))
+    vecs.join(broadcast(d2), lit(true))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("dv")), 6).as("proj"))
+      .orderBy(col("vec_id"))
   }
+
+  val embPcaProjectSql: String =
+    s"""WITH $powerIterationCtes,
+       |d2 AS (SELECT list(m ORDER BY pos) AS dv FROM u2)
+       |SELECT vec_id, label, round(${sqlDot("v", "dv")}, 6) AS proj
+       |FROM e CROSS JOIN d2
+       |ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------ #28r quality deciles
+
+  /** Corpus quality deciles — the curriculum/ablation report: docs
+    * ranked by [[TextAnalysis.quality]] score and cut into NTILE(10)
+    * buckets, each decile summarized (doc count, score range, token
+    * mass). The global rank comes from
+    * [[graft.functions.DistributedRanks.withGroupRanks]] over a
+    * constant group — a plain `ntile(10) over (order by score)` is THE
+    * canonical single-partition window (every row through one task);
+    * here ranks are exact under range partitioning and the decile is
+    * closed-form from (rank, n) with standard NTILE semantics (first
+    * n mod 10 buckets one row larger). The decile aggregate is a
+    * 10-key groupBy with map-side combine. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("__g", lit(1))
+    graft.functions.DistributedRanks
+      .withGroupRanks(q, "__g", Seq(col("quality_score").desc, col("doc_id")))
+      // NTILE(k) closed form: qq = n div k rows per bucket, the first
+      // r = n mod k buckets hold one extra. CASE guards the qq = 0
+      // edge (then rn <= r = n is always true, the else never runs).
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN rn <= (n div 10 + 1) * (n % 10)
+          |  THEN (rn - 1) div (n div 10 + 1) + 1
+          |  ELSE n % 10 + (rn - 1 - (n div 10 + 1) * (n % 10)) div (n div 10) + 1
+          |END AS INT)""".stripMargin))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("lo_score"),
+        max(col("quality_score")).as("hi_score"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("decile"))
+  }
+
+  val qualityDecilesSql: String =
+    s"""WITH q AS (${TextAnalysis.qualitySql}),
+       |r AS (
+       |  SELECT n_tokens, quality_score,
+       |    NTILE(10) OVER (ORDER BY quality_score DESC, doc_id) AS decile
+       |  FROM q)
+       |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+       |  MIN(quality_score) AS lo_score, MAX(quality_score) AS hi_score,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM r GROUP BY decile ORDER BY decile""".stripMargin
 }

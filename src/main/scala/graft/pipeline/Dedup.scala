@@ -76,7 +76,7 @@ object Dedup {
     * `toks` MUST be a materialized column (not an inline expression):
     * interpreted HOFs don't CSE, so an inline `split+filter` would be
     * re-evaluated for every element_at. */
-  private def wordShingles(toks: Column): Column =
+  private[graft] def wordShingles(toks: Column): Column =
     // Guard: Spark's sequence(1, n) is DESCENDING for n < 1 and ANSI
     // element_at would throw on the out-of-range index — short docs
     // yield an empty set instead (the oracle filters them identically).

@@ -589,4 +589,85 @@ object TextAnalysis {
        |SELECT doc_id, rnk, token, tf, df, round(score, 6) AS score
        |FROM scored WHERE rnk <= $TfidfTopK
        |ORDER BY doc_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------ #33i collocations
+
+  /** Minimum pair count for [[collocations]] — rarer pairs have too
+    * little evidence for an association score (standard PMI hygiene;
+    * it also bounds the scored relation). */
+  val MinPairCount = 5L
+  val TopCollocations = 50
+
+  /** Corpus collocations — bigrams ranked by pointwise association
+    * ("lift", the PMI argument before the log):
+    * p(xy) / (p(x)·p(y)) with p over the corpus-wide bigram / unigram
+    * totals. The tokenizer-merge / phrase-mining primitive (word2vec
+    * phrases, BPE seed merges). Kept as the exact rational — taking
+    * the log adds nothing to the ranking (monotone) and natural log is
+    * not hash-stable across engines (the doc'd libm rule).
+    *
+    * Scale: two wordcount shuffles (bigram grain, token grain) with
+    * map-side combine — the count relations are vocab-sized, so the
+    * two prefix/suffix probes AQE-broadcast; totals re-enter as 1-row
+    * aggregates; final top-k is an orderBy+limit (TakeOrdered — never
+    * a global sort of the scored relation). Both count frames are
+    * consumed twice (probe + total) and vocab-sized →
+    * localCheckpointed, so the corpus scan runs once per grain. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toked = docs(spark, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bigramArr = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bc = toked
+      .select(explode_outer(bigramArr).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
+    val uc = toked
+      .select(explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+      .localCheckpoint()
+    val tPairs = bc.agg(sum(col("n_pair")).as("t_pairs"))
+    val tToks = uc.agg(sum(col("n_tok")).as("t_tokens"))
+    bc.filter(col("n_pair") >= MinPairCount)
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+      .withColumn("suffix", substring_index(col("bigram"), " ", -1))
+      .join(uc.select(col("token").as("prefix"), col("n_tok").as("n_prefix")), Seq("prefix"))
+      .join(uc.select(col("token").as("suffix"), col("n_tok").as("n_suffix")), Seq("suffix"))
+      .join(broadcast(tPairs), lit(true))
+      .join(broadcast(tToks), lit(true))
+      // (c_xy/T) · (U/c_x) · (U/c_y): divisions first keeps every
+      // intermediate small enough for exact doubles at any SF
+      .withColumn("lift", round(
+        (col("n_pair").cast("double") / col("t_pairs").cast("double"))
+          * (col("t_tokens").cast("double") / col("n_prefix").cast("double"))
+          * (col("t_tokens").cast("double") / col("n_suffix").cast("double")), 6))
+      .select(col("bigram"), col("n_pair"), col("n_prefix"), col("n_suffix"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(TopCollocations)
+  }
+
+  val collocationsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |inst AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM d),
+       |bc AS (SELECT bigram, COUNT(*) AS n_pair FROM inst GROUP BY 1),
+       |uc AS (
+       |  SELECT token, COUNT(*) AS n_tok FROM (SELECT unnest(toks) AS token FROM d) GROUP BY 1),
+       |tp AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t_pairs FROM bc),
+       |tt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tokens FROM uc)
+       |SELECT b.bigram, b.n_pair, p.n_tok AS n_prefix, s.n_tok AS n_suffix,
+       |  round((CAST(b.n_pair AS DOUBLE) / CAST(t_pairs AS DOUBLE))
+       |    * (CAST(t_tokens AS DOUBLE) / CAST(p.n_tok AS DOUBLE))
+       |    * (CAST(t_tokens AS DOUBLE) / CAST(s.n_tok AS DOUBLE)), 6) AS lift
+       |FROM bc b
+       |JOIN uc p ON string_split(b.bigram, ' ')[1] = p.token
+       |JOIN uc s ON string_split(b.bigram, ' ')[2] = s.token
+       |CROSS JOIN tp CROSS JOIN tt
+       |WHERE b.n_pair >= $MinPairCount
+       |ORDER BY lift DESC, bigram LIMIT $TopCollocations""".stripMargin
 }
