@@ -47,12 +47,14 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
-    * Only the genuine dimensions (customer, nation) carry broadcast
-    * hints; orders is FACT-sized (grows with lineitem), so that edge
-    * is a shuffle join on l_orderkey — a forced broadcast there
+    * Only the FIXED-cardinality dimension (nation, 25 rows at every
+    * SF) carries a broadcast hint. customer is a ratio dim — small
+    * relative to the fact but still growing with scale — so its edge
+    * is left to AQE, which broadcasts at runtime exactly while the
+    * post-scan side fits the threshold and falls back to a shuffle
+    * join past it. orders is FACT-sized: a forced broadcast there
     * builds the hash relation single-threaded through the driver and
-    * OOMs at scale. AQE still upgrades it to broadcast at runtime
-    * when the post-scan orders side is genuinely small.
+    * OOMs at scale, so that edge shuffles on l_orderkey.
     */
   def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -60,7 +62,7 @@ object Queries {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -801,4 +803,88 @@ object Queries {
       |FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------ moving average
+
+  /** Moving-average frame width: 7 days in event-time microseconds. */
+  val MovingAvgWindowUs: Long = 7L * 86400 * 1000000
+
+  /** Per-user trailing 7-day moving average of event value — the
+    * RANGE-frame time-series smoother (rolling spend/engagement):
+    * every event row annotated with the window's event count, exact
+    * DECIMAL sum, and the average. Tie times are frame PEERS (RANGE,
+    * not ROWS), so the result is deterministic under any tie order.
+    *
+    * Scale: ONE user_id-keyed exchange; user_id is high-cardinality
+    * (the skew-audit grade for window keys), the frame is
+    * partition-local, and the DECIMAL sum keeps the output
+    * hash-stable at any partitioning. */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us"))
+      .rangeBetween(-MovingAvgWindowUs, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("time_us"),
+        col("value"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("win_sum", sum(dec2(col("value"))).over(w).cast("double"))
+      .withColumn("moving_avg", round(col("win_sum") / col("n_in_window"), 6))
+      .orderBy(col("event_id"))
+  }
+
+  val qMovingAvgSql: String =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS time_us, value,
+       |  COUNT(*) OVER w AS n_in_window,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS win_sum,
+       |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       |    / (COUNT(*) OVER w), 6) AS moving_avg
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |  RANGE BETWEEN $MovingAvgWindowUs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ z-score outliers
+
+  /** Per-type z-score anomaly report — events whose value sits more
+    * than 3σ from their event_type's mean (the metrics-pipeline
+    * tripwire). Mean/σ come from exact DECIMAL power sums (n, Σv,
+    * Σv²) so both engines derive bit-identical doubles; sqrt and IEEE
+    * division are hash-stable (the doc'd rule — no ln anywhere).
+    *
+    * Scale: the stats are a FEW-KEY groupBy — an aggregation, not a
+    * window, so partial aggregation combines map-side and the hot
+    * type never serializes through one task; the tiny stats relation
+    * broadcasts back and the flag pass is map-only. */
+  def qZscore(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("s1"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("ms2", col("s2").cast("double") / col("n"))
+      .withColumn("std", sqrt(col("ms2") - col("mean") * col("mean")))
+      .select(col("event_type"), col("mean"), col("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("value") - col("mean")) > lit(3.0d) * col("std"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
+  val qZscoreSql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+      |  FROM events GROUP BY 1),
+      |m1 AS (
+      |  SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean, CAST(s2 AS DOUBLE) / n AS ms2 FROM s),
+      |m AS (
+      |  SELECT event_type, mean, sqrt(ms2 - mean * mean) AS std FROM m1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  round((e.value - m.mean) / m.std, 6) AS zscore
+      |FROM events e JOIN m USING (event_type)
+      |WHERE abs(e.value - m.mean) > 3.0 * m.std
+      |ORDER BY event_id""".stripMargin
 }
