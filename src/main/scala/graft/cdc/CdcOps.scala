@@ -1152,6 +1152,49 @@ object CdcOps {
        |GROUP BY cdc_stream_id
        |ORDER BY cdc_stream_id""".stripMargin
 
+  /** #14i (`cdc_scd2_history`): SCD-Type-2 history materialization —
+    * the CDC→lakehouse DIMENSION-history build (the third
+    * materialization next to [[replicateLww]]'s final state and
+    * [[compaction]]'s survivor log): every row write opens a version
+    * valid [its time, the key's next write), a DELETE closes the
+    * previous version and emits nothing, the open version is flagged
+    * current. Version numbers count surviving versions per key.
+    *
+    * Scale: ONE user_id-keyed exchange (high-cardinality key);
+    * valid_to comes from lead() over all writes of the key and
+    * version_no from a second window over the same partitioning after
+    * the delete filter — both partition-local, no second shuffle. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2HistoryFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation. */
+  def scd2HistoryFromLog(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+    log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+      .withColumn("valid_to_us", lead(col("time_us"), 1).over(w))
+      .filter(col("cdc_operation") =!= RowDelete)
+      .withColumn("version_no", row_number().over(w).cast("int"))
+      .select(col("user_id"), col("version_no"),
+        col("event_id").as("write_event_id"),
+        col("time_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"),
+        col("value"), col("props"))
+      .orderBy(col("user_id"), col("version_no"))
+  }
+
+  val scd2HistorySql: String = CdcLogAdapter.oracleCte +
+    s""", writes AS (
+       |  SELECT user_id, event_id, time_us, cdc_operation, value, props,
+       |    LEAD(time_us, 1) OVER (PARTITION BY user_id ORDER BY time_us, event_id) AS valid_to_us
+       |  FROM cdc WHERE cdc_operation IN ($RowUpdate, $RowInsert, $RowDelete)),
+       |vers AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us, event_id) AS INT) AS version_no
+       |  FROM writes WHERE cdc_operation <> $RowDelete)
+       |SELECT user_id, version_no, event_id AS write_event_id,
+       |  time_us AS valid_from_us, valid_to_us,
+       |  (valid_to_us IS NULL) AS is_current, value, props
+       |FROM vers ORDER BY user_id, version_no""".stripMargin
+
   /** Snapshot-merge cutoff: day 15 of the synthetic log — mid-log, so
     * both the snapshot and the incremental batch are non-trivial. */
   val SnapshotCutoffUs: Long = GenerationStartUs + 15L * 86400 * 1000000

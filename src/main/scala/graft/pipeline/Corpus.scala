@@ -834,4 +834,53 @@ object Corpus {
        |  MIN(quality_score) AS lo_score, MAX(quality_score) AS hi_score,
        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
        |FROM r GROUP BY decile ORDER BY decile""".stripMargin
+
+  // ------------------------------------------------------------ #28s per-source budget
+
+  /** Token-budget curation PER PROVENANCE GROUP — [[selectBudget]]'s
+    * 30%-of-tokens rule applied within each source (the per-domain
+    * curation every mixture recipe actually runs: a global budget lets
+    * one huge source crowd out the tail). The grouped running sum is
+    * [[graft.functions.DistributedRanks.withGroupPrefixSum]] — range-
+    * partitioned two-phase, so no task ever holds a whole source (a
+    * `sum over (partition by source order by …)` window would
+    * serialize the biggest source through one task). Per-source
+    * totals aggregate off the same checkpointed frame and join back
+    * (a ~|sources|-row relation — AQE broadcasts it). */
+  def budgetBySource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"))
+    val q = TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(src, Seq("doc_id"))
+    val summed = graft.functions.DistributedRanks.withGroupPrefixSum(
+      q, "source", Seq(col("quality_score").desc, col("doc_id")),
+      col("n_tokens"), "cum_tokens")
+    val budgets = summed.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total"))
+      .select(col("source"), expr("(total * 3) div 10").as("budget"))
+    summed.join(budgets, Seq("source"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("quality_score"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val budgetBySourceSql: String =
+    s"""WITH q AS (${TextAnalysis.qualitySql}),
+       |j AS (
+       |  SELECT d.source, q.doc_id, q.n_tokens, q.quality_score
+       |  FROM q JOIN documents d USING (doc_id)),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens, quality_score,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM j),
+       |t AS (
+       |  SELECT source, (CAST(SUM(n_tokens) AS BIGINT) * 3) // 10 AS budget
+       |  FROM j GROUP BY 1)
+       |SELECT c.source, c.doc_id, c.n_tokens, c.quality_score, c.cum_tokens
+       |FROM c JOIN t USING (source)
+       |WHERE c.cum_tokens <= t.budget
+       |ORDER BY source, cum_tokens, doc_id""".stripMargin
 }

@@ -383,6 +383,41 @@ object Dedup {
        |SELECT doc_id, reason, (reason = 'kept') AS keep
        |FROM reasons ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #25g dedup rate by source
+
+  /** Duplication-rate dashboard per provenance group — [[keeplist]]'s
+    * verdicts rolled up by source: how duplicated is each feed, and
+    * how much survives curation (the go/no-go signal for onboarding a
+    * new crawl or vendor drop). One doc-keyed join of two doc-grain
+    * frames, then a ~|sources|-key aggregate with map-side combine —
+    * deliberately an aggregation, not a source-partitioned window. */
+  def rateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    keeplist(spark, dir).join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("reason") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dups"),
+        sum(when(col("reason") === "near_dup", 1L).otherwise(0L)).as("n_near_dups"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("dup_rate", round(
+        (col("n_exact_dups") + col("n_near_dups")).cast("double")
+          / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
+  lazy val rateBySourceSql: String =
+    s"""WITH kl AS ($keeplistSql),
+       |agg AS (
+       |  SELECT d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN kl.reason = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       |    CAST(SUM(CASE WHEN kl.reason = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+       |    CAST(SUM(CASE WHEN kl.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM kl JOIN documents d USING (doc_id)
+       |  GROUP BY d.source)
+       |SELECT source, n_docs, n_exact_dups, n_near_dups, n_kept,
+       |  round(CAST(n_exact_dups + n_near_dups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+       |FROM agg ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ #25c decontamination
 
   /** Benchmark slice for [[decontaminate]]: every BenchmarkMod-th doc
