@@ -65,7 +65,13 @@ class PlanGuardSpec extends SparkSpec {
       "q_percentiles" -> "event_type",
       "corpus_interleave" -> "source",
       "corpus_shard_balance" -> "source",
-      "emb_outliers" -> "label")
+      "emb_outliers" -> "label",
+      // round-4 additions built on the same machinery: the constant
+      // rank group of the deciles report, the per-source prefix sums,
+      // and packSequences' per-shard running sum
+      "corpus_quality_deciles" -> "__g",
+      "corpus_budget_by_source" -> "source",
+      "corpus_pack_sequences" -> "shard")
     def reduced(p: LogicalPlan): Boolean = p.collectFirst {
       case a: Aggregate if a.groupingExpressions.size >= 2 => ()
       case f: Filter if f.child.collectFirst {
