@@ -67,4 +67,25 @@ object StreamingCorpus {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"))
   }
+
+  /** The per-HIT variant of [[decontaminate]] — the alerting feed: one
+    * row per (arriving doc, benchmark doc, shared
+    * word-[[graft.pipeline.Dedup.ShingleWords]]-gram), emitted the
+    * moment the doc lands, with the colliding benchmark doc and
+    * shingle named (what an operator pages on; [[decontaminate]]'s
+    * once-per-doc flag is the corpus-hygiene decision). STATELESS —
+    * no watermark or state store: the benchmark index (`bench_id`,
+    * `text`) broadcasts and every micro-batch is one codegen'd scan +
+    * broadcast-hash probe. */
+  def contaminationHits(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    import graft.pipeline.Dedup
+    def shingled(df: DataFrame, idCol: String): DataFrame =
+      df.withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+        .filter(size(col("toks")) >= Dedup.ShingleWords)
+        .select(col(idCol), explode_outer(Dedup.wordShingles(col("toks"))).as("shingle"))
+        .filter(col("shingle").isNotNull)
+    shingled(docs, "doc_id")
+      .join(broadcast(shingled(benchmark, "bench_id")), Seq("shingle"))
+      .select(col("doc_id"), col("bench_id"), col("shingle"))
+  }
 }

@@ -52,4 +52,32 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(flagged == Set(1L, 3L))
     } finally query.stop()
   }
+
+  test("contaminationHits emits one row per shared 4-gram, across batches, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (200L, "one two three four")).toDF("bench_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val name = s"shits_${System.nanoTime()}"
+    val query = StreamingCorpus.contaminationHits(
+        input.toDF().toDF("doc_id", "text"), benchmark)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "prefix alpha beta gamma delta suffix"), // hits bench 100
+        (2L, "totally unrelated words here now"))     // clean
+      query.processAllAvailable()
+      input.addData(
+        (3L, "zero one two three four five"))         // hits bench 200
+      query.processAllAvailable()
+      val got = spark.table(name)
+        .select("doc_id", "bench_id", "shingle").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set(
+        (1L, 100L, "alpha beta gamma delta"),
+        (3L, 200L, "one two three four")))
+    } finally query.stop()
+  }
 }
