@@ -887,4 +887,88 @@ object Queries {
       |FROM events e JOIN m USING (event_type)
       |WHERE abs(e.value - m.mean) > 3.0 * m.std
       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ #23r RFM segmentation
+
+  /** Quantile buckets for the RFM scores (quintiles, 1 = bottom). */
+  val RfmBuckets = 5
+
+  /** RFM customer segmentation over `orders` — the mart-analytics
+    * classic: per customer, Recency (latest order date), Frequency
+    * (order count), Monetary (lifetime spend), each bucketed into a
+    * global quintile score 1-5, plus the composed 3-digit cell.
+    *
+    * The scale trap this layout dodges: the textbook
+    * `ntile(5) OVER (ORDER BY metric)` is a GLOBAL window — every
+    * customer row serializes through ONE task, three times over. Here
+    * each score comes from [[graft.functions.DistributedRanks]] global
+    * ranks (constant group): range-partitioned two-phase exact ranks,
+    * so no task ever holds more than a range slice, at any customer
+    * count. Bucket arithmetic is pure integer (`(rn·B − 1) div n + 1`,
+    * the exact ceiling), deterministic under the (metric, custkey)
+    * tie-break on both engines. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).as("monetary"))
+      .withColumn("__g", lit(0))
+    def score(df: DataFrame, metric: Column, out: String): DataFrame =
+      graft.functions.DistributedRanks.withGroupRanks(df, "__g",
+          Seq(metric, col("o_custkey")))
+        .withColumn(out, expr(s"CAST((rn * $RfmBuckets - 1) DIV n + 1 AS INT)"))
+        .drop("rn", "n")
+    score(score(score(base, col("last_order"), "r_score"),
+        col("frequency"), "f_score"),
+        col("monetary"), "m_score")
+      .withColumn("rfm_cell",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+      .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("rfm_cell"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qRfmSql: String =
+    s"""WITH rfm AS (
+       |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+       |    COUNT(*) AS frequency, SUM(o_totalprice) AS monetary
+       |  FROM orders GROUP BY 1),
+       |ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (ORDER BY last_order, o_custkey) AS rr,
+       |    ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS fr,
+       |    ROW_NUMBER() OVER (ORDER BY monetary, o_custkey) AS mr,
+       |    COUNT(*) OVER () AS n
+       |  FROM rfm),
+       |scored AS (
+       |  SELECT o_custkey, last_order, frequency, monetary,
+       |    CAST((rr * $RfmBuckets - 1) // n + 1 AS INT) AS r_score,
+       |    CAST((fr * $RfmBuckets - 1) // n + 1 AS INT) AS f_score,
+       |    CAST((mr * $RfmBuckets - 1) // n + 1 AS INT) AS m_score
+       |  FROM ranked)
+       |SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+       |FROM scored ORDER BY o_custkey""".stripMargin
+
+  // ------------------------------------------------------------ approx distinct
+
+  /** Target relative standard deviation for the HyperLogLog++ sketch. */
+  val ApproxDistinctRsd = 0.02
+
+  /** APPROXIMATE distinct users per event type via HyperLogLog++ —
+    * the 100 TB path for count-distinct, the other classic scale
+    * killer next to quantiles (exact distinct means a shuffle of every
+    * distinct key): the sketch aggregates with map-side partial merge
+    * in ONE exchange of sketch-sized partials, error ~
+    * [[ApproxDistinctRsd]] rsd. Rows-gated like [[qPercentilesApprox]]
+    * (sketch internals are engine-specific — not oracle-hashable by
+    * design); ApproxDistinctSpec bounds the error against the exact
+    * count at sf0.1. Reach for exact `count_distinct` when the answer
+    * must be reproducible to the row; for this when it must be cheap. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), ApproxDistinctRsd).as("approx_users"))
+      .orderBy(col("event_type"))
 }

@@ -271,8 +271,15 @@ object Dedup {
   /** [[clusters]] without the presentation sort — the frame keeplist
     * composes with: its next step is a join, so a global sort exchange
     * here would be pure waste (keeplist sorts once, at the end). */
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_id_1"), col("doc_id_2"))
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    componentsFromPairs(ngramJaccard(spark, dir).select(col("doc_id_1"), col("doc_id_2")))
+
+  /** Connected components over an undirected pair relation
+    * (doc_id_1, doc_id_2) — min-label fixpoint with pointer jumping,
+    * shared by [[clusters]] (exact ngram edges) and [[minhashClusters]]
+    * (LSH-estimated edges). Output: (doc_id, cluster_id, is_canonical),
+    * unsorted (composing callers sort once, at the end). */
+  private def componentsFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
       .localCheckpoint()
@@ -496,7 +503,13 @@ object Dedup {
         graft.functions.ShingleHash.shingleHashes(lower(col("text")), ShingleK).as("shash"))
       .select(col("doc_id"), explode_outer(col("shash")).as("h"))
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy(col("doc_id_1"), col("doc_id_2"))
+
+  /** [[minhashLsh]] without the presentation sort — the frame
+    * [[minhashClusters]] composes with (its next step is a filter +
+    * fixpoint join, so a global sort exchange here would be waste). */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // Signature via explode + groupBy instead of 16 interpreted
     // array-HOF passes: the per-permutation mins are codegen'd
     // aggregates with map-side partial combine — one narrow shuffle on
@@ -524,7 +537,6 @@ object Dedup {
         graft.functions.SetOps.eqCount(col("s1.sig"), col("s2.sig"))
           .cast("double") / NumHashes)
       .select(col("doc_id_1"), col("doc_id_2"), col("n_shared_bands"), col("est_jaccard"))
-      .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
   val minhashLshSql: String = {
@@ -641,6 +653,48 @@ object Dedup {
        |  round(abs(est_jaccard - round(CAST(inter AS DOUBLE) / CAST(sz1 + sz2 - inter AS DOUBLE), 6)), 6) AS abs_err
        |FROM joined
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
+  // ------------------------------------------------------------ #26c MinHash clusters
+
+  /** Minimum estimated Jaccard for an LSH candidate pair to count as a
+    * clustering edge — ≥ 12/16 agreeing minhashes: tight enough that a
+    * component is a genuine near-dup group, not a chain of weak hits. */
+  val LshClusterThreshold = 0.7
+
+  /** Duplicate clustering over the MINHASH-LSH candidate graph — the
+    * 100 TB counterpart of [[clusters]]: same min-label connected
+    * components, but the edge set comes from banded LSH + signature
+    * agreement ([[minhashLsh]] pairs at est_jaccard ≥
+    * $LshClusterThreshold) instead of the exact inverted-index Jaccard.
+    * At corpus scale the exact pair generator is the audit path
+    * (df-capped, but still shingle-join-shaped); THIS is the layout a
+    * production dedup runs: signatures are one map-side pass + one
+    * doc-grain shuffle, candidates only meet inside LSH buckets, and
+    * the fixpoint then runs over the (tiny) candidate graph.
+    *
+    * Same output contract as [[clusters]] (cluster_id = component min,
+    * canonical = the minimum doc) so downstream keep/drop logic is
+    * interchangeable between the exact and sketch paths. */
+  def minhashClusters(spark: SparkSession, dir: String): DataFrame =
+    componentsFromPairs(
+      minhashPairs(spark, dir)
+        .filter(col("est_jaccard") >= LshClusterThreshold)
+        .select(col("doc_id_1"), col("doc_id_2")))
+      .orderBy(col("doc_id"))
+
+  lazy val minhashClustersSql: String =
+    s"""WITH RECURSIVE mh AS ($minhashLshSql),
+       |edges0 AS (
+       |  SELECT doc_id_1 AS d1, doc_id_2 AS d2 FROM mh
+       |  WHERE est_jaccard >= $LshClusterThreshold),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM edges0 UNION ALL SELECT d2, d1 FROM edges0),
+       |verts AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach AS (
+       |  SELECT doc, doc AS r FROM verts
+       |  UNION
+       |  SELECT e.b AS doc, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
+       |SELECT doc AS doc_id, MIN(r) AS cluster_id, (doc = MIN(r)) AS is_canonical
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ #27 SimHash
 

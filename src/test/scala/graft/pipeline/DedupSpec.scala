@@ -72,6 +72,35 @@ class DedupSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet.subsetOf(got.keySet))
   }
 
+  test("minhash clusters fixpoint equals union-find over the thresholded LSH pairs") {
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("est_jaccard") >= Dedup.LshClusterThreshold)
+      .select("doc_id_1", "doc_id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "threshold left no clustering edges — test data degenerate")
+
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+
+    val got = Dedup.minhashClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (doc, (cluster, canonical)) =>
+      assert(cluster == expected(doc), s"doc $doc")
+      assert(canonical == (doc == cluster))
+    }
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = graft.Tables.documents(spark, dir).count()
     val groups = Dedup.exact(spark, dir).collect()
