@@ -13,6 +13,10 @@ object BenchOne {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // drop leftover localCheckpoint blocks between runs (same
+        // reason as Bench: retained blocks from checkpointing
+        // operators squeeze the heap until GC churn dominates timing)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     spark.stop()
