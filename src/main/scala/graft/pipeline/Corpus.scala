@@ -147,6 +147,21 @@ object Corpus {
     * term anywhere. Output: per-cluster membership after each
     * iteration, proving reassignment happened relationally. */
   def embKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (a1, a2) = kmeansAssignments(spark, dir)
+    val c1 = a1.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter1"))
+    val c2 = a2.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter2"))
+    c1.join(c2, Seq("cluster_id"), "full_outer")
+      .select(col("cluster_id"),
+        coalesce(col("n_iter1"), lit(0L)).as("n_iter1"),
+        coalesce(col("n_iter2"), lit(0L)).as("n_iter2"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** The two unrolled Lloyd iterations behind [[embKmeans]] and
+    * [[embClusterPurity]] — returns (iteration-1, iteration-2)
+    * assignments at (vec_id, cluster_id) grain (plus the vector
+    * columns on a1, which the M-step consumed). */
+  private def kmeansAssignments(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.VecDot.dot
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -181,21 +196,46 @@ object Corpus {
       .select(col("cluster_id").as("cid"), col("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
     val a2 = assign(a1.select(col("vec_id"), col("v"), col("n2")), cent2)
+    (a1, a2)
+  }
 
-    val c1 = a1.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter1"))
-    val c2 = a2.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_iter2"))
-    c1.join(c2, Seq("cluster_id"), "full_outer")
-      .select(col("cluster_id"),
-        coalesce(col("n_iter1"), lit(0L)).as("n_iter1"),
-        coalesce(col("n_iter2"), lit(0L)).as("n_iter2"))
+  /** Clustering quality vs the labeled ground truth — per-cluster
+    * majority label and purity after the second Lloyd iteration (the
+    * accuracy-evaluation twin of [[embKmeans]], same family as
+    * ann_recall / dedup_minhash_accuracy / text_lang_confusion:
+    * measure the unsupervised structure against labels, as a query).
+    *
+    * Scale: the per-(cluster, label) cells are a K×|labels| relation —
+    * the majority window and the size rollup run over THAT tiny frame,
+    * never over vectors; the only data-sized work is the assignment
+    * passes [[embKmeans]] already does. */
+  def embClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val (_, a2) = kmeansAssignments(spark, dir)
+    val cells = a2
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n").desc, col("label"))
+    cells
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_vecs", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_vecs"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n").cast("double") / col("n_vecs").cast("double"), 6).as("purity"))
       .orderBy(col("cluster_id"))
   }
 
-  val embKmeansSql: String = {
+  /** The shared Lloyd-iteration CTE chain (vectors → seed centroids →
+    * iteration-1 assignment → exact M-step → iteration-2 assignment) —
+    * used by both the kmeans oracle and the cluster-purity oracle. */
+  private lazy val kmeansCtes: String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |vecs AS (
        |  SELECT vec_id, v, ${dot("v", "v")} AS n2 FROM e),
@@ -224,14 +264,33 @@ object Corpus {
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
        |        ORDER BY x.n2 - 2.0 * ${dot("x.v", "c.cv")} + c.cn2, c.cid) AS rn
        |    FROM vecs x CROSS JOIN cent2n c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  lazy val embKmeansSql: String =
+    s"""WITH $kmeansCtes,
        |c1 AS (SELECT cluster_id, COUNT(*) AS n_iter1 FROM a1 GROUP BY cluster_id),
        |c2 AS (SELECT cluster_id, COUNT(*) AS n_iter2 FROM a2 GROUP BY cluster_id)
        |SELECT COALESCE(c1.cluster_id, c2.cluster_id) AS cluster_id,
        |  COALESCE(n_iter1, 0) AS n_iter1, COALESCE(n_iter2, 0) AS n_iter2
        |FROM c1 FULL OUTER JOIN c2 ON c1.cluster_id = c2.cluster_id
        |ORDER BY cluster_id""".stripMargin
-  }
+
+  lazy val embClusterPuritySql: String =
+    s"""WITH $kmeansCtes,
+       |cells AS (
+       |  SELECT a2.cluster_id, emb.label, COUNT(*) AS n
+       |  FROM a2 JOIN embeddings emb ON a2.vec_id = emb.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT cluster_id, label, n,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n DESC, label) AS rn,
+       |    CAST(SUM(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_vecs
+       |  FROM cells)
+       |SELECT cluster_id, n_vecs, label AS majority_label, n AS n_majority,
+       |  round(CAST(n AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6) AS purity
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
 
   /** Per-label embedding centroids at (label, dimension) grain — the
     * M-step of distributed k-means / class-prototype computation.
