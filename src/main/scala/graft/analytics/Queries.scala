@@ -333,6 +333,38 @@ object Queries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Semi join — orders with at least one returned line, counted by
+    * priority (TPC-H Q4's EXISTS shape on the reduced schema):
+    * left_semi never DUPLICATES the probe side, unlike the
+    * inner-join-then-distinct a naive translation writes — at 100 TB
+    * that naive shape explodes each order by its matching line count
+    * and then pays a distinct shuffle to undo it. The returnflag
+    * filter pushes to the lineitem scan, the semi join shuffles both
+    * sides once on the key (broadcast if the filtered build side is
+    * small — AQE decides), and the few-key rollup combines map-side.
+    * [[qAntiJoin]] is the NOT EXISTS twin. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** AS-OF join — for each event, the customer's most recent order at
     * or before the event time. Implemented with the scalable
     * union+window layout (tag both sides, one shuffle on the key,
