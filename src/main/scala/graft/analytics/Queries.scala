@@ -982,6 +982,78 @@ object Queries {
        |SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
        |FROM scored ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------ rolling distinct
+
+  /** Rolling-window span in days. */
+  val RollingDays = 7
+
+  /** Exact 7-day rolling distinct users per activity day (trailing
+    * DAU/WAU) — the aggregate every engagement dashboard wants and
+    * the one that does NOT decompose: distinct is not summable across
+    * the window's days, so the naive shapes are a per-day
+    * count-distinct re-scan of 7× the data or a day×window
+    * self-join. This layout makes it LINEAR:
+    *
+    *  1. (user, day) distinct pairs — the only data-sized shuffle;
+    *  2. per-user interval merge: a user covers windows ending in
+    *     [day, day+6]; overlapping covers merge via a running-max
+    *     window over the user's OWN days (user_id is high-cardinality
+    *     — bounded partitions);
+    *  3. interval ends become ±1 diff events, aggregated to DAY grain
+    *     and prefix-summed — the only unpartitioned window runs over
+    *     the CALENDAR-sized day relation (3.7k rows for a decade),
+    *     never over data.
+    *
+    * The count for day d = Σ deltas ≤ d = #users whose merged cover
+    * contains d = exact distinct users active in [d−6, d]. */
+  def qRollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val span = RollingDays - 1
+    // (user, day) grain; feeds the interval pass, the per-day DAU and
+    // the day-relation join — checkpoint so the scan+distinct runs once
+    val ud = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("time_us"), col("user_id"))
+      .select(expr(s"time_us div $DayUs").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = ud
+      .withColumn("prev_max_end", max(col("day") + lit(span.toLong)).over(wPrev))
+      .withColumn("new_grp",
+        when(col("prev_max_end").isNull || col("day") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("new_grp")).over(wRun))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("start"), (max(col("day")) + lit(span.toLong)).as("end"))
+    val diffs = intervals.select(col("start").as("day"), lit(1L).as("delta"))
+      .unionByName(intervals.select((col("end") + 1).as("day"), lit(-1L).as("delta")))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val dayRel = diffs
+      .unionByName(dau.select(col("day"), lit(0L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    // unpartitioned running sum — input is the aggregated DAY relation
+    // (calendar-sized by construction), not data
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dayRel
+      .withColumn("rolling_users_7d", sum(col("delta")).over(wCum))
+      .join(dau, Seq("day"))
+      .select(col("day"), col("dau"), col("rolling_users_7d"))
+      .orderBy(col("day"))
+  }
+
+  val qRollingDistinctSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+       |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+       |SELECT d.day, d.dau, COUNT(DISTINCT u.user_id) AS rolling_users_7d
+       |FROM dau d JOIN ud u ON u.day BETWEEN d.day - ${RollingDays - 1} AND d.day
+       |GROUP BY d.day, d.dau
+       |ORDER BY d.day""".stripMargin
+
   // ------------------------------------------------------------ approx distinct
 
   /** Target relative standard deviation for the HyperLogLog++ sketch. */
