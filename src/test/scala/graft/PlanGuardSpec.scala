@@ -71,7 +71,11 @@ class PlanGuardSpec extends SparkSpec {
       // and packSequences' per-shard running sum
       "corpus_quality_deciles" -> "__g",
       "corpus_budget_by_source" -> "source",
-      "corpus_pack_sequences" -> "shard")
+      "corpus_pack_sequences" -> "shard",
+      // the RFM quintile ranks run three constant-group
+      // DistributedRanks passes — the "__g" windows may only ever see
+      // the (group × pid) offsets aggregate
+      "q_rfm" -> "__g")
     def reduced(p: LogicalPlan): Boolean = p.collectFirst {
       case a: Aggregate if a.groupingExpressions.size >= 2 => ()
       case f: Filter if f.child.collectFirst {
@@ -86,6 +90,29 @@ class PlanGuardSpec extends SparkSpec {
             s"$name: window partitioned by lone hot key '$hotKey' over unreduced data:\n$w")
         case _ => ()
       }
+    }
+  }
+
+  test("unpartitioned windows only ever run over aggregated day-grain relations") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    // an UNPARTITIONED window moves every input row into one task — it
+    // is legitimate only above a grouping aggregate that reduced the
+    // input to metadata/calendar grain first (q_rolling_distinct's
+    // day-grain diff prefix sum). Guard every query: any empty
+    // partitionSpec must have an Aggregate somewhere below it.
+    def hasAgg(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate if a.groupingExpressions.nonEmpty => () }.nonEmpty
+    Seq("q_rolling_distinct").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      var found = 0
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          found += 1
+          assert(hasAgg(w.child),
+            s"$name: unpartitioned window over unreduced data:\n$w")
+        case _ => ()
+      }
+      assert(found >= 1, s"$name: expected the day-grain cumulative window in the plan")
     }
   }
 }
