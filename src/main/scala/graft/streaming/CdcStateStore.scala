@@ -59,6 +59,50 @@ object TaskStateSerde {
   }
 }
 
+/** DURABLE file-backed store — the reference's external-store example
+  * (examples/scylla-cdc-state-redis/.../RedisStateStore.java:1-209,
+  * which round-trips TaskStateSerde records through Redis) re-expressed
+  * for the shared filesystem a Spark cluster already has: every
+  * stream's progress as one fixed [[TaskStateSerde.WireBytes]]-byte
+  * record in a single file, rewritten ATOMICALLY (temp + rename) on
+  * each write, so a crash never leaves a torn state file and a NEW
+  * process — or a different cluster — re-opens the path and resumes
+  * via [[CdcStreamConsumer.consumeFrom]].
+  *
+  * Scale: the file is O(streams) — per-stream progress is cluster
+  * metadata (64k streams × 32 B = 2 MB), never data; one rewrite per
+  * micro-batch is noise next to the batch itself. */
+final class FileStateStore(path: java.nio.file.Path) extends CdcStateStore {
+  import java.nio.file.{Files, StandardCopyOption}
+
+  private val m = new ConcurrentHashMap[Long, StreamProgress]()
+  if (Files.exists(path)) {
+    val bytes = Files.readAllBytes(path)
+    require(bytes.length % TaskStateSerde.WireBytes == 0,
+      s"corrupt state file $path: ${bytes.length} bytes is not a whole number of records")
+    bytes.grouped(TaskStateSerde.WireBytes).foreach { rec =>
+      val (id, p) = TaskStateSerde.deserialize(rec)
+      m.put(id, p)
+    }
+  }
+
+  private def flush(): Unit = synchronized {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    val out = m.asScala.toSeq.sortBy(_._1)
+      .flatMap { case (id, p) => TaskStateSerde.serialize(id, p) }.toArray
+    Files.write(tmp, out)
+    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def get(streamId: Long): Option[StreamProgress] = Option(m.get(streamId))
+  override def put(streamId: Long, p: StreamProgress): Unit = {
+    m.put(streamId, p); flush()
+  }
+  override def all(): Map[Long, StreamProgress] = m.asScala.toMap
+  override def clear(): Unit = { m.clear(); flush() }
+}
+
 /** Bridges a stream of [[CdcStreamConsumer.Delivered]] batches into a
   * [[CdcStateStore]]. */
 object CdcCheckpoints {

@@ -40,6 +40,36 @@ class CdcStateStoreSpec extends SparkSpec {
     assert(s.all().isEmpty)
   }
 
+  test("FileStateStore survives reopen, rewrites atomically, rejects torn files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state")
+    val path = dir.resolve("progress.bin")
+
+    val s1 = new FileStateStore(path)
+    assert(s1.all().isEmpty)
+    s1.put(5L, StreamProgress(ms(10), 1L, 2L))
+    s1.put(9L, StreamProgress(ms(20), 7L, 1L))
+    s1.put(5L, StreamProgress(ms(30), 8L, 3L)) // overwrite wins
+
+    // a NEW instance (new process) re-opens the same path and resumes
+    val s2 = new FileStateStore(path)
+    assert(s2.get(5L).contains(StreamProgress(ms(30), 8L, 3L)))
+    assert(s2.all().keySet == Set(5L, 9L))
+
+    // the on-disk image is whole records only (atomic rename — no
+    // partially-written state can ever be observed at this path)
+    assert(java.nio.file.Files.readAllBytes(path).length ==
+      2 * TaskStateSerde.WireBytes)
+
+    // clear is durable too
+    s2.clear()
+    assert(new FileStateStore(path).all().isEmpty)
+
+    // a torn file (not a whole number of records) must fail loudly,
+    // not silently resume from garbage
+    java.nio.file.Files.write(path, Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException](new FileStateStore(path))
+  }
+
   test("withStateStore externalizes progress; consumeFrom resumes a NEW query from it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
