@@ -55,7 +55,9 @@ object MediaCodecs {
     * `#` comments, per the netpbm spec), then average luma over the
     * raster — BT.601 weights for RGB, direct value for gray.
     * Returns None for any other magic (the undecodable branch). */
-  def decode(payload: Array[Byte]): Option[Decoded] = {
+  /** Parsed netpbm header: (channels, width, height, maxVal, raster
+    * offset). None for any other magic or a malformed/truncated file. */
+  private def parseNetpbmHeader(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (payload.length < 2) return None
     val magic = new String(payload, 0, 2, "US-ASCII")
     if (magic != "P5" && magic != "P6") return None
@@ -79,22 +81,66 @@ object MediaCodecs {
     if (width <= 0 || height <= 0 || maxVal <= 0 || maxVal > 255) return None
     pos += 1 // single whitespace after maxval, then the raster
     val channels = if (magic == "P6") 3 else 1
-    val needed = width * height * channels
-    if (payload.length - pos < needed) return None
-    var acc = 0.0
-    var i = pos
-    if (channels == 3) {
-      while (i < pos + needed) {
-        acc += 0.299 * (payload(i) & 0xff) + 0.587 * (payload(i + 1) & 0xff) +
-          0.114 * (payload(i + 2) & 0xff)
-        i += 3
-      }
-    } else {
-      while (i < pos + needed) { acc += (payload(i) & 0xff).toDouble; i += 1 }
-    }
-    Some(Decoded(if (channels == 3) "ppm" else "pgm", width, height,
-      acc / (width * height) / maxVal))
+    if (payload.length - pos < width * height * channels) return None
+    Some((channels, width, height, maxVal, pos))
   }
+
+  /** Luma of the pixel at raster index `p` (0-based, row-major). */
+  @inline private def lumaAt(payload: Array[Byte], pos: Int, channels: Int, p: Int): Double =
+    if (channels == 3) {
+      val i = pos + p * 3
+      0.299 * (payload(i) & 0xff) + 0.587 * (payload(i + 1) & 0xff) +
+        0.114 * (payload(i + 2) & 0xff)
+    } else (payload(pos + p) & 0xff).toDouble
+
+  def decode(payload: Array[Byte]): Option[Decoded] = parseNetpbmHeader(payload).map {
+    case (channels, width, height, maxVal, pos) =>
+      var acc = 0.0
+      var p = 0
+      val n = width * height
+      while (p < n) { acc += lumaAt(payload, pos, channels, p); p += 1 }
+      Decoded(if (channels == 3) "ppm" else "pgm", width, height, acc / n / maxVal)
+  }
+
+  /** 64-bit average hash (aHash) of a netpbm image — the standard
+    * cheap perceptual fingerprint: downsample luma to an 8×8 grid
+    * (mean over each cell's pixel block), set bit (gy·8+gx) iff the
+    * cell is brighter than the grid mean. Identical images hash
+    * identically at ANY encoding (PPM vs PGM of the same luma, any
+    * maxVal scaling); small local edits flip few bits, so near-dups
+    * sit at small hamming distance. None where [[decode]] is None. */
+  def averageHash(payload: Array[Byte]): Option[Long] =
+    parseNetpbmHeader(payload).map { case (channels, width, height, _, pos) =>
+      val grid = new Array[Double](64)
+      val cnt = new Array[Int](64)
+      var y = 0
+      while (y < height) {
+        val gy = y * 8 / height
+        var x = 0
+        while (x < width) {
+          val gx = x * 8 / width
+          grid(gy * 8 + gx) += lumaAt(payload, pos, channels, y * width + x)
+          cnt(gy * 8 + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      var mean = 0.0
+      while (i < 64) {
+        if (cnt(i) > 0) grid(i) /= cnt(i)
+        mean += grid(i)
+        i += 1
+      }
+      mean /= 64
+      var bits = 0L
+      i = 0
+      while (i < 64) {
+        if (cnt(i) > 0 && grid(i) > mean) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
 
   final case class DecodedVideo(width: Int, height: Int, nFrames: Int,
       sampledFrames: Seq[Int], sampledMeanLuma: Seq[Double])

@@ -231,4 +231,60 @@ object Multimodal {
       .repartition(col("format")).as[VideoRow]
     videoFeatures(spark, video)
   }
+
+  // ------------------------------------------------------------ image near-dup
+
+  /** Per-image perceptual hash (None → undecodable payload). */
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Maximum hamming distance for an image near-dup pair. With the
+    * four 16-bit blocks below, pigeonhole GUARANTEES any pair at
+    * hamming ≤ 3 shares at least one exact block — no qualifying pair
+    * can be missed (same argument as dedup_simhash's 3-block cover). */
+  val ImageHammingMax = 3
+
+  /** aHash per decodable image — one `mapPartitions` batch pass (the
+    * codec-init-once shape), undecodables dropped. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap(r => MediaCodecs.averageHash(r.payload).map(ImageHash(r.doc_id, _)))
+    }
+  }
+
+  /** Image near-dup pairs over any media frame — the multimodal twin
+    * of dedup_simhash: 64-bit aHash (map-side), candidates generated
+    * by exact match on any of four 16-bit hash blocks (shuffle on
+    * (block_idx, block_value) only — never all-pairs), then the exact
+    * hamming filter at ≤ [[ImageHammingMax]]. Pigeonhole makes the
+    * block cover complete, so the output is EXACTLY all pairs at
+    * hamming ≤ 3 — the bucketing changes cost, not results.
+    *
+    * At lakehouse scale the payload column never shuffles: hashes are
+    * 8 bytes/row, the block explode is ×4 on (id, hash), and a hot
+    * bucket (e.g. flat single-color images) is an AQE-splittable join
+    * input, with the same df-cap option ngram_jaccard documents if a
+    * degenerate hash dominates a corpus. */
+  def imageDedup(spark: SparkSession, media: DataFrame): DataFrame = {
+    val hashes = imageHashes(spark, media).toDF()
+    val blocks = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("block_idx"))
+      .withColumn("block_val", expr("shiftright(ahash, block_idx * 16) & 65535"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      // a pair can share several blocks — dedupe before the exact filter
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= ImageHammingMax)
+      .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
+      .orderBy(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** End-to-end image near-dup over the synthesized corpus images. */
+  def imageDedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    imageDedup(spark, attachMedia(spark, graft.Tables.documents(spark, dir)))
 }

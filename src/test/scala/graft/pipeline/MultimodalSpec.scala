@@ -126,6 +126,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image near-dup: aHash buckets find exactly the pairs at hamming <= 3") {
+    import spark.implicits._
+    // a 16x16 gradient, an identical copy, a one-cell perturbation,
+    // and a structurally different image
+    def grad(x: Int, y: Int): Int = (x * 16 + y * 2) % 256
+    def gradFlipped(x: Int, y: Int): Int =
+      if (x < 2 && y < 2) 255 - grad(x, y) else grad(x, y) // one 8x8-grid cell
+    val imgs = Seq(
+      Multimodal.MediaRow(1L, MediaCodecs.encodePgm(16, 16, grad), 16, 16, "pgm"),
+      Multimodal.MediaRow(2L, MediaCodecs.encodePgm(16, 16, grad), 16, 16, "pgm"),
+      Multimodal.MediaRow(3L, MediaCodecs.encodePgm(16, 16, gradFlipped), 16, 16, "pgm"),
+      Multimodal.MediaRow(4L, MediaCodecs.encodePgm(16, 16, (x, y) => ((x ^ y) * 37) % 256), 16, 16, "pgm"),
+      Multimodal.MediaRow(5L, "not an image".getBytes("UTF-8"), 4, 3, "jpeg"))
+    val media = imgs.toDF()
+
+    val hashes = Multimodal.imageHashes(spark, media).collect()
+      .map(h => h.doc_id -> h.ahash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L)) // undecodable dropped
+    assert(hashes(1L) == hashes(2L))
+
+    // reference: brute-force hamming over all decodable pairs
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= Multimodal.ImageHammingMax
+    } yield (a, b, d)).toSet
+    assert(expected.contains((1L, 2L, 0)), "exact dup must be at hamming 0")
+
+    val got = Multimodal.imageDedup(spark, media).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected, s"bucketed pairs $got != brute force $expected")
+
+    // end-to-end over the synthesized corpus images: runs, and every
+    // reported pair respects the threshold
+    val e2e = Multimodal.imageDedupPipeline(spark, dir).collect()
+    assert(e2e.forall(_.getAs[Int]("hamming") <= Multimodal.ImageHammingMax))
+  }
+
   test("stubbed decode emits deterministic features with real batch plumbing") {
     val feats = Multimodal.pipeline(spark, dir)
     val rows = feats.collect()
