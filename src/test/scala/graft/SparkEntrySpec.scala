@@ -7,7 +7,8 @@ class SparkEntrySpec extends SparkSpec {
   /** Entries with NO DuckDB oracle by design (driver records the
     * weaker rows-only check): sketch outputs whose internals are
     * engine-specific. Each must carry its own accuracy spec. */
-  private val rowsOnly = Set("q_percentiles_approx", "corpus_topk_tokens_approx")
+  private val rowsOnly =
+    Set("q_percentiles_approx", "corpus_topk_tokens_approx", "q_approx_distinct")
 
   test("every query has a matching oracle (and no orphan oracles)") {
     assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)
