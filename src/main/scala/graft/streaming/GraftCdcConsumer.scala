@@ -66,6 +66,7 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var partitionConsumer: Option[Iterator[Delivered] => Unit] = None
   private var queryWindowMs: Long = 30000L // reference DEFAULT_QUERY_TIME_WINDOW_SIZE_MS
   private var confidenceMs: Long = 30000L  // reference DEFAULT_CONFIDENCE_WINDOW_SIZE_MS
+  private var minimalWaitMs: Long = 0L     // reference: no minimal wait unless set
   private var workersCount: Option[Int] = None
   private var backoff: RetryBackoff = new ExponentialRetryBackoffWithJitter(10, 30000, 0.25)
   private var maxRetryAttempts: Int = Int.MaxValue // reference: retry indefinitely
@@ -98,6 +99,23 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   def withConfidenceWindowSizeMs(ms: Long): this.type = {
     require(ms > 0, "confidenceWindowSizeMs must be positive"); confidenceMs = ms; this
   }
+
+  /** Minimum pacing between CDC-log queries (reference
+    * CDCConsumer.Builder.withMinimalWaitForWindowMs,
+    * CDCConsumer.java:237 → WorkerConfiguration.minimalWaitForWindowMs:
+    * the worker refuses to poll a window younger than this). In the
+    * micro-batch world pacing IS the trigger interval, so this
+    * lower-bounds it: the effective trigger is
+    * max(queryTimeWindowSizeMs, minimalWaitForWindowMs). Freshness
+    * TRUST stays the confidence-window watermark's job — the two knobs
+    * compose exactly like the reference's. */
+  def withMinimalWaitForWindowMs(ms: Long): this.type = {
+    require(ms >= 0, "minimalWaitForWindowMs must be non-negative")
+    minimalWaitMs = ms; this
+  }
+
+  /** Trigger interval build() uses (exposed for specs). */
+  private[streaming] def effectiveTriggerMs: Long = math.max(queryWindowMs, minimalWaitMs)
   def withWorkersCount(n: Int): this.type = {
     require(n > 0, "workersCount must be positive"); workersCount = Some(n); this
   }
@@ -194,7 +212,7 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     tableGenerations.keys.foreach { t =>
       require(sources.exists(_._1 == t), s"withTableGenerations names unknown source: $t")
     }
-    new GraftCdcConsumer(spark, sources, consumer, partitionConsumer, queryWindowMs,
+    new GraftCdcConsumer(spark, sources, consumer, partitionConsumer, effectiveTriggerMs,
       confidenceMs, workersCount, backoff, maxRetryAttempts, checkpointLocation,
       stateStore, queryName, generations, generationListener,
       tableGenerations, tableGenerationListener)
@@ -208,7 +226,7 @@ final class GraftCdcConsumer private[streaming] (
     sources: Vector[(String, Dataset[Change])],
     consumer: CdcStreamConsumer.Delivered => Unit,
     partitionConsumer: Option[Iterator[Delivered] => Unit],
-    queryWindowMs: Long,
+    queryWindowMs: Long, // already max'd with minimalWaitForWindowMs by build()
     confidenceMs: Long,
     workersCount: Option[Int],
     backoff: RetryBackoff,

@@ -26,7 +26,17 @@ class GraftCdcConsumerSpec extends SparkSpec {
     intercept[IllegalArgumentException](b.withQueryTimeWindowSizeMs(0))
     intercept[IllegalArgumentException](b.withConfidenceWindowSizeMs(-5))
     intercept[IllegalArgumentException](b.withWorkersCount(0))
+    intercept[IllegalArgumentException](b.withMinimalWaitForWindowMs(-1))
     intercept[IllegalArgumentException](b.build()) // no source
+  }
+
+  test("minimalWaitForWindowMs lower-bounds the micro-batch pacing") {
+    val b = GraftCdcConsumer.builder(spark).withQueryTimeWindowSizeMs(100)
+    assert(b.effectiveTriggerMs == 100L)       // no wait configured
+    b.withMinimalWaitForWindowMs(50)
+    assert(b.effectiveTriggerMs == 100L)       // window already slower
+    b.withMinimalWaitForWindowMs(250)
+    assert(b.effectiveTriggerMs == 250L)       // wait dominates
   }
 
   test("withConsumer and withPartitionConsumer are mutually exclusive") {
