@@ -696,6 +696,98 @@ object Dedup {
        |SELECT doc AS doc_id, MIN(r) AS cluster_id, (doc = MIN(r)) AS is_canonical
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #26d incremental admission
+
+  /** Deterministic batch split: docs with doc_id % $IncrementalMod == 0
+    * play the INCOMING crawl, the rest the standing corpus (same
+    * stand-in convention as [[BenchmarkMod]]). */
+  val IncrementalMod = 5
+
+  /** Incremental admission — the flow a production pipeline actually
+    * runs per crawl: a NEW batch of documents is admitted against the
+    * standing corpus without re-deduplicating the corpus itself.
+    * Per incoming doc, the verdict and its provenance:
+    * `exact_corpus` (byte-identical to a corpus doc) > `exact_batch`
+    * (an earlier doc in the SAME batch carries the digest) >
+    * `near_corpus` (LSH est_jaccard ≥ $LshClusterThreshold against a
+    * corpus doc) > `near_batch` (against an earlier batch doc, greedy
+    * C4-style — the earlier doc's own fate doesn't resurrect it) >
+    * `kept`.
+    *
+    * Scale: at 100 TB the corpus side of both probes is a STANDING
+    * INDEX (digest set, band index) that incremental runs reuse; here
+    * both sides derive from the same table so the oracle can check the
+    * admission logic exactly. The digest probes are semi-join-shaped
+    * (no row explosion), the near probe classifies the tiny post-LSH
+    * pair set, and everything joins back at incoming-doc grain. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val m = IncrementalMod
+    val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("digest"))
+    val inc = d.filter(col("doc_id") % m === 0)
+    val ex = d.filter(col("doc_id") % m =!= 0)
+    val exDig = ex.select(col("digest")).distinct().withColumn("m_exact_corpus", lit(true))
+    val firsts = inc.groupBy(col("digest")).agg(min(col("doc_id")).as("first_id"))
+    // feeds both near-partner projections — checkpoint the (tiny)
+    // thresholded pair set so the band join runs once
+    val pairs = minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= LshClusterThreshold)
+      .select(col("doc_id_1"), col("doc_id_2"))
+      .localCheckpoint()
+    // pairs are ordered doc_id_1 < doc_id_2, so a batch partner seen
+    // from side 2 is always EARLIER; from side 1 only corpus partners count
+    val near = pairs.filter(col("doc_id_2") % m === 0)
+      .select(col("doc_id_2").as("i"),
+        (col("doc_id_1") % m =!= 0).as("corpus"), (col("doc_id_1") % m === 0).as("batch"))
+      .unionByName(pairs.filter(col("doc_id_1") % m === 0)
+        .select(col("doc_id_1").as("i"),
+          (col("doc_id_2") % m =!= 0).as("corpus"), lit(false).as("batch")))
+      .groupBy(col("i"))
+      .agg(max(col("corpus")).as("near_corpus"), max(col("batch")).as("near_batch"))
+    inc.join(exDig, Seq("digest"), "left")
+      .join(firsts, Seq("digest"))
+      .join(near, col("doc_id") === col("i"), "left")
+      .withColumn("reason",
+        when(coalesce(col("m_exact_corpus"), lit(false)), "exact_corpus")
+          .when(col("doc_id") > col("first_id"), "exact_batch")
+          .when(coalesce(col("near_corpus"), lit(false)), "near_corpus")
+          .when(coalesce(col("near_batch"), lit(false)), "near_batch")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("reason"), (col("reason") === "kept").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val incrementalSql: String =
+    s"""WITH mh AS ($minhashLshSql),
+       |d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+       |inc AS (SELECT * FROM d WHERE doc_id % $IncrementalMod = 0),
+       |ex AS (SELECT * FROM d WHERE doc_id % $IncrementalMod <> 0),
+       |firsts AS (SELECT digest, MIN(doc_id) AS first_id FROM inc GROUP BY 1),
+       |near AS (
+       |  SELECT i, bool_or(corpus) AS near_corpus, bool_or(batch) AS near_batch FROM (
+       |    SELECT doc_id_2 AS i, (doc_id_1 % $IncrementalMod <> 0) AS corpus,
+       |      (doc_id_1 % $IncrementalMod = 0) AS batch
+       |    FROM mh WHERE est_jaccard >= $LshClusterThreshold AND doc_id_2 % $IncrementalMod = 0
+       |    UNION ALL
+       |    SELECT doc_id_1 AS i, (doc_id_2 % $IncrementalMod <> 0) AS corpus, FALSE AS batch
+       |    FROM mh WHERE est_jaccard >= $LshClusterThreshold AND doc_id_1 % $IncrementalMod = 0)
+       |  GROUP BY 1),
+       |flags AS (
+       |  SELECT i.doc_id,
+       |    EXISTS(SELECT 1 FROM ex e WHERE e.digest = i.digest) AS exact_corpus,
+       |    i.doc_id > f.first_id AS exact_batch,
+       |    COALESCE(n.near_corpus, FALSE) AS nc,
+       |    COALESCE(n.near_batch, FALSE) AS nb
+       |  FROM inc i JOIN firsts f ON i.digest = f.digest
+       |  LEFT JOIN near n ON n.i = i.doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN exact_corpus THEN 'exact_corpus'
+       |       WHEN exact_batch THEN 'exact_batch'
+       |       WHEN nc THEN 'near_corpus'
+       |       WHEN nb THEN 'near_batch'
+       |       ELSE 'kept' END AS reason,
+       |  (NOT exact_corpus AND NOT exact_batch AND NOT nc AND NOT nb) AS keep
+       |FROM flags ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ #27 SimHash
 
   /** SimHash block partition: 3 blocks of 11/11/10 bits — pigeonhole
