@@ -982,6 +982,59 @@ object Queries {
        |SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
        |FROM scored ORDER BY o_custkey""".stripMargin
 
+  // ------------------------------------------------------------ correlation
+
+  /** Per-type Pearson correlation between event value and day index —
+    * "is this metric drifting over time", the classic cross-column
+    * statistic the inventory's mean/σ/quantile ops don't cover.
+    *
+    * Computed from exact power sums (n, Σx, Σy, Σxy, Σx², Σy²) over
+    * DECIMAL — not a streaming/Welford variance, which is
+    * order-dependent in floating point and can't hash-match across
+    * engines (the doc'd bit-stability rule). The day index keeps the
+    * products small enough that every sum stays exact in DECIMAL; the
+    * final r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is identical
+    * double math on both sides.
+    *
+    * Scale: ONE few-key groupBy with map-side partial aggregation —
+    * six sums per group, no window, no second pass, nothing resident
+    * but the per-group accumulators. The 100 TB plan is the same plan. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val x = dec2(col("value"))
+    val y = expr(s"unix_micros(ts) div $DayUs").cast("decimal(18,2)")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .withColumn("num",
+        col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("den", sqrt(
+        (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+      .select(col("event_type"), col("n"),
+        round(col("num") / col("den"), 6).as("corr_value_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCorrSql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,2))) AS sxy,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,2))
+      |      * CAST(epoch_us(ts) // 86400000000 AS DECIMAL(18,2))) AS syy
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_value_day
+      |FROM s ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ rolling distinct
 
   /** Rolling-window span in days. */
