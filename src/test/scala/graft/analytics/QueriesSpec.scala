@@ -27,4 +27,24 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("e_salt") && plan.contains("d_salt"),
       s"salt columns missing from the optimized plan:\n$plan")
   }
+
+  test("rolling distinct interval-merge equals the brute-force window count") {
+    val DayUs = 86400000000L
+    val ud = Tables.events(spark, dir)
+      .select(expr(s"unix_micros(ts) div $DayUs").as("day"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val expected = ud.map(_._1).toSeq.sorted.map { d =>
+      val win = (d - (Queries.RollingDays - 1)) to d
+      val dau = ud.count(_._1 == d)
+      val rolling = ud.collect { case (day, u) if win.contains(day) => u }.size
+      (d, dau.toLong, rolling.toLong)
+    }
+
+    val got = Queries.qRollingDistinct(spark, dir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"),
+        r.getAs[Long]("rolling_users_7d"))).toSeq
+
+    assert(got == expected)
+  }
 }
