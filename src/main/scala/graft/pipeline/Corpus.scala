@@ -315,6 +315,52 @@ object Corpus {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Per-DIMENSION moment report over the embedding table — mean,
+    * variance, min, max for each of the d dimensions: the whitening /
+    * feature-pruning / quantizer-calibration pre-step (a dead or
+    * low-variance dimension wastes PQ codebook bits; [[embQuantize]]'s
+    * per-dim ranges and [[Similarity.annPq]]'s subspaces both assume
+    * someone looked at this first).
+    *
+    * Variance from exact DECIMAL power sums (Σx, Σx² — the q_zscore
+    * rule: Welford/streaming variance is order-dependent in floating
+    * point and can't hash-match). Scale: posexplode fans n·d rows into
+    * a d-key aggregate — map-side partial combine, one exchange of
+    * d-sized partials, nothing else. */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x0")))
+      .select((col("pos") + 1).cast("int").as("dim"), col("x0").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("x").cast("decimal(27,12)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(27,12)")).as("s2"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("dim"), col("n_vecs"),
+        round(col("s1").cast("double") / col("n_vecs"), 6).as("mean"),
+        round(col("s2").cast("double") / col("n_vecs")
+          - (col("s1").cast("double") / col("n_vecs"))
+          * (col("s1").cast("double") / col("n_vecs")), 6).as("variance"),
+        round(col("mn"), 6).as("min_x"), round(col("mx"), 6).as("max_x"))
+      .orderBy(col("dim"))
+
+  val embDimStatsSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(i.i AS INT) AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i),
+      |s AS (
+      |  SELECT dim, COUNT(*) AS n_vecs,
+      |    SUM(CAST(x AS DECIMAL(27,12))) AS s1,
+      |    SUM(CAST(x * x AS DECIMAL(27,12))) AS s2,
+      |    MIN(x) AS mn, MAX(x) AS mx
+      |  FROM cells GROUP BY 1)
+      |SELECT dim, n_vecs,
+      |  round(CAST(s1 AS DOUBLE) / n_vecs, 6) AS mean,
+      |  round(CAST(s2 AS DOUBLE) / n_vecs
+      |    - (CAST(s1 AS DOUBLE) / n_vecs) * (CAST(s1 AS DOUBLE) / n_vecs), 6) AS variance,
+      |  round(mn, 6) AS min_x, round(mx, 6) AS max_x
+      |FROM s ORDER BY dim""".stripMargin
+
   val SeqLen = 64    // tokens per packed training sequence
   val NumShards = 8  // independent packing streams
 
