@@ -670,4 +670,57 @@ object TextAnalysis {
        |CROSS JOIN tp CROSS JOIN tt
        |WHERE b.n_pair >= $MinPairCount
        |ORDER BY lift DESC, bigram LIMIT $TopCollocations""".stripMargin
+
+  // ------------------------------------------------------------ #33j hashing-trick embedding
+
+  /** Dimensions of the feature-hashed representation. */
+  val HashEmbedDims = 32
+
+  /** Feature-hashed bag-of-words "embedding" (the hashing trick,
+    * Weinberger et al. 2009) — the model-free text→vector bridge: each
+    * token lands in dimension polyhash(token) mod $HashEmbedDims with
+    * a ±1 sign drawn from an independent hash bit (the debiasing
+    * trick), summed per (doc, dimension). Emitted SPARSE — one row per
+    * non-zero (doc_id, dim, weight) — which is both the honest shape
+    * of hashed BoW and what a downstream cosine/ANN stage consumes.
+    * The engine-portable polynomial hash (not murmur) keeps the result
+    * reproducible anywhere — the same rule the minhash family follows.
+    *
+    * Scale: tokenize + hash is map-side; ONE (doc, dim)-keyed
+    * aggregate with partial combine; output ≤ min(tokens, n·d) rows.
+    * No vocabulary table, no broadcast — that is the point of the
+    * hashing trick at 100 TB: memory is O(d), not O(|vocab|). */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashes
+    val d = HashEmbedDims
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      // staged projections: codes once per token row, then the fold
+      // (interpreted HOFs — Catalyst CSE won't dedupe repeats)
+      .withColumn("codes", Hashes.charCodes(col("token")))
+      .withColumn("h", Hashes.polyHash(col("codes")))
+      .select(col("doc_id"), (col("h") % d).cast("int").as("dim"),
+        when(expr(s"(h div $d) % 2") === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  lazy val hashEmbedSql: String = {
+    import graft.functions.Hashes
+    val d = HashEmbedDims
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, ${Hashes.polyHashSql(Hashes.charCodesSql("token"))} AS h FROM tok),
+       |signed AS (
+       |  SELECT doc_id, CAST(h % $d AS INT) AS dim,
+       |    CASE WHEN (h // $d) % 2 = 0 THEN 1 ELSE -1 END AS sign
+       |  FROM hashed)
+       |SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS weight
+       |FROM signed GROUP BY 1, 2
+       |HAVING SUM(sign) <> 0
+       |ORDER BY doc_id, dim""".stripMargin
+  }
 }
