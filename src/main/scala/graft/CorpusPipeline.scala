@@ -24,7 +24,17 @@ object CorpusPipeline {
     val Array(sfDir, out) = args.take(2)
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
+    val (nKept, n) = run(spark, sfDir, out)
+    println(s"corpus built: $out/corpus_packed ($nKept of $n docs kept), " +
+      s"$out/retention_report")
+    spark.stop()
+  }
 
+  /** The pipeline body, session-agnostic (main's CLI shell around it;
+    * CorpusPipelineSpec drives it under the shared test session).
+    * Returns (packed docs kept, total docs). */
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      out: String): (Long, Long) = {
     // 1. retention: exact + near-dup keep/drop decisions per doc
     val keep = pipeline.Dedup.keeplist(spark, sfDir)
     // 2. decontamination: docs sharing an n-gram with the benchmark slice
@@ -54,8 +64,6 @@ object CorpusPipeline {
 
     val n = Tables.documents(spark, sfDir).count()
     val nKept = packed.count()
-    println(s"corpus built: $out/corpus_packed ($nKept of $n docs kept), " +
-      s"$out/retention_report")
-    spark.stop()
+    (nKept, n)
   }
 }
