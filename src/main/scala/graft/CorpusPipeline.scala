@@ -36,7 +36,8 @@ object CorpusPipeline {
   def run(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       out: String): (Long, Long) = {
     // 1. retention: exact + near-dup keep/drop decisions per doc
-    val keep = pipeline.Dedup.keeplist(spark, sfDir)
+    // (the unsorted frame — every consumer below joins or aggregates)
+    val keep = pipeline.Dedup.keeplistFrame(spark, sfDir)
     // 2. decontamination: docs sharing an n-gram with the benchmark slice
     val contaminated = pipeline.Dedup.decontaminate(spark, sfDir)
       .select(col("doc_id"), lit("benchmark_overlap").as("drop_reason"))

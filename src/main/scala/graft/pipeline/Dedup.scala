@@ -357,7 +357,15 @@ object Dedup {
     * of, else kept. Exactly the C4/RefinedWeb-style retention pass a
     * 100 TB corpus goes through; every stage is the same
     * one-shuffle-per-key layout as its standalone operator. */
-  def keeplist(spark: SparkSession, dir: String): DataFrame = {
+  def keeplist(spark: SparkSession, dir: String): DataFrame =
+    keeplistFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** [[keeplist]] without the presentation sort — the frame
+    * [[rateBySource]] and the corpus-build pipeline compose with:
+    * their next step is a join/aggregate, so a global sort exchange
+    * here would be pure waste (the same rule as clusterLabels /
+    * minhashPairs). */
+  private[graft] def keeplistFrame(spark: SparkSession, dir: String): DataFrame = {
     val exact = docs(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("digest"))
       .withColumn("exact_canon", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
@@ -369,7 +377,6 @@ object Dedup {
           .when(col("cluster_id").isNotNull && !col("is_canonical"), "near_dup")
           .otherwise("kept"))
       .select(col("doc_id"), col("reason"), (col("reason") === "kept").as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   lazy val keeplistSql: String =
@@ -400,7 +407,7 @@ object Dedup {
     * deliberately an aggregation, not a source-partitioned window. */
   def rateBySource(spark: SparkSession, dir: String): DataFrame = {
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    keeplist(spark, dir).join(src, Seq("doc_id"))
+    keeplistFrame(spark, dir).join(src, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("reason") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dups"),
