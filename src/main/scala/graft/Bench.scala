@@ -82,7 +82,14 @@ object Bench {
          |  }
          |}
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LATEST.json"), fileJson)
+    // Anchor the durable artifact: SPARK_GRAFT_BENCH_OUT wins, else the
+    // repo root (not the JVM cwd — run from anywhere else and the copy
+    // the round tooling reads would go stale silently).
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json"))
+      .toAbsolutePath
+    java.nio.file.Files.writeString(outPath, fileJson)
+    System.err.println(s"[bench] wrote $outPath")
     spark.stop()
   }
 }

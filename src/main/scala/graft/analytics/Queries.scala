@@ -940,11 +940,15 @@ object Queries {
     * the exact ceiling), deterministic under the (metric, custkey)
     * tie-break on both engines. */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    // Monetary sums in DECIMAL(18,2): a raw double sum is
+    // order-dependent across partitions, so both the emitted value
+    // and the m_score tie-breaks could flake run-to-run. The exact
+    // decimal drives the ranking; the output casts back to double.
     val base = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
-        sum(col("o_totalprice")).as("monetary"))
+        sum(dec2(col("o_totalprice"))).as("monetary_dec"))
       .withColumn("__g", lit(0))
     def score(df: DataFrame, metric: Column, out: String): DataFrame =
       graft.functions.DistributedRanks.withGroupRanks(df, "__g",
@@ -953,10 +957,11 @@ object Queries {
         .drop("rn", "n")
     score(score(score(base, col("last_order"), "r_score"),
         col("frequency"), "f_score"),
-        col("monetary"), "m_score")
+        col("monetary_dec"), "m_score")
       .withColumn("rfm_cell",
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
-      .select(col("o_custkey"), col("last_order"), col("frequency"), col("monetary"),
+      .select(col("o_custkey"), col("last_order"), col("frequency"),
+        col("monetary_dec").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"), col("rfm_cell"))
       .orderBy(col("o_custkey"))
   }
@@ -964,17 +969,19 @@ object Queries {
   val qRfmSql: String =
     s"""WITH rfm AS (
        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
-       |    COUNT(*) AS frequency, SUM(o_totalprice) AS monetary
+       |    COUNT(*) AS frequency,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
        |  FROM orders GROUP BY 1),
        |ranked AS (
        |  SELECT *,
        |    ROW_NUMBER() OVER (ORDER BY last_order, o_custkey) AS rr,
        |    ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS fr,
-       |    ROW_NUMBER() OVER (ORDER BY monetary, o_custkey) AS mr,
+       |    ROW_NUMBER() OVER (ORDER BY monetary_dec, o_custkey) AS mr,
        |    COUNT(*) OVER () AS n
        |  FROM rfm),
        |scored AS (
-       |  SELECT o_custkey, last_order, frequency, monetary,
+       |  SELECT o_custkey, last_order, frequency,
+       |    CAST(monetary_dec AS DOUBLE) AS monetary,
        |    CAST((rr * $RfmBuckets - 1) // n + 1 AS INT) AS r_score,
        |    CAST((fr * $RfmBuckets - 1) // n + 1 AS INT) AS f_score,
        |    CAST((mr * $RfmBuckets - 1) // n + 1 AS INT) AS m_score
