@@ -24,17 +24,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a µs timestamp
-    * (the data has no sub-µs residue — verified against the source).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set by
-    * [[Sessions.builder]] — not here, so loading a table never mutates
-    * session config under the caller.
+  /** `events.ts` normalized to a µs-precision TIMESTAMP regardless of
+    * how the generator wrote it — generations of the test lake have
+    * used parquet TIMESTAMP(NANOS) (read as a nanos long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[Sessions.builder]]), TIMESTAMP_NTZ(µs), and plain TIMESTAMP.
+    * Dispatch on the read schema so every downstream operator sees one
+    * canonical type; with the UTC session timezone the NTZ→TZ cast is
+    * shift-free and matches the DuckDB oracle's `epoch_us`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
