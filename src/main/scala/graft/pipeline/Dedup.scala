@@ -854,19 +854,29 @@ object Dedup {
 
   // ------------------------------------------------------------ #28 embedding cosine
 
-  /** Cells for the [[embedCosine]] triangle-inequality pruning — at
-    * corpus scale this grows ~√n so per-cell populations stay bounded
-    * (the pruning GUARANTEE below is independent of K; K only tunes
-    * how much work the bound can discard). */
-  val PruneCells = 16
+  /** Ceiling on the [[embedCosine]] pruning-cell count: K grows with
+    * the corpus as ≈√n (per-cell population ≈ √n stays bounded) up to
+    * this cap, past which the K²-row cell-pair relation and the n·K
+    * assignment dots start to dominate. The pruning GUARANTEE below is
+    * independent of K and of centroid placement; both only tune how
+    * much work the bound can discard. */
+  val PruneCellsMax = 4096
+
+  /** Oversampling factor for the centroid pick: the deterministic
+    * hash-sample targets ~this many rows per centroid, so the strided
+    * pick has enough spread to land one centroid per √n-slice of the
+    * first-dimension order even under hash-selection jitter. */
+  private val CentroidSampleOver = 64L
 
   /** Embedding near-dup: pairs with cosine ≥ $CosineThreshold — EXACT
     * (identical to brute-force all-pairs, which is what the oracle SQL
     * still states), but laid out so no full-table broadcast or
     * nested-loop join ever appears in the plan.
     *
-    * Layout: assign every vector to its nearest of [[PruneCells]]
-    * deterministic centroids (angular distance), record each cell's
+    * Layout: assign every vector to its nearest of K ≈ min(√n,
+    * [[PruneCellsMax]]) deterministic centroids (angular distance —
+    * see [[embedCosineCells]] for the adaptive K / spread-centroid
+    * policy), record each cell's
     * max angle R_c, and generate candidates only through centroid
     * pairs with θ(c1,c2) ≤ θτ + R_c1 + R_c2. Angular distance is a
     * metric (geodesic on the sphere), so by the triangle inequality a
@@ -888,27 +898,95 @@ object Dedup {
     * embeddings the bound discards most cell pairs and the work drops
     * toward O(n²/K). The sub-quadratic APPROXIMATE paths remain
     * [[Similarity.annLshBucketed]] / [[Similarity.annIvf]]. */
-  def embedCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.spread(Tables.embeddings(spark, dir))
+  def embedCosine(spark: SparkSession, dir: String): DataFrame =
+    embedCosineOn(Tables.spread(Tables.embeddings(spark, dir)))
+
+  /** [[embedCosine]] over any `(vec_id, embedding)`-shaped frame —
+    * factored out so specs can drive synthetic clustered corpora, and
+    * so [[embedCosineCells]]' candidate volume is observable. */
+  def embedCosineOn(emb: DataFrame): DataFrame = {
+    val (assigned, cellPairs) = embedCosineCells(emb)
+    // every ordered (cell(a), cell(b)) appears at most once in
+    // cellPairs, so a qualifying pair meets exactly once
+    candidatePairs(assigned, cellPairs)
+      .select(col("vec_id_1"), col("vec_id_2"),
+        round(col("raw_cos"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineThreshold)
+      .orderBy(col("vec_id_1"), col("vec_id_2"))
+  }
+
+  /** Candidate pairs surviving the cell-level triangle bound, with the
+    * exact cosine attached — the pre-threshold frame [[embedCosineOn]]
+    * refines. Package-visible so the pruning-effectiveness spec can
+    * count candidates. */
+  private[pipeline] def candidatePairs(assigned: DataFrame, cellPairs: DataFrame): DataFrame =
+    assigned.as("a")
+      .join(broadcast(cellPairs), col("a.cell") === col("cell_1"))
+      .join(assigned.as("b"),
+        col("cell_2") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
+        (graft.functions.VecDot.dot(col("a.v"), col("b.v")) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("raw_cos"))
+
+  /** Cell assignment + surviving cell-pair relation for the triangle
+    * pruning. Adaptive policy (the 100 TB posture):
+    *
+    *  - **K scales with n**: K = min(⌈√n⌉, [[PruneCellsMax]]), so the
+    *    expected per-cell population is ≈√n — no cell's candidate
+    *    block grows linearly with the corpus. n comes from a parquet
+    *    metadata-cheap count, not a data scan.
+    *  - **Centroids are deterministically SPREAD, not the first K
+    *    rows**: a fixed hash-sample (xxhash64 of vec_id — stable
+    *    across runs and appends) of ~[[CentroidSampleOver]]·K rows is
+    *    globally ranked by (first dimension, vec_id) via
+    *    [[graft.functions.DistributedRanks]] (range-partitioned —
+    *    no single-task window), and every ⌊sample/K⌋-th row is
+    *    picked. Strided picks over the value order put centroids in
+    *    every occupied region of the sphere's first-dim profile, so
+    *    clustered corpora get per-cluster cells instead of one
+    *    catch-all cell near the origin of vec_id space.
+    *  - **Assignment aggregates, never windows**: nearest-centroid is
+    *    a groupBy(vec_id).max(struct(cos, cid)) over the K-expanded
+    *    broadcast join — partial aggregation collapses the n·K rows
+    *    map-side, so the exchange carries n rows, not n·K (the
+    *    window variant this replaces shuffled the full expansion).
+    *
+    * The triangle-inequality bound (see [[embedCosine]]'s contract
+    * note) is lossless for ANY K/centroid placement, so this policy
+    * affects only pruning effectiveness, never the result. */
+  private[pipeline] def embedCosineCells(emb: DataFrame): (DataFrame, DataFrame) = {
+    val e = emb
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
-    val cent = e.filter(col("vec_id") < PruneCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    val n = emb.count()
+    val k = math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong, PruneCellsMax.toLong))
+    val sampleMod = math.max(1L, n / (CentroidSampleOver * k))
+    val sample = e.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .withColumn("g", lit(0))
+    val ranked = graft.functions.DistributedRanks.withGroupRanks(
+      sample, "g", Seq(element_at(col("v"), 1), col("vec_id")))
+    // stride = ⌊sample/K⌋ picks ≥ K rows; cid < K caps it at exactly K
+    val stride = greatest(floor(col("n") / lit(k)), lit(1L))
+    val cent = ranked
+      .withColumn("cid", floor((col("rn") - 1) / stride))
+      .filter((col("rn") - 1) % stride === 0 && col("cid") < k)
+      .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
     def angle(cos: Column): Column = acos(least(greatest(cos, lit(-1.0)), lit(1.0)))
     // nearest centroid per vector (annIvf's assignment shape: K-row
-    // broadcast, vec_id is high-cardinality so the window is skew-safe)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
+    // broadcast). The expansion join is local to each input partition,
+    // so the partial max collapses to one row per vec_id pre-exchange.
     val assigned = e.join(broadcast(cent), lit(true))
       .withColumn("c_cos", graft.functions.VecDot.dot(col("v"), col("cv")) /
         (sqrt(col("n2")) * sqrt(col("cn2"))))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"),
-        angle(col("c_cos")).as("theta"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
+        max(struct(col("c_cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("v"), col("n2"), (-col("best.ncid")).as("cell"),
+        angle(col("best.c_cos")).as("theta"))
       // feeds the radii agg and both pair sides — one execution
       .localCheckpoint()
     val radii = assigned.groupBy(col("cell")).agg(max(col("theta")).as("radius"))
-    // ordered centroid pairs surviving the triangle bound (K² rows of
+    // ordered centroid pairs surviving the triangle bound (≤K² rows of
     // metadata; the 1e-9 slack keeps double rounding from ever flipping
     // a boundary decision toward a false prune)
     val thetaTau = math.acos(CosineThreshold)
@@ -921,17 +999,7 @@ object Dedup {
       .join(radii.select(col("cell").as("cell_2"), col("radius").as("r2")), Seq("cell_2"))
       .filter(col("cdist") <= lit(thetaTau) + col("r1") + col("r2") + lit(1e-9))
       .select(col("cell_1"), col("cell_2"))
-    // every ordered (cell(a), cell(b)) appears at most once in
-    // cellPairs, so a qualifying pair meets exactly once
-    assigned.as("a")
-      .join(broadcast(cellPairs), col("a.cell") === col("cell_1"))
-      .join(assigned.as("b"),
-        col("cell_2") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"),
-        round(graft.functions.VecDot.dot(col("a.v"), col("b.v")) /
-          (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= CosineThreshold)
-      .orderBy(col("vec_id_1"), col("vec_id_2"))
+    (assigned, cellPairs)
   }
 
   val embedCosineSql: String =

@@ -36,6 +36,73 @@ class EmbedCosineSpec extends SparkSpec {
     assert(expected.nonEmpty, "corpus should contain at least one qualifying pair")
   }
 
+  test("clustered corpus: adaptive cells bound the candidate volume") {
+    // 8 well-separated direction clusters × 50 near-copies each: the
+    // qualifying pairs are exactly the within-cluster ones. With
+    // K ≈ √400 = 20 spread centroids the triangle bound must discard
+    // (almost) every cross-cluster cell pair, so the candidate count
+    // stays a small multiple of the matching count — the adaptive
+    // policy this guards replaced a fixed K=16 with first-16-vec_id
+    // centroids, whose cells went unboundedly populous on clustered
+    // data.
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    // cluster axes: standard basis directions — pairwise orthogonal,
+    // so cross-cluster cosine ≈ 0 < τ and within-cluster cosine ≈ 1
+    val rows = for {
+      c <- 0 until 8; i <- 0 until 50
+    } yield {
+      val base = Array.tabulate(dim)(d => if (d == c) 1.0f else 0.0f)
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (c.toLong * 50 + i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+
+    val (assigned, cellPairs) = Dedup.embedCosineCells(emb)
+    val candidates = Dedup.candidatePairs(assigned, cellPairs).count()
+    val matching = Dedup.embedCosineOn(emb).count()
+
+    // every within-cluster pair qualifies (cos ≈ 1 ≫ τ)
+    assert(matching == 8L * (50L * 49 / 2), s"matching=$matching")
+    assert(candidates <= 4 * matching,
+      s"pruning ineffective on clustered data: candidates=$candidates matching=$matching")
+
+    // per-cell population must stay ≈ n/K, not collapse into one cell
+    val maxCell = assigned.groupBy("cell").count()
+      .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+    val n = 400L; val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    assert(maxCell <= 4 * (n / k + 1), s"hot cell: $maxCell rows (n/K=${n / k})")
+  }
+
+  test("clustered corpus result equals brute force") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val base = Array.tabulate(dim)(d => if (d == c * 2) 1.0f else 0.0f)
+      (c.toLong * 25 + i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Dedup.embedCosineOn(emb).collect()
+      .map(r => ((r.getAs[Long]("vec_id_1"), r.getAs[Long]("vec_id_2")),
+        r.getAs[Double]("cos_sim"))).toMap
+    val vecs = rows.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val expected = (for {
+      (id1, v1) <- vecs; (id2, v2) <- vecs if id1 < id2
+      cos = BigDecimal(dot(v1, v2) / (math.sqrt(dot(v1, v1)) * math.sqrt(dot(v2, v2))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= Dedup.CosineThreshold
+    } yield (id1, id2) -> cos).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("plan never nested-loops or broadcasts the full embedding table") {
     val plan = Dedup.embedCosine(spark, dir).queryExecution.executedPlan.toString
     // The only tolerable nested-loop joins are the conditionless K-row
