@@ -73,6 +73,9 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var checkpointLocation: Option[String] = None
   private var stateStore: Option[CdcStateStore] = None
   private var queryName: String = s"graft-cdc-${java.util.UUID.randomUUID().toString.take(8)}"
+  private var pacing: MasterPacing = MasterPacing()
+  private var sleeper: Long => Unit = Thread.sleep
+  private var generationsSupplier: Option[() => Option[Seq[CdcGeneration]]] = None
 
   def withSource(changes: Dataset[Change]): this.type = addSource("default", changes)
 
@@ -198,24 +201,76 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   def withStateStore(store: CdcStateStore): this.type = { stateStore = Some(store); this }
   def withQueryName(name: String): this.type = { queryName = name; this }
 
+  /** Generation timeline DISCOVERED at runtime instead of handed over
+    * eagerly — the reference master's `fetchFirstGenerationId` /
+    * `refreshEnd` polling re-expressed (GenerationBasedCDCMetadataModel
+    * .java:33-45,120-140): the supplier is polled on a driver-side
+    * master thread until it yields a non-empty timeline
+    * (None/empty = the cluster has no generation yet), then re-polled
+    * at the generation-done cadence so an open generation's end or
+    * newly appended generations are picked up. Pacing comes from the
+    * [[withSleepBeforeFirstGenerationMs]] /
+    * [[withSleepBeforeGenerationDoneMs]] / [[withSleepAfterExceptionMs]]
+    * trio. Mutually exclusive with the eager [[withGenerations]] /
+    * [[withTableGenerations]]; same driver-callback requirement. */
+  def withGenerationsSupplier(s: () => Option[Seq[CdcGeneration]]): this.type = {
+    generationsSupplier = Some(s); this
+  }
+
+  /** Master poll pause while the cluster has no first generation yet
+    * (reference MasterConfiguration.sleepBeforeFirstGenerationMs,
+    * default 10 s — MasterConfiguration.java:15; consumed by
+    * GenerationBasedCDCMetadataModel.getGenerationId's poll loop). */
+  def withSleepBeforeFirstGenerationMs(ms: Long): this.type = {
+    require(ms >= 0, "sleepBeforeFirstGenerationMs must be non-negative")
+    pacing = pacing.copy(sleepBeforeFirstGenerationMs = ms); this
+  }
+
+  /** Cadence of the master's generation-done / timeline-refresh
+    * re-check (reference MasterConfiguration.sleepBeforeGenerationDoneMs,
+    * default 30 s — MasterConfiguration.java:16; the runMasterLoop
+    * inner sleep). */
+  def withSleepBeforeGenerationDoneMs(ms: Long): this.type = {
+    require(ms >= 0, "sleepBeforeGenerationDoneMs must be non-negative")
+    pacing = pacing.copy(sleepBeforeGenerationDoneMs = ms); this
+  }
+
+  /** Fixed pause before the master retries after an exception
+    * (reference MasterConfiguration.sleepAfterExceptionMs, default
+    * 10 s — Master.java:29-43; fixed, not exponential: only the WORKER
+    * uses withWorkerRetryBackoff's schedule). */
+  def withSleepAfterExceptionMs(ms: Long): this.type = {
+    require(ms >= 0, "sleepAfterExceptionMs must be non-negative")
+    pacing = pacing.copy(sleepAfterExceptionMs = ms); this
+  }
+
+  /** Spec hook: intercept the master loop's sleeps (clock injection). */
+  private[streaming] def withSleeper(s: Long => Unit): this.type = { sleeper = s; this }
+
+  /** Effective master pacing (exposed for specs). */
+  private[streaming] def effectivePacing: MasterPacing = pacing
+
   def build(): GraftCdcConsumer = {
     require(sources.nonEmpty, "withSource/addSource is required")
     require(partitionConsumer.isEmpty || !consumerSet,
       "withConsumer and withPartitionConsumer are mutually exclusive — " +
         "the driver callback would be silently ignored")
-    require((generations.isEmpty && tableGenerations.isEmpty) || partitionConsumer.isEmpty,
+    require((generations.isEmpty && tableGenerations.isEmpty &&
+        generationsSupplier.isEmpty) || partitionConsumer.isEmpty,
       "withGenerations/withTableGenerations require the driver-callback path — " +
         "the master's switchover barrier is driver-side state, like the reference master")
-    require(generations.isEmpty || tableGenerations.isEmpty,
-      "withGenerations and withTableGenerations are mutually exclusive — " +
-        "pick ONE metadata model per consumer, like the reference")
+    require(Seq(generations.nonEmpty, tableGenerations.nonEmpty,
+        generationsSupplier.nonEmpty).count(identity) <= 1,
+      "withGenerations, withTableGenerations and withGenerationsSupplier are mutually " +
+        "exclusive — pick ONE metadata model per consumer, like the reference")
     tableGenerations.keys.foreach { t =>
       require(sources.exists(_._1 == t), s"withTableGenerations names unknown source: $t")
     }
     new GraftCdcConsumer(spark, sources, consumer, partitionConsumer, effectiveTriggerMs,
       confidenceMs, workersCount, backoff, maxRetryAttempts, checkpointLocation,
       stateStore, queryName, generations, generationListener,
-      tableGenerations, tableGenerationListener)
+      tableGenerations, tableGenerationListener,
+      generationsSupplier, pacing, sleeper, validatedTimeline)
   }
 }
 
@@ -237,10 +292,20 @@ final class GraftCdcConsumer private[streaming] (
     generations: Option[Vector[CdcGeneration]] = None,
     generationListener: CdcGeneration => Unit = _ => (),
     tableGenerations: Map[String, Vector[CdcGeneration]] = Map.empty,
-    tableGenerationListener: (String, CdcGeneration) => Unit = (_, _) => ())
+    tableGenerationListener: (String, CdcGeneration) => Unit = (_, _) => (),
+    generationsSupplier: Option[() => Option[Seq[CdcGeneration]]] = None,
+    pacing: MasterPacing = MasterPacing(),
+    sleeper: Long => Unit = Thread.sleep,
+    validateTimeline: Seq[CdcGeneration] => Vector[CdcGeneration] = _.toVector)
     extends AutoCloseable {
 
   private var running: Vector[StreamingQuery] = Vector.empty
+
+  // supplier mode: the latest discovered timeline snapshot (the
+  // reference master's current generation chain); the delivery path
+  // reads it per batch so refreshes take effect mid-stream
+  @volatile private var discoveredTimeline: Option[Vector[CdcGeneration]] = None
+  private var master: Option[GenerationMaster] = None
 
   // ---- master state (generation-switchover mode) ------------------
   // Driver-side like the reference master; guarded by genLock because
@@ -387,7 +452,8 @@ final class GraftCdcConsumer private[streaming] (
             // model) beats the cluster-wide timeline; build() enforces
             // at most one model is configured
             tableGenerations.get(sourceName).map(g => (g, true))
-              .orElse(generations.map(g => (g, false))) match {
+              .orElse(generations.map(g => (g, false)))
+              .orElse(discoveredTimeline.map(g => (g, false))) match {
               case Some((gens, perTable)) =>
                 // switchover mode: stable-sort the batch by generation
                 // (keeps (streamId, seqNo) order within each one) —
@@ -439,6 +505,19 @@ final class GraftCdcConsumer private[streaming] (
     sources.foreach { case (name, _) =>
       tableGenerations.get(name).foreach(gens => advanceTableTo(name, gens.head))
     }
+    // supplier mode: the master THREAD discovers the timeline (the
+    // reference's MasterThread) — initial configureWorkers fires when
+    // the first non-empty poll lands, at the configured pacing
+    generationsSupplier.foreach { sup =>
+      val m = new GenerationMaster(sup, pacing, sleeper, gens => {
+        val v = validateTimeline(gens)
+        val first = discoveredTimeline.isEmpty
+        discoveredTimeline = Some(v)
+        if (first) advanceTo(v.head)
+      })
+      master = Some(m)
+      m.startThread(s"$queryName-master")
+    }
     running = sources.map { case (name, source) =>
       var writer = deliveredFor(source).writeStream
         .queryName(if (sources.size == 1) queryName else s"$queryName-$name")
@@ -460,6 +539,8 @@ final class GraftCdcConsumer private[streaming] (
   def processAllAvailable(): Unit = running.foreach(_.processAllAvailable())
 
   def stop(): Unit = synchronized {
+    master.foreach(_.stopMaster())
+    master = None
     running.foreach(_.stop())
     running = Vector.empty
   }

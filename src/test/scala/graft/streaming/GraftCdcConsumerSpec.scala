@@ -272,6 +272,88 @@ class GraftCdcConsumerSpec extends SparkSpec {
     }
   }
 
+  test("master pacing knobs flow to the pacing config and validate") {
+    val b = GraftCdcConsumer.builder(spark)
+    intercept[IllegalArgumentException](b.withSleepBeforeFirstGenerationMs(-1))
+    intercept[IllegalArgumentException](b.withSleepBeforeGenerationDoneMs(-1))
+    intercept[IllegalArgumentException](b.withSleepAfterExceptionMs(-1))
+    // reference defaults (MasterConfiguration.java:15-17)
+    assert(b.effectivePacing == MasterPacing(10000L, 30000L, 10000L))
+    b.withSleepBeforeFirstGenerationMs(7)
+      .withSleepBeforeGenerationDoneMs(13)
+      .withSleepAfterExceptionMs(19)
+    assert(b.effectivePacing == MasterPacing(7L, 13L, 19L))
+  }
+
+  test("generations supplier: master polls at the configured pacing, then consumes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gens = Seq(
+      CdcGeneration(0, ms(0), Some(ms(100)), Seq(1L)),
+      CdcGeneration(1, ms(100), None, Seq(1L)))
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val retasked = new ConcurrentLinkedQueue[Int]()
+    val sleeps = new ConcurrentLinkedQueue[Long]()
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withGenerationsSupplier(() =>
+        if (polls.incrementAndGet() <= 2) None else Some(gens))
+      .withGenerationSwitchListener(g => retasked.add(g.generationId))
+      .withSleepBeforeFirstGenerationMs(11)
+      .withSleepBeforeGenerationDoneMs(23)
+      .withSleepAfterExceptionMs(37)
+      .withSleeper(ms => { sleeps.add(ms); Thread.sleep(1) })
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"spec_gen_supplier_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      // discovery: two empty polls paced by sleepBeforeFirstGenerationMs
+      val deadline = System.nanoTime() + 10000L * 1000000L
+      while (c.currentGeneration.isEmpty && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(c.currentGeneration.map(_.generationId).contains(0),
+        "master never discovered the timeline")
+      assert(sleeps.asScala.count(_ == 11L) >= 2)
+      input.addData(Seq(
+        Change(1, ms(10), 1, 2, 0.0),    // gen 0
+        Change(1, ms(250), 2, 2, 0.0)))  // gen 1
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // watermark nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // flush nudge
+      c.processAllAvailable()
+    } finally c.stop()
+    // the discovered timeline drove delivery + switchover
+    assert(retasked.asScala.toSeq == Seq(0, 1))
+    assert(received.asScala.count(_.streamId == 1L) == 2)
+    // refresh phase ran at the done cadence
+    assert(sleeps.asScala.exists(_ == 23L))
+  }
+
+  test("generations supplier is exclusive with eager timelines") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    intercept[IllegalArgumentException] {
+      GraftCdcConsumer.builder(spark)
+        .withSource(input.toDS())
+        .withConsumer(_ => ())
+        .withGenerations(Seq(CdcGeneration(0, ms(0), None, Seq(1L))))
+        .withGenerationsSupplier(() => None)
+        .build()
+    }
+    intercept[IllegalArgumentException] {
+      GraftCdcConsumer.builder(spark)
+        .withSource(input.toDS())
+        .withGenerationsSupplier(() => None)
+        .withPartitionConsumer(_ => ()) // master is driver-side
+        .build()
+    }
+  }
+
   test("confidence window reorders within it, then delivers in ChangeId order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
