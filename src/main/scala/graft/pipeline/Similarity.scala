@@ -294,23 +294,46 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
 
   /** IVF-PQ search — the two halves composed the way a billion-vector
-    * index actually runs (#30b's coarse cells + #30d's codes): a query
-    * probes its [[NumProbes]] nearest cells, and every candidate in
-    * them is scored by ASYMMETRIC distance (ADC): the exact query
-    * subvectors against the candidate's 4-bit codebook entries —
-    * Σ_m ‖q_m − codebook[m][code_m(x)]‖². The candidate's floats are
-    * never touched at search time; that is the whole point of PQ (the
-    * index holds 16 bits per vector, not 256 bytes).
+    * index actually runs (#30b's coarse cells + #30d's codes), with
+    * RESIDUAL encoding: PQ quantizes (x − centroid(cell(x))), not the
+    * raw vector. Residuals concentrate near the origin once the coarse
+    * quantizer has absorbed the between-cell variance, so the same
+    * 16 bits of code spend their resolution on the within-cell detail
+    * that actually separates candidates — the standard IVFADC layout
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011, §IV).
     *
-    * Scale: codebooks, the probe list and the query→code ADC table
-    * (queries × M × K rows) broadcast; candidates shuffle once on the
-    * cell key and once on vec_id for the code lookup — both
-    * AQE-splittable equi-joins, work n/K per probed cell, no floats
-    * moved for candidates. The per-candidate sum over the M=4 subspace
-    * terms goes through DECIMAL, so it is order-independent and
-    * hash-comparable (the doc'd bit-stability rule). */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
+    * A query probes its [[NumProbes]] nearest cells; every candidate
+    * in them is scored by ASYMMETRIC distance (ADC): the exact QUERY
+    * residual against that cell's centroid, per subspace, vs the
+    * candidate's 4-bit codebook entry — Σ_m ‖(q−c)_m −
+    * codebook[m][code_m(x)]‖². The candidate's floats are never
+    * touched at search time; that is the whole point of PQ (the index
+    * holds 16 bits per vector, not 256 bytes). Because the query
+    * residual depends on the probed cell, the ADC table is keyed
+    * (query, cell, m, code) — still queries × probes × M × K rows of
+    * broadcastable metadata.
+    *
+    * Scale: codebooks, the probe list and the ADC table broadcast;
+    * candidates shuffle once on the cell key and once on vec_id for
+    * the code lookup — both AQE-splittable equi-joins, work n/K per
+    * probed cell, no floats moved for candidates. The per-candidate
+    * sum over the M=4 subspace terms goes through DECIMAL, so it is
+    * order-independent and hash-comparable (the doc'd bit-stability
+    * rule). */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqOn(Tables.spread(Tables.embeddings(spark, dir)), residual = true)
+
+  /** [[annIvfPq]] over any `(vec_id, embedding)`-shaped frame, with
+    * the encoding policy explicit — `residual=false` quantizes raw
+    * vectors at the SAME bit budget (same M, K, seeds, training),
+    * exhausting over the same probed candidates: that is "plain PQ at
+    * equal bits" on this index, kept so the recall spec can prove
+    * residual ≥ raw. */
+  private[pipeline] def annIvfPqOn(emb: DataFrame, residual: Boolean): DataFrame = {
+    val all = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
@@ -320,34 +343,82 @@ object Similarity {
       .filter(col("crn") === 1 || (col("vec_id") < NumQueries && col("crn") <= NumProbes))
       .localCheckpoint() // feeds cells AND probes — one scoring pass
     val cells = assigned.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
     val probes = assigned.filter(col("vec_id") < NumQueries && col("crn") <= NumProbes)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
-    val subs = all
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid").as("cell"))
+    val centV = cent.select(col("cid").as("cell"), col("cv"))
+    // residual per DATA vector: x − centroid(cell(x)) (raw mode: x)
+    val resCells =
+      if (residual) cells.join(broadcast(centV), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      else cells.select(col("vec_id"), col("cell"), col("v").as("rv"))
+    val subs = resCells
+      .select(col("vec_id"), col("cell"), col("rv"),
         explode_outer(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
       .select(col("vec_id"), col("m"),
-        slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+        slice(col("rv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
       .withColumn("sn2", dot(col("sub"), col("sub")))
-      .localCheckpoint() // feeds the codebook, the encode pass AND the ADC table
-    val cb = subs.filter(col("vec_id") < PqCodes)
-      .select(col("m"), col("vec_id").cast("int").as("code"),
+      .localCheckpoint() // feeds codebook training AND the encode pass
+    // TRAINED codebook: seeds = K NON-CENTROID subvectors, then ONE
+    // Lloyd iteration per subspace (emb_kmeans's recipe: DECIMAL-exact
+    // means at (m, code, dim) grain, re-arrayed). Seeds must exclude
+    // the coarse centroids: a centroid's residual is the ZERO vector
+    // (it is its own nearest cell), so `vec_id < PqCodes` seeds would
+    // hand residual training 16 copies of zero and the codebook
+    // collapses to one effective code (measured: recall 0.14 vs 0.36).
+    // A sampled-row codebook also wastes entries wherever the first
+    // rows happened to land; the M-step spreads them over the actual
+    // (residual) distribution — what makes residual encoding pay off.
+    val cb0 = subs
+      .filter(col("vec_id") >= NumCentroids && col("vec_id") < NumCentroids + PqCodes)
+      .select(col("m"), (col("vec_id") - NumCentroids).cast("int").as("code"),
         col("sub").as("csub"), col("sn2").as("cn2s"))
-    val wCode = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist2"), col("code"))
-    val codes = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("dist2", col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("code"))
-    val qdist = subs.filter(col("vec_id") < NumQueries)
+    def nearestCode(in: DataFrame, book: DataFrame): DataFrame =
+      // per-(vector, subspace) argmin as a map-side-combining
+      // aggregate — the broadcast expansion collapses before any
+      // exchange, so the shuffle carries n·M rows, not n·M·K (the
+      // window formulation this replaces shuffled the expansion)
+      in.join(broadcast(book), Seq("m"))
+        .withColumn("dist2",
+          col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist2"), col("code"))).as("best"),
+          first(col("sub")).as("sub"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"), col("sub"))
+    val cb = nearestCode(subs, cb0)
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(27,12)")).cast("double") / count(lit(1)), 6)
+        .as("cm"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+        s => s.getField("cm")).as("csub"))
+      .withColumn("cn2s", dot(col("csub"), col("csub")))
+    val codes = nearestCode(subs, cb).select(col("vec_id"), col("m"), col("code"))
+    // query residual PER PROBED CELL: (q − centroid(cell)) — raw mode
+    // reuses q for every cell, but keeps the (query, cell) grain so
+    // both modes share one ADC join shape
+    val qres =
+      if (residual) probes.join(broadcast(centV), Seq("cell"))
+        .select(col("query_id"), col("cell"),
+          zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rq"))
+      else probes.select(col("query_id"), col("cell"), col("qv").as("rq"))
+    val qdist = qres
+      .select(col("query_id"), col("cell"), col("rq"),
+        explode_outer(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
+      .select(col("query_id"), col("cell"), col("m"),
+        slice(col("rq"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("qsub"))
+      .withColumn("qn2s", dot(col("qsub"), col("qsub")))
       .join(broadcast(cb), Seq("m"))
-      .select(col("vec_id").as("query_id"), col("m"), col("code"),
-        (col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s")).as("qd"))
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        (col("qn2s") - lit(2.0) * dot(col("qsub"), col("csub")) + col("cn2s")).as("qd"))
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("approx_dist2"), col("vec_id"))
-    cells.join(broadcast(probes), Seq("cell"))
+    cells.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))
-      .join(broadcast(qdist), Seq("query_id", "m", "code"))
+      .join(broadcast(qdist), Seq("query_id", "cell", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("qd").cast("decimal(27,12)")).cast("double"), 6).as("approx_dist2"))
       .withColumn("rank", row_number().over(wRank))
@@ -369,22 +440,41 @@ object Similarity {
        |cent AS (
        |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM vecs WHERE vec_id < $NumCentroids),
        |assigned AS (
-       |  SELECT a.vec_id, c.cid,
+       |  SELECT a.vec_id, a.v, c.cid,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $cCos DESC, c.cid) AS INT) AS crn
        |  FROM vecs a CROSS JOIN cent c),
-       |cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE crn = 1),
+       |cells AS (SELECT vec_id, v, cid AS cell FROM assigned WHERE crn = 1),
        |probes AS (
-       |  SELECT vec_id AS query_id, cid AS cell
+       |  SELECT vec_id AS query_id, v AS qv, cid AS cell
        |  FROM assigned WHERE vec_id < $NumQueries AND crn <= $NumProbes),
+       |rescells AS (
+       |  SELECT c.vec_id, c.cell,
+       |    list_transform(generate_series(1, len(c.v)), i -> c.v[i] - t.cv[i]) AS rv
+       |  FROM cells c JOIN cent t ON c.cell = t.cid),
        |subs AS (
        |  SELECT vec_id, m.m AS m,
-       |    list_slice(v, m.m * $PqSubDim + 1, m.m * $PqSubDim + $PqSubDim) AS sub
-       |  FROM vecs, LATERAL (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m) m),
+       |    list_slice(rv, m.m * $PqSubDim + 1, m.m * $PqSubDim + $PqSubDim) AS sub
+       |  FROM rescells, LATERAL (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m) m),
        |subs2 AS (
        |  SELECT vec_id, m, sub, ${dotSql("sub", "sub")} AS sn2 FROM subs),
+       |cb0 AS (
+       |  SELECT m, CAST(vec_id - $NumCentroids AS INT) AS code, sub AS csub, sn2 AS cn2s
+       |  FROM subs2 WHERE vec_id >= $NumCentroids AND vec_id < ${NumCentroids + PqCodes}),
+       |assign0 AS (
+       |  SELECT m, code, sub FROM (
+       |    SELECT s.vec_id, s.m, c.code, s.sub,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY s.sn2 - 2.0 * ${dotSql("s.sub", "c.csub")} + c.cn2s, c.code) AS rn
+       |    FROM subs2 s JOIN cb0 c ON s.m = c.m)
+       |  WHERE rn = 1),
+       |cbdims AS (
+       |  SELECT m, code, i.i AS pos,
+       |    round(CAST(SUM(CAST(sub[i.i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS cm
+       |  FROM assign0, LATERAL (SELECT unnest(generate_series(1, len(sub))) AS i) i
+       |  GROUP BY m, code, i.i),
        |cb AS (
-       |  SELECT m, CAST(vec_id AS INT) AS code, sub AS csub, sn2 AS cn2s
-       |  FROM subs2 WHERE vec_id < $PqCodes),
+       |  SELECT m, code, csub, ${dotSql("csub", "csub")} AS cn2s FROM (
+       |    SELECT m, code, list(cm ORDER BY pos) AS csub FROM cbdims GROUP BY m, code)),
        |scored AS (
        |  SELECT s.vec_id, s.m, c.code,
        |    s.sn2 - 2.0 * ${dotSql("s.sub", "c.csub")} + c.cn2s AS dist2
@@ -394,11 +484,22 @@ object Similarity {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
        |    FROM scored)
        |  WHERE rn = 1),
+       |qres AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] - t.cv[i]) AS rq
+       |  FROM probes p JOIN cent t ON p.cell = t.cid),
+       |qsubs AS (
+       |  SELECT query_id, cell, m.m AS m,
+       |    list_slice(rq, m.m * $PqSubDim + 1, m.m * $PqSubDim + $PqSubDim) AS qsub
+       |  FROM qres, LATERAL (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m) m),
+       |qsubs2 AS (
+       |  SELECT query_id, cell, m, qsub, ${dotSql("qsub", "qsub")} AS qn2s FROM qsubs),
        |qdist AS (
-       |  SELECT vec_id AS query_id, m, code, dist2 AS qd
-       |  FROM scored WHERE vec_id < $NumQueries),
+       |  SELECT s.query_id, s.cell, s.m, c.code,
+       |    s.qn2s - 2.0 * ${dotSql("s.qsub", "c.csub")} + c.cn2s AS qd
+       |  FROM qsubs2 s JOIN cb c ON s.m = c.m),
        |cand AS (
-       |  SELECT p.query_id, c.vec_id
+       |  SELECT p.query_id, p.cell, c.vec_id
        |  FROM cells c JOIN probes p ON c.cell = p.cell
        |  WHERE c.vec_id <> p.query_id),
        |adc AS (
@@ -406,7 +507,8 @@ object Similarity {
        |    round(CAST(SUM(CAST(q.qd AS DECIMAL(27,12))) AS DOUBLE), 6) AS approx_dist2
        |  FROM cand
        |  JOIN chosen ch ON cand.vec_id = ch.vec_id
-       |  JOIN qdist q ON q.query_id = cand.query_id AND q.m = ch.m AND q.code = ch.code
+       |  JOIN qdist q ON q.query_id = cand.query_id AND q.cell = cand.cell
+       |    AND q.m = ch.m AND q.code = ch.code
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist2, vec_id) AS INT) AS rank
@@ -433,31 +535,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("lsh_hit"))
     val ivf = annIvf(spark, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("ivf_hit"))
+    val ivfpq = annIvfPq(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("ivfpq_hit"))
     bf.join(lsh, Seq("query_id", "neighbor_id"), "left")
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .join(ivfpq, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("lsh_hit"), lit(0L))).as("n_lsh_hits"),
-        sum(coalesce(col("ivf_hit"), lit(0L))).as("n_ivf_hits"))
+        sum(coalesce(col("ivf_hit"), lit(0L))).as("n_ivf_hits"),
+        sum(coalesce(col("ivfpq_hit"), lit(0L))).as("n_ivfpq_hits"))
       .withColumn("recall_lsh",
         round(col("n_lsh_hits").cast("double") / col("n_exact"), 6))
       .withColumn("recall_ivf",
         round(col("n_ivf_hits").cast("double") / col("n_exact"), 6))
+      .withColumn("recall_ivfpq",
+        round(col("n_ivfpq_hits").cast("double") / col("n_exact"), 6))
       .orderBy(col("query_id"))
   }
 
   val annRecallSql: String =
     s"""WITH bf AS ($annBruteForceSql),
        |lshq AS ($annLshBucketedSql),
-       |ivfq AS ($annIvfSql)
+       |ivfq AS ($annIvfSql),
+       |ivfpqq AS ($annIvfPqSql)
        |SELECT bf.query_id, COUNT(*) AS n_exact,
        |  CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_hits,
        |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ivf_hits,
+       |  CAST(SUM(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ivfpq_hits,
        |  round(CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall_lsh,
-       |  round(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall_ivf
+       |  round(CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall_ivf,
+       |  round(CAST(SUM(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall_ivfpq
        |FROM bf
        |LEFT JOIN lshq l ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
        |LEFT JOIN ivfq i ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
+       |LEFT JOIN ivfpqq pq ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
        |GROUP BY bf.query_id
        |ORDER BY bf.query_id""".stripMargin
 }
