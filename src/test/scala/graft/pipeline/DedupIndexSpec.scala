@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted standing index must be a drop-in replacement for
+  * [[Dedup.incremental]]'s recompute-everything admission: same
+  * verdicts, but the corpus side is read from the stored
+  * digest/signature relations — the corpus TEXT never participates. */
+class DedupIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("admission from the stored index equals full recompute") {
+    val docs = graft.Tables.documents(spark, dir)
+    val m = Dedup.IncrementalMod
+    val corpus = docs.filter(col("doc_id") % m =!= 0).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % m === 0).select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_dedup_index").toString
+
+    DedupIndex.write(corpus, path)
+    val idx = DedupIndex.load(spark, path)
+    // the admitted frame is built from `batch` + index relations only —
+    // the corpus text frame is not an input to admit()
+    val got = DedupIndex.admit(batch, idx).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"), r.getAs[Boolean]("keep")))
+      .toSeq
+    val expected = Dedup.incremental(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"), r.getAs[Boolean]("keep")))
+      .toSeq
+    assert(got == expected)
+    assert(expected.map(_._2).distinct.size > 1,
+      s"degenerate fixture: all verdicts identical (${expected.map(_._2).distinct})")
+  }
+
+  test("update appends survivors; the next batch sees them as standing corpus") {
+    import spark.implicits._
+    val base = Seq.fill(5)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val other = Seq.fill(5)("pack my box with five dozen liquor jugs today").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft_dedup_index2").toString
+
+    DedupIndex.write(Seq((1L, base)).toDF("doc_id", "text"), path)
+
+    // batch 1: one fresh doc, one exact dup of the corpus
+    val batch1 = Seq((10L, other), (11L, base)).toDF("doc_id", "text")
+    val v1 = DedupIndex.admit(batch1, DedupIndex.load(spark, path))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(v1 == Map(10L -> "kept", 11L -> "exact_corpus"))
+
+    DedupIndex.update(batch1.filter(col("doc_id") === 10L), path)
+
+    // batch 2 probes ONLY the stored index: doc 20 duplicates batch 1's
+    // survivor exactly, doc 21 near-duplicates it, doc 22 is fresh
+    val batch2 = Seq(
+      (20L, other),
+      (21L, other + " extra"),
+      (22L, Seq.fill(5)("sphinx of black quartz judge my vow forever").mkString(" ")))
+      .toDF("doc_id", "text")
+    val v2 = DedupIndex.admit(batch2, DedupIndex.load(spark, path))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(v2 == Map(20L -> "exact_corpus", 21L -> "near_corpus", 22L -> "kept"))
+  }
+}
