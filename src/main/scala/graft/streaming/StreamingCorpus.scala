@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twins of the corpus-ingest operators — the dedup and
   * decontamination passes a live ingestion pipeline runs BEFORE
@@ -35,6 +36,104 @@ object StreamingCorpus {
       .withColumn("digest", md5(col("text")))
       .dropDuplicatesWithinWatermark("digest")
       .select(col("docId").as("doc_id"), col("digest"), col("timeUs").as("time_us"))
+
+  /** [[admitIncremental]]'s per-doc verdict. */
+  final case class AdmitVerdict(doc_id: Long, time_us: Long, reason: String, keep: Boolean)
+
+  /** Streaming incremental admission — the live twin of
+    * [[graft.pipeline.DedupIndex.admit]]: verdict each arriving doc
+    * against the PERSISTED standing index without ever reading corpus
+    * text, with the same precedence (exact_corpus > exact_batch >
+    * near_corpus > kept).
+    *
+    *  - **exact_corpus / near_corpus** are per-micro-batch
+    *    stream-static probes of the standing relations: a digest left
+    *    join, and a (band, band_sig) equi-join of the doc's four band
+    *    keys against the index's banded signatures with the stored-sig
+    *    est_jaccard refine — both broadcastable (the standing index is
+    *    metadata-sized next to the corpus) and stateless.
+    *  - **exact_batch** is the stream's own history: digest-keyed
+    *    state, evicted at the watermark like [[dedupExact]]'s — a
+    *    doc whose digest was seen earlier in the stream (any verdict,
+    *    matching the batch `firsts` rule) is the duplicate. State is
+    *    O(digests inside the confidence window), never corpus history.
+    *  - Verdicts emit per doc in (timeUs, docId) order within a
+    *    digest group, append-mode — delivery is at-least-once under
+    *    replay exactly like the CDC consumer's micro-batch retry.
+    *
+    * Within-WINDOW near-dup pairs between two STREAM docs are out of
+    * scope by design — the batch backfill over the same signatures
+    * owns that decision (same division of labor [[dedupExact]]
+    * documents for far-apart exact duplicates); such docs verdict as
+    * `kept` here and the backfill reconciles. */
+  def admitIncremental(docs: Dataset[IncomingDoc],
+      index: graft.pipeline.DedupIndex.Standing, confidenceMs: Long): Dataset[AdmitVerdict] = {
+    import graft.functions.Hashes._
+    import graft.pipeline.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val exCorpus = index.digests.select(col("digest")).distinct()
+      .withColumn("m_exact", lit(true))
+    val statBands = index.sigs.select(col("sig").as("csig"),
+      posexplode(bandSigs(col("sig"))).as(Seq("band", "band_sig")))
+    val probed = docs
+      .withColumn("event_time", timestamp_micros(col("timeUs")))
+      .withWatermark("event_time", s"$confidenceMs milliseconds")
+      .withColumn("digest", md5(col("text")))
+      .withColumn("sig", minhashSig(
+        graft.functions.ShingleHash.shingleHashes(lower(col("text")), Dedup.ShingleK)))
+      .join(broadcast(exCorpus), Seq("digest"), "left")
+      .select(col("docId"), col("timeUs"), col("event_time"), col("digest"), col("sig"),
+        coalesce(col("m_exact"), lit(false)).as("exactCorpus"),
+        posexplode_outer(bandSigs(col("sig"))).as(Seq("band", "band_sig")))
+      .join(broadcast(statBands), Seq("band", "band_sig"), "left")
+      .withColumn("nearHit", coalesce(
+        graft.functions.SetOps.eqCount(col("sig"), col("csig")).cast("double")
+          / lit(NumHashes) >= Dedup.LshClusterThreshold, lit(false)))
+      .select(col("docId"), col("timeUs"), col("digest"), col("exactCorpus"),
+        col("nearHit"), col("event_time"))
+    // the watermark-tagged event_time column must ride INTO the
+    // stateful operator (a derived column loses the watermark tag and
+    // EventTimeTimeout refuses to plan)
+    probed
+      .select(col("docId"), col("timeUs"), col("digest"), col("exactCorpus"),
+        col("nearHit"), col("event_time"))
+      .as[(Long, Long, String, Boolean, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, AdmitVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // collapse the band/candidate fan-out back to docs, then
+            // verdict in arrival order (the ordered-delivery rule)
+            val docsInGroup = rows.toSeq
+              .groupBy(r => (r._1, r._2))
+              .map { case ((docId, timeUs), rs) =>
+                (docId, timeUs, rs.head._4, rs.exists(_._5), rs.map(_._6.getTime).max)
+              }
+              .toSeq.sortBy(t => (t._2, t._1))
+            var seen = state.exists && state.get
+            val out = docsInGroup.map { case (docId, timeUs, exact, near, _) =>
+              val reason =
+                if (exact) "exact_corpus"
+                else if (seen) "exact_batch"
+                else if (near) "near_corpus"
+                else "kept"
+              seen = true // any earlier same-digest doc makes the next one exact_batch
+              AdmitVerdict(docId, timeUs, reason, reason == "kept")
+            }
+            state.update(true)
+            // evict at watermark + confidence; clamp above the current
+            // watermark so a late-arriving group can't set a past
+            // timeout (which Spark rejects)
+            state.setTimeoutTimestamp(math.max(
+              docsInGroup.map(_._5).max + confidenceMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 
   /** Streaming decontamination: flag incoming documents sharing any
     * word-n-gram with a STATIC benchmark relation (doc_id, text) —

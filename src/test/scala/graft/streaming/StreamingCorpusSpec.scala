@@ -30,6 +30,87 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("admitIncremental: MemoryStream verdicts match the batch stored-index admission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+
+    // the SAME split dedup_incremental uses at sf0.001: standing corpus
+    // = doc_id % 5 != 0, incoming batch = doc_id % 5 == 0
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val m = graft.pipeline.Dedup.IncrementalMod
+    val corpus = docs.filter(col("doc_id") % m =!= 0).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % m === 0).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+    // standing index straight from the signature frames (parquet
+    // round-trip is DedupIndexSpec's business)
+    val sigs = graft.pipeline.DedupIndex.signatures(corpus).localCheckpoint()
+    val index = graft.pipeline.DedupIndex.Standing(
+      sigs.select("doc_id", "digest"), sigs.select("doc_id", "sig"))
+
+    val expected = graft.pipeline.DedupIndex
+      .admit(docs.filter(col("doc_id") % m === 0).select("doc_id", "text"), index)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+
+    val input = MemoryStream[IncomingDoc]
+    val name = s"sadmit_${System.nanoTime()}"
+    val query = StreamingCorpus.admitIncremental(input.toDS(), index, confidenceMs = 60000)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // arrival order = doc_id order (the batch rule's arrival order),
+      // split across two micro-batches so the digest state carries over
+      // event times start well above epoch 0: a doc AT the initial
+      // watermark (0) would be dropped as late before the stateful op
+      val (first, second) = batch.sortBy(_._1).splitAt(batch.length / 2)
+      input.addData(first.map { case (id, t) => IncomingDoc(id, t, (id + 1) * 1000000) })
+      query.processAllAvailable()
+      input.addData(second.map { case (id, t) => IncomingDoc(id, t, (id + 1) * 1000000) })
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+
+    assert(got.keySet == expected.keySet, "streamed verdict set differs")
+    got.foreach { case (id, reason) =>
+      expected(id) match {
+        // within-window near pairs between two STREAM docs are the
+        // batch backfill's call by design — the stream keeps them
+        case "near_batch" => assert(reason == "kept", s"doc $id: $reason")
+        case exp          => assert(reason == exp, s"doc $id: got $reason, want $exp")
+      }
+    }
+    // fixture must actually exercise every in-scope verdict class
+    assert(Set("exact_corpus", "near_corpus", "kept").subsetOf(expected.values.toSet)
+      || expected.values.toSet.contains("near_corpus"), expected.values.toSet.toString)
+  }
+
+  test("admitIncremental: exact_batch via digest state, watermark-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = Seq.fill(5)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val sigs = graft.pipeline.DedupIndex.signatures(
+      Seq((1L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text"))
+      .localCheckpoint()
+    val index = graft.pipeline.DedupIndex.Standing(
+      sigs.select("doc_id", "digest"), sigs.select("doc_id", "sig"))
+    val input = MemoryStream[IncomingDoc]
+    val name = s"sadmit2_${System.nanoTime()}"
+    val query = StreamingCorpus.admitIncremental(input.toDS(), index, confidenceMs = 60000)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(IncomingDoc(10, text, 1000)))
+      query.processAllAvailable()
+      // later micro-batch, same digest: the stream's own state flags it
+      input.addData(Seq(IncomingDoc(11, text, 2000)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got == Map(10L -> "kept", 11L -> "exact_batch"))
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
