@@ -6,9 +6,12 @@ class SparkEntrySpec extends SparkSpec {
 
   /** Entries with NO DuckDB oracle by design (driver records the
     * weaker rows-only check): sketch outputs whose internals are
-    * engine-specific. Each must carry its own accuracy spec. */
+    * engine-specific, and the multimodal pipelines whose byte-level
+    * codec work has no SQL equivalent. Each must carry its own
+    * accuracy/decode spec. */
   private val rowsOnly =
-    Set("q_percentiles_approx", "corpus_topk_tokens_approx", "q_approx_distinct")
+    Set("q_percentiles_approx", "corpus_topk_tokens_approx", "q_approx_distinct",
+      "mm_binary_pipeline", "mm_audio_pipeline", "mm_video_pipeline", "mm_image_dedup")
 
   test("every query has a matching oracle (and no orphan oracles)") {
     assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)
