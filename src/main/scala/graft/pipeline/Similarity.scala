@@ -139,30 +139,44 @@ object Similarity {
     * the SEARCH plan is identical either way).
     *
     * Scale shape: centroids broadcast (tiny), assignment is one
-    * map-side scoring pass + a per-vector top-1 window, and the probe
-    * join shuffles on `cell` — work scales with n/K per probed cell,
-    * the standard IVF layout for billion-vector search. */
+    * map-side scoring pass whose per-vector top-1 is an AGGREGATE
+    * (the broadcast expansion collapses before the exchange, so it
+    * carries n rows, not n·K — the window formulation this replaces
+    * shuffled the full expansion), the probe-side top-NumProbes
+    * window runs only over the query SAMPLE's K-expansion (tiny by
+    * construction), and the probe join shuffles on `cell` — work
+    * scales with n/K per probed cell, the standard IVF layout for
+    * billion-vector search. */
+  /** Shared coarse assignment → (cells, probes). The data side's
+    * nearest-cell pick is a map-side-combining aggregate over the
+    * broadcast K-expansion — partial max collapses each vec_id's K
+    * rows inside its input partition, so the exchange carries n rows.
+    * The top-[[NumProbes]] window exists only on the query side, whose
+    * expansion is [[NumQueries]]·K rows by construction. Tie-breaks
+    * (highest cosine, then lowest cid) match the oracle's
+    * ROW_NUMBER ordering exactly: max(struct(c_cos, −cid)). */
+  private def ivfAssign(all: DataFrame, cent: DataFrame): (DataFrame, DataFrame) = {
+    val scored = all.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")))
+    val cells = scored
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
+        max(struct(col("c_cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("v"), col("n2"), (-col("best.ncid")).as("cell"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= NumProbes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
+        col("cid").as("cell"))
+    (cells, probes)
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    // nearest centroid per vector → its cell
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
-    // One scoring pass feeds both the cell index and the query probes:
-    // trim to the rows either side needs, then localCheckpoint so the
-    // scan + K-way scoring + window subtree executes ONCE (≈ n rows
-    // kept), instead of once per downstream reference.
-    val assigned = all.join(broadcast(cent), lit(true))
-      .withColumn("c_cos", cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1 || (col("vec_id") < NumQueries && col("crn") <= NumProbes))
-      .localCheckpoint()
-    val cells = assigned.filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
-    // each query probes its NumProbes nearest cells
-    val probes = assigned.filter(col("vec_id") < NumQueries && col("crn") <= NumProbes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
-        col("cid").as("cell"))
+    val (cells, probes) = ivfAssign(all, cent)
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -336,16 +350,10 @@ object Similarity {
       .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
-    val assigned = all.join(broadcast(cent), lit(true))
-      .withColumn("c_cos", cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1 || (col("vec_id") < NumQueries && col("crn") <= NumProbes))
-      .localCheckpoint() // feeds cells AND probes — one scoring pass
-    val cells = assigned.filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
-    val probes = assigned.filter(col("vec_id") < NumQueries && col("crn") <= NumProbes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid").as("cell"))
+    // same aggregate-not-window assignment as annIvf (n-row exchange)
+    val (cellsFull, probesFull) = ivfAssign(all, cent)
+    val cells = cellsFull.select(col("vec_id"), col("v"), col("cell"))
+    val probes = probesFull.select(col("query_id"), col("qv"), col("cell"))
     val centV = cent.select(col("cid").as("cell"), col("cv"))
     // residual per DATA vector: x − centroid(cell(x)) (raw mode: x)
     val resCells =
