@@ -69,3 +69,85 @@ object VecDot {
     GraftColumnBridge.column(
       VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
+
+/** Nearest-centroid assignment against a FIXED centroid matrix, as one
+  * codegen'd scalar: `struct(cell int, cos double)` of the
+  * max-cosine centroid (ties → lowest cell index, NaN ordered largest
+  * like Spark's struct max).
+  *
+  * This replaces the broadcast-K-expansion + aggregate assignment
+  * shape: a join against K centroids materializes K (v, cv) array
+  * pairs per input row before the partial max collapses them — all
+  * allocation, no information. Here the matrix rides along as a
+  * reference object (the codegen analogue of a broadcast: K ≤ 4096 ×
+  * dim doubles of metadata) and each row is ONE primitive loop nest
+  * inside whole-stage codegen — the assignment stage becomes map-only
+  * with zero expansion. Same cosine arithmetic as the join form:
+  * ascending-index dots, `dot / (√n2 · √cn2)`.
+  *
+  * The matrix is driver-collected metadata, bounded like any
+  * broadcast side; data vectors never leave the executors. */
+case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_nearest_cell"
+
+  @transient private lazy val cn2: Array[Double] = centroids.map { c =>
+    var acc = 0.0d; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** Called from generated code (and interpreted eval). */
+  def computeRow(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var n2 = 0.0d
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); n2 += x * x; i += 1 }
+    val sn = math.sqrt(n2)
+    var best = -1
+    var bestCos = 0.0d
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val m = math.min(n, cv.length)
+      var acc = 0.0d
+      var j = 0
+      while (j < m) { acc += v.getDouble(j) * cv(j); j += 1 }
+      val cos = acc / (sn * math.sqrt(cn2(c)))
+      // Double.compare: NaN largest, like Spark's struct-max ordering;
+      // strict > keeps the first (lowest) cell on ties
+      if (best < 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+        best = c; bestCos = cos
+      }
+      c += 1
+    }
+    InternalRow(best, bestCos)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    computeRow(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCell", this, classOf[VecNearestCell].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.computeRow($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearestCell =
+    copy(child = newChild)
+}
+
+object VecNearestCell {
+  /** Column wrapper: nearest of `centroids` by cosine for each row of
+    * vector column `v`. */
+  def nearest(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      VecNearestCell(GraftColumnBridge.expression(v), centroids))
+}

@@ -972,17 +972,18 @@ object Dedup {
       .filter((col("rn") - 1) % stride === 0 && col("cid") < k)
       .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
     def angle(cos: Column): Column = acos(least(greatest(cos, lit(-1.0)), lit(1.0)))
-    // nearest centroid per vector (annIvf's assignment shape: K-row
-    // broadcast). The expansion join is local to each input partition,
-    // so the partial max collapses to one row per vec_id pre-exchange.
-    val assigned = e.join(broadcast(cent), lit(true))
-      .withColumn("c_cos", graft.functions.VecDot.dot(col("v"), col("cv")) /
-        (sqrt(col("n2")) * sqrt(col("cn2"))))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
-        max(struct(col("c_cos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("v"), col("n2"), (-col("best.ncid")).as("cell"),
-        angle(col("best.c_cos")).as("theta"))
+    // nearest centroid per vector as ONE codegen'd scalar against the
+    // K-row centroid matrix (driver-collected metadata, the codegen
+    // analogue of a broadcast): the assignment stage is map-only —
+    // no K-way row expansion, no exchange. The previous shape
+    // (broadcast join + partial-max aggregate) materialized K array
+    // pairs per row just to collapse them again.
+    val centLocal: Array[Array[Double]] = cent.select(col("cid"), col("cv")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val assigned = e
+      .withColumn("best", graft.functions.VecNearestCell.nearest(col("v"), centLocal))
+      .select(col("vec_id"), col("v"), col("n2"),
+        col("best.cell").cast("long").as("cell"), angle(col("best.cos")).as("theta"))
       // feeds the radii agg and both pair sides — one execution
       .localCheckpoint()
     val radii = assigned.groupBy(col("cell")).agg(max(col("theta")).as("radius"))
