@@ -167,15 +167,18 @@ object Corpus {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
 
-    def assign(points: DataFrame, cent: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cid"))
+    def assign(points: DataFrame, cent: DataFrame): DataFrame =
+      // per-point argmin as a map-side-combining aggregate: the
+      // broadcast K-expansion collapses inside its input partition, so
+      // the exchange carries n rows, not n·K (the row_number window
+      // this replaces shuffled the full expansion). min(struct) ≡
+      // ROW_NUMBER ordered by (dist2, cid) — ties to the lowest cid.
       points.join(broadcast(cent), lit(true))
         .withColumn("dist2", col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cluster_id"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
+          min(struct(col("dist2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("v"), col("n2"), col("best.cid").as("cluster_id"))
 
     val cent1 = vecs.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"), col("n2").as("cn2"))

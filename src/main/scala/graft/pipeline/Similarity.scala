@@ -220,14 +220,18 @@ object Similarity {
     val cb = subs.filter(col("vec_id") < PqCodes)
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("sub").as("csub"), col("sn2").as("cn2"))
-    val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist2"), col("code"))
+    // per-(vector, subspace) argmin as a map-side-combining aggregate:
+    // the broadcast K-expansion collapses inside its input partition,
+    // so the exchange carries n·M rows, not n·M·K (the row_number
+    // window this replaces shuffled the full expansion); min(struct) ≡
+    // ROW_NUMBER ordered by (dist2, code)
     subs.join(broadcast(cb), Seq("m"))
       .withColumn("dist2", col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist2"), col("code"))).as("best"))
       .groupBy(col("vec_id"))
-      .agg(sum(col("code").cast("long") * pow(lit(16.0), col("m")).cast("long")).as("pq_code"),
-        round(sum(col("dist2").cast("decimal(27,12)")).cast("double"), 6).as("recon_err"))
+      .agg(sum(col("best.code").cast("long") * pow(lit(16.0), col("m")).cast("long")).as("pq_code"),
+        round(sum(col("best.dist2").cast("decimal(27,12)")).cast("double"), 6).as("recon_err"))
       .orderBy(col("vec_id"))
   }
 
