@@ -52,8 +52,10 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. Cross join of
     * a tiny broadcast query side against the full table — one scan, a
     * per-partition top-k via window on the query id. */
-  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    bruteForceFrom(vecs(spark, dir))
+
+  private def bruteForceFrom(all: DataFrame): DataFrame = {
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
@@ -110,8 +112,11 @@ object Similarity {
     * hyperplane bucket — the equi-join shuffles on `bucket`, so work
     * scales with bucket occupancy (n/2^planes), not n². At 100 TB:
     * more planes + multi-probe, same plan shape. */
-  def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir).withColumn("bucket", bucketCol(col("v")))
+  def annLshBucketed(spark: SparkSession, dir: String): DataFrame =
+    lshFrom(vecs(spark, dir))
+
+  private def lshFrom(prepared: DataFrame): DataFrame = {
+    val all = prepared.withColumn("bucket", bucketCol(col("v")))
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
         col("bucket"))
@@ -172,8 +177,10 @@ object Similarity {
     (cells, probes)
   }
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfFrom(vecs(spark, dir))
+
+  private def ivfFrom(all: DataFrame): DataFrame = {
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
     val (cells, probes) = ivfAssign(all, cent)
@@ -348,10 +355,12 @@ object Similarity {
     * exhausting over the same probed candidates: that is "plain PQ at
     * equal bits" on this index, kept so the recall spec can prove
     * residual ≥ raw. */
-  private[pipeline] def annIvfPqOn(emb: DataFrame, residual: Boolean): DataFrame = {
-    val all = emb
+  private[pipeline] def annIvfPqOn(emb: DataFrame, residual: Boolean): DataFrame =
+    ivfPqFrom(emb
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
+      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v"))), residual)
+
+  private def ivfPqFrom(all: DataFrame, residual: Boolean): DataFrame = {
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
     // same aggregate-not-window assignment as annIvf (n-row exchange)
@@ -542,12 +551,16 @@ object Similarity {
     * the corpus); joins are on (query_id, neighbor_id); each index
     * pipeline keeps its own documented scale shape. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val bf = annBruteForce(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val lsh = annLshBucketed(spark, dir)
+    // the four index pipelines share ONE prepared (v, n2) frame — the
+    // evaluation job reads the corpus once, not once per index
+    // (localCheckpoint: four downstream consumers)
+    val all = vecs(spark, dir).localCheckpoint()
+    val bf = bruteForceFrom(all).select(col("query_id"), col("neighbor_id"))
+    val lsh = lshFrom(all)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("lsh_hit"))
-    val ivf = annIvf(spark, dir)
+    val ivf = ivfFrom(all)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("ivf_hit"))
-    val ivfpq = annIvfPq(spark, dir)
+    val ivfpq = ivfPqFrom(all, residual = true)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("ivfpq_hit"))
     bf.join(lsh, Seq("query_id", "neighbor_id"), "left")
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
