@@ -96,6 +96,10 @@ case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
     StructField("cell", IntegerType, nullable = false),
     StructField("cos", DoubleType, nullable = false)))
   override def nullIntolerant: Boolean = true
+  // null input OR a vector whose length mismatches the centroid dim
+  // (the VecDot convention: bad-length data surfaces as NULL, never
+  // as a silently truncated dot)
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_nearest_cell"
 
   @transient private lazy val cn2: Array[Double] = centroids.map { c =>
@@ -104,9 +108,14 @@ case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
     acc
   }
 
-  /** Called from generated code (and interpreted eval). */
+  /** Called from generated code (and interpreted eval). Returns null
+    * (not a plausible-looking cell) when the vector's length differs
+    * from the centroid dimension — matching [[VecDot]]'s
+    * null-on-length-mismatch convention, so bad-length data surfaces
+    * the same way the exact refine would surface it. */
   def computeRow(v: ArrayData): InternalRow = {
     val n = v.numElements()
+    if (centroids.length > 0 && n != centroids(0).length) return null
     var n2 = 0.0d
     var i = 0
     while (i < n) { val x = v.getDouble(i); n2 += x * x; i += 1 }
@@ -116,10 +125,9 @@ case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
     var c = 0
     while (c < centroids.length) {
       val cv = centroids(c)
-      val m = math.min(n, cv.length)
       var acc = 0.0d
       var j = 0
-      while (j < m) { acc += v.getDouble(j) * cv(j); j += 1 }
+      while (j < n) { acc += v.getDouble(j) * cv(j); j += 1 }
       val cos = acc / (sn * math.sqrt(cn2(c)))
       // Double.compare: NaN largest, like Spark's struct-max ordering;
       // strict > keeps the first (lowest) cell on ties
@@ -136,8 +144,11 @@ case class VecNearestCell(child: Expression, centroids: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestCell", this, classOf[VecNearestCell].getName)
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.computeRow($a);")
+    val r = ctx.freshName("nearestRow")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      org.apache.spark.sql.catalyst.InternalRow $r =
+        (org.apache.spark.sql.catalyst.InternalRow) $ref.computeRow($a);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): VecNearestCell =

@@ -933,8 +933,11 @@ object Dedup {
     *
     *  - **K scales with n**: K = min(⌈√n⌉, [[PruneCellsMax]]), so the
     *    expected per-cell population is ≈√n — no cell's candidate
-    *    block grows linearly with the corpus. n comes from a parquet
-    *    metadata-cheap count, not a data scan.
+    *    block grows linearly with the corpus. n is a real count job
+    *    over the input frame (the frame is arbitrary — derived plans
+    *    and in-memory sources included — so no parquet metadata
+    *    shortcut applies); when the input IS a bare parquet scan,
+    *    Spark collapses the count to footer row counts on its own.
     *  - **Centroids are deterministically SPREAD, not the first K
     *    rows**: a fixed hash-sample (xxhash64 of vec_id — stable
     *    across runs and appends) of ~[[CentroidSampleOver]]·K rows is

@@ -14,18 +14,23 @@ import org.apache.spark.sql.functions._
   * per-doc state admission needs, so a batch is admitted by reading
   * KB-per-doc metadata instead of the corpus text:
   *
-  *  - `digests/` — (doc_id, digest): md5 content digests (exact dedup)
-  *  - `sigs/`    — (doc_id, sig): 16-hash minhash signatures (near
-  *    dedup; band keys are derived per probe with [[bandSigs]] — a
-  *    map-only transform, so persisting them would only duplicate the
-  *    sigs relation ×4)
+  * The index is ONE `(doc_id, digest, sig)` parquet relation — md5
+  * content digest (exact dedup) and 16-hash minhash signature (near
+  * dedup) side by side. One relation, not two, on purpose: a write or
+  * append is a SINGLE parquet commit, so a crash can never leave a doc
+  * exact-dedupable but invisible to near-dedup (the failure mode a
+  * digests/sigs split invites — half-appended state silently skews
+  * near_corpus verdicts). Probes that need only one half read it via
+  * parquet column pruning, so the merge costs no extra IO. Band keys
+  * are derived per probe with [[bandSigs]] — a map-only transform, so
+  * persisting them would only duplicate the sig column ×4.
   *
   * Admission writes BACK the admitted docs' rows ([[update]] appends —
-  * no rewrite of the standing relations), so the index grows with the
-  * corpus and batch N+1 sees batch N's survivors. Both relations are
-  * plain parquet: at lake scale they partition/bucket like any other
-  * table, and the band probe is the same (band, band_sig) equi-join
-  * shape [[Dedup.minhashLsh]] documents.
+  * no rewrite of the standing relation), so the index grows with the
+  * corpus and batch N+1 sees batch N's survivors. The relation is
+  * plain parquet: at lake scale, lay it out bucketed/sorted by digest
+  * (and keep file-level digest min/max stats tight) so a probing join
+  * prunes row groups instead of re-scanning the whole index per batch.
   */
 object DedupIndex {
 
@@ -50,24 +55,24 @@ object DedupIndex {
         array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
 
   /** Build and persist the index for a corpus — run ONCE; afterwards
-    * only [[update]] appends. */
-  def write(corpus: DataFrame, path: String): Unit = {
-    val s = signatures(corpus).localCheckpoint()
-    s.select(col("doc_id"), col("digest")).write.mode("overwrite").parquet(s"$path/digests")
-    s.select(col("doc_id"), col("sig")).write.mode("overwrite").parquet(s"$path/sigs")
-  }
+    * only [[update]] appends. One parquet commit: digest and sig land
+    * together or not at all. */
+  def write(corpus: DataFrame, path: String): Unit =
+    signatures(corpus).write.mode("overwrite").parquet(path)
 
-  def load(spark: SparkSession, path: String): Standing =
-    Standing(spark.read.parquet(s"$path/digests"), spark.read.parquet(s"$path/sigs"))
+  /** Load the standing index. Both views read the SAME relation —
+    * column pruning keeps a digest-only probe from touching sigs. */
+  def load(spark: SparkSession, path: String): Standing = {
+    val idx = spark.read.parquet(path)
+    Standing(idx.select(col("doc_id"), col("digest")), idx.select(col("doc_id"), col("sig")))
+  }
 
   /** Append the ADMITTED docs of a batch to the standing index (call
-    * with the batch filtered to `keep` verdicts). Append-only: the
-    * standing relations are never rewritten. */
-  def update(admitted: DataFrame, path: String): Unit = {
-    val s = signatures(admitted).localCheckpoint()
-    s.select(col("doc_id"), col("digest")).write.mode("append").parquet(s"$path/digests")
-    s.select(col("doc_id"), col("sig")).write.mode("append").parquet(s"$path/sigs")
-  }
+    * with the batch filtered to `keep` verdicts). Append-only, one
+    * commit: the standing relation is never rewritten, and a replayed
+    * append duplicates whole rows (harmless — [[admit]] distincts). */
+  def update(admitted: DataFrame, path: String): Unit =
+    signatures(admitted).write.mode("append").parquet(path)
 
   /** Admit a `(doc_id, text)` batch against the standing index —
     * verdict per doc, SAME schema and precedence as

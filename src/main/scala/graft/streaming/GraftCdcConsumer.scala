@@ -306,6 +306,16 @@ final class GraftCdcConsumer private[streaming] (
   // reads it per batch so refreshes take effect mid-stream
   @volatile private var discoveredTimeline: Option[Vector[CdcGeneration]] = None
   private var master: Option[GenerationMaster] = None
+  // supplier mode consumes NOTHING until the first generation is
+  // discovered — the reference master configures workers only after
+  // fetchFirstGenerationId succeeds (Master.java run loop), so an
+  // early micro-batch must WAIT for the first onTimeline instead of
+  // falling through to plain ungated delivery (which would bypass the
+  // generation stable-sort, switchover barrier, and accounting, with
+  // no re-delivery once discovery lands). Count is 0 outside supplier
+  // mode: the latch is already open.
+  private val firstTimelineLatch = new java.util.concurrent.CountDownLatch(
+    if (generationsSupplier.isDefined) 1 else 0)
 
   // ---- master state (generation-switchover mode) ------------------
   // Driver-side like the reference master; guarded by genLock because
@@ -413,6 +423,11 @@ final class GraftCdcConsumer private[streaming] (
     * Only non-fatal errors retry; interrupts (query.stop())
     * propagate immediately. */
   private def deliverWithRetry(sourceName: String, batch: Dataset[Delivered]): Unit = {
+    // supplier mode: hold the micro-batch until the master's first
+    // timeline discovery (see firstTimelineLatch) — micro-batch
+    // backpressure IS the buffer, and an interrupt from query.stop()
+    // propagates out of await like any other delivery interrupt
+    firstTimelineLatch.await()
     val cb = consumer
     val pc = partitionConsumer
     var attempt = 0
@@ -514,6 +529,7 @@ final class GraftCdcConsumer private[streaming] (
         val first = discoveredTimeline.isEmpty
         discoveredTimeline = Some(v)
         if (first) advanceTo(v.head)
+        firstTimelineLatch.countDown()
       })
       master = Some(m)
       m.startThread(s"$queryName-master")

@@ -50,8 +50,14 @@ object StreamingCorpus {
     *    stream-static probes of the standing relations: a digest left
     *    join, and a (band, band_sig) equi-join of the doc's four band
     *    keys against the index's banded signatures with the stored-sig
-    *    est_jaccard refine — both broadcastable (the standing index is
-    *    metadata-sized next to the corpus) and stateless.
+    *    est_jaccard refine — both stateless, and both UNHINTED: the
+    *    standing index grows O(corpus docs), so forcing a broadcast
+    *    would ship a TB-scale relation to every executor at lake
+    *    scale. AQE/stats pick broadcast when the index is actually
+    *    small and a shuffled hash join once it isn't; laying the
+    *    persisted index out bucketed/sorted by digest and band key
+    *    (see [[graft.pipeline.DedupIndex]]) lets the static side prune
+    *    row groups instead of re-scanning per micro-batch.
     *  - **exact_batch** is the stream's own history: digest-keyed
     *    state, evicted at the watermark like [[dedupExact]]'s — a
     *    doc whose digest was seen earlier in the stream (any verdict,
@@ -82,11 +88,11 @@ object StreamingCorpus {
       .withColumn("digest", md5(col("text")))
       .withColumn("sig", minhashSig(
         graft.functions.ShingleHash.shingleHashes(lower(col("text")), Dedup.ShingleK)))
-      .join(broadcast(exCorpus), Seq("digest"), "left")
+      .join(exCorpus, Seq("digest"), "left")
       .select(col("docId"), col("timeUs"), col("event_time"), col("digest"), col("sig"),
         coalesce(col("m_exact"), lit(false)).as("exactCorpus"),
         posexplode_outer(bandSigs(col("sig"))).as(Seq("band", "band_sig")))
-      .join(broadcast(statBands), Seq("band", "band_sig"), "left")
+      .join(statBands, Seq("band", "band_sig"), "left")
       .withColumn("nearHit", coalesce(
         graft.functions.SetOps.eqCount(col("sig"), col("csig")).cast("double")
           / lit(NumHashes) >= Dedup.LshClusterThreshold, lit(false)))
@@ -134,6 +140,48 @@ object StreamingCorpus {
           }
       }
   }
+
+  /** Streaming admission that also GROWS the standing index — the
+    * operational closure of [[admitIncremental]]: each micro-batch is
+    * verdicted against the PERSISTED index at `indexPath` and its
+    * survivors are appended back ([[graft.pipeline.DedupIndex.update]])
+    * before the next batch runs, so batch N+1 near-hits batch N's
+    * survivors through parquet, with no state store at all.
+    *
+    * Semantics per micro-batch are exactly
+    * [[graft.pipeline.DedupIndex.admit]]'s (exact_corpus > exact_batch
+    * > near_corpus > near_batch > kept, lowest doc_id is the batch
+    * original); across batches the index IS the memory. That differs
+    * from [[admitIncremental]] in two declared ways: the within-batch
+    * order rule is doc_id (the batch rule), not arrival time, and a
+    * cross-batch exact copy of a NON-survivor re-verdicts by the same
+    * rule that dropped the original (its digest/sig never entered the
+    * index), so keep/drop decisions stay consistent even though the
+    * reason label can differ.
+    *
+    * Delivery is at-least-once: a replayed micro-batch re-appends its
+    * survivors, which duplicates whole index rows — harmless, because
+    * every [[graft.pipeline.DedupIndex.admit]] probe distincts its
+    * corpus side. The index is re-listed fresh each batch (a new read,
+    * not a cached FileIndex), so appends are visible immediately.
+    *
+    * `sink` receives each batch's verdict frame (materialized — safe
+    * to collect or write) and the micro-batch id. */
+  def admitMaintained(docs: Dataset[IncomingDoc], indexPath: String,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[IncomingDoc], batchId: Long) =>
+        val b = batch.select(col("docId").as("doc_id"), col("text"))
+        val idx = graft.pipeline.DedupIndex.load(batch.sparkSession, indexPath)
+        // verdicts must be pinned BEFORE the append: a lazy verdict
+        // frame re-read after update would see the batch's own rows
+        // as standing corpus and flag everything exact_corpus
+        val verdicts = graft.pipeline.DedupIndex.admit(b, idx).localCheckpoint()
+        sink(verdicts, batchId)
+        graft.pipeline.DedupIndex.update(
+          b.join(verdicts.filter(col("keep")), Seq("doc_id"), "left_semi"), indexPath)
+      }
+      .start()
 
   /** Streaming decontamination: flag incoming documents sharing any
     * word-n-gram with a STATIC benchmark relation (doc_id, text) —

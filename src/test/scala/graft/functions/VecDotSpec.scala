@@ -39,4 +39,22 @@ class VecDotSpec extends SparkSpec {
     assert(expr.eval(null) == null)
     assert(expr.nullable)
   }
+
+  test("VecNearestCell: dimension mismatch yields null (VecDot convention), codegen and interpreted") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(3.0, 4.0)),        // valid: nearest is centroid 1
+      (2L, Array(1.0, 2.0, 3.0)))   // bad length: must surface as NULL
+      .toDF("id", "v")
+      .select(col("id"), VecNearestCell.nearest(col("v"), cents).as("best"))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(!rows(0).isNullAt(1) && rows(0).getStruct(1).getInt(0) == 1)
+    assert(rows(1).isNullAt(1), "truncated dot leaked through on length mismatch")
+    // interpreted path
+    val expr = VecNearestCell(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0, 3.0)), cents)
+    assert(expr.eval(null) == null)
+    assert(expr.nullable)
+  }
 }

@@ -333,6 +333,55 @@ class GraftCdcConsumerSpec extends SparkSpec {
     assert(sleeps.asScala.exists(_ == 23L))
   }
 
+  test("generations supplier: changes arriving BEFORE discovery wait for the first timeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gens = Seq(
+      CdcGeneration(0, ms(0), Some(ms(100)), Seq(1L)),
+      CdcGeneration(1, ms(100), None, Seq(1L)))
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val retasked = new ConcurrentLinkedQueue[Int]()
+    @volatile var discovered: Option[Seq[CdcGeneration]] = None
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withGenerationsSupplier(() => discovered)
+      .withGenerationSwitchListener(g => retasked.add(g.generationId))
+      .withSleeper(_ => Thread.sleep(1))
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"spec_gen_gate_${System.nanoTime()}")
+      .build()
+    try {
+      c.start()
+      // data lands while the master has discovered NOTHING: the
+      // micro-batch must hold at the gate, not fall through to plain
+      // ungated delivery (the reference consumes nothing before
+      // fetchFirstGenerationId succeeds)
+      input.addData(Seq(
+        Change(1, ms(10), 1, 2, 0.0),    // gen 0
+        Change(1, ms(250), 2, 2, 0.0)))  // gen 1
+      Thread.sleep(400)
+      assert(received.isEmpty, "delivered before the first timeline discovery")
+      assert(c.currentGeneration.isEmpty)
+      discovered = Some(gens)
+      val deadline = System.nanoTime() + 10000L * 1000000L
+      while (c.currentGeneration.isEmpty && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(c.currentGeneration.map(_.generationId).contains(0),
+        "master never discovered the timeline")
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 99, 2, 0.0))) // watermark nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(200000), 100, 2, 0.0))) // flush nudge
+      c.processAllAvailable()
+    } finally c.stop()
+    // the held-back changes got the FULL generation treatment once
+    // discovery landed: stable-sorted, switchover-tasked, accounted
+    assert(received.asScala.count(_.streamId == 1L) == 2)
+    assert(retasked.asScala.toSeq == Seq(0, 1))
+    assert(c.generationProgress.keySet == Set(0, 1))
+  }
+
   test("generations supplier is exclusive with eager timelines") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

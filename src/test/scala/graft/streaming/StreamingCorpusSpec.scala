@@ -111,6 +111,58 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(got == Map(10L -> "kept", 11L -> "exact_batch"))
   }
 
+  test("admitIncremental: no stream-static join side carries a mandatory broadcast hint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sigs = graft.pipeline.DedupIndex.signatures(
+      Seq((1L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text"))
+    val index = graft.pipeline.DedupIndex.Standing(
+      sigs.select("doc_id", "digest"), sigs.select("doc_id", "sig"))
+    val input = MemoryStream[IncomingDoc]
+    val out = StreamingCorpus.admitIncremental(input.toDS(), index, confidenceMs = 60000)
+    // the standing index grows O(corpus): a forced broadcast hint here
+    // is the TB-broadcast-per-query-start posture SURVEY §5 forbids —
+    // AQE/stats must own the join strategy
+    val hints = out.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"mandatory join hints found in plan: $hints")
+  }
+
+  test("admitMaintained: a later micro-batch near-hits an earlier batch's survivor via the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_admit_maint").toString
+    val seed = Seq.fill(5)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val fresh = Seq.fill(5)("pack my box with five dozen liquor jugs today").mkString(" ")
+    graft.pipeline.DedupIndex.write(Seq((1L, seed)).toDF("doc_id", "text"), path)
+
+    val buf = scala.collection.mutable.Map[Long, String]()
+    val input = MemoryStream[IncomingDoc]
+    val query = StreamingCorpus.admitMaintained(input.toDS(), path, (v, _) =>
+      v.collect().foreach(r =>
+        buf.synchronized { buf(r.getAs[Long]("doc_id")) = r.getAs[String]("reason") }))
+    try {
+      // batch 1: a fresh survivor + an exact dup of the seeded corpus
+      input.addData(Seq(IncomingDoc(10, fresh, 1000), IncomingDoc(11, seed, 2000)))
+      query.processAllAvailable()
+      // batch 2: near-dup and exact dup of batch 1's SURVIVOR — both
+      // must hit through the parquet index alone (no state store)
+      input.addData(Seq(
+        IncomingDoc(20, fresh + " extra", 3000),
+        IncomingDoc(21, fresh, 4000),
+        IncomingDoc(22, Seq.fill(5)("sphinx of black quartz judge my vow forever").mkString(" "), 5000)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(buf.toMap == Map(
+      10L -> "kept", 11L -> "exact_corpus",
+      20L -> "near_corpus", 21L -> "exact_corpus", 22L -> "kept"))
+    // and the index grew by exactly the survivors
+    val stored = spark.read.parquet(path).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 10L, 22L))
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
