@@ -58,7 +58,15 @@ object Bench {
     val qs = names.map(n => s"\"" + n + "\":" + f(results(n))).mkString("{", ",", "}")
     // failures are recorded as -1 markers; they must not skew the total
     val total = results.values.filter(_ >= 0).sum
-    // the one-line driver contract on stdout…
+    // A SHORT (<200 char) headline FIRST: the round tooling's log
+    // capture has twice (r6, r7) stored a window that beheads the long
+    // contract line mid-queries-map and parsed nothing — whichever
+    // metric line its parser picks (first or last), a short standalone
+    // copy is now at BOTH ends of the output.
+    val headline =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${names.size},"sf":"$sfDir"}"""
+    println(headline)
+    // …the full one-line driver contract (per-query seconds inline)…
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // …and the full structured artifact to a FILE (one query per line):
     // log-tail capture truncated round 3's 87-entry line to 64 entries,
@@ -92,12 +100,9 @@ object Bench {
     // stdout, not stderr: sbt tags stderr lines [error], which reads as
     // a failure in the round artifact's log tail.
     println(s"[bench] wrote $outPath")
-    // Final line: a SHORT trailer copy of the headline numbers. The
-    // round tooling stores only a log TAIL, and the 109-entry contract
-    // line is long enough that tail truncation beheads it (r5/r6
-    // artifacts carried "parsed": null). A <200-char line printed last
-    // survives any tail window and parses standalone.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${names.size},"sf":"$sfDir"}""")
+    // …and the same short headline LAST, so a pure tail window ends on
+    // a parseable line too.
+    println(headline)
     spark.stop()
   }
 }
