@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted STANDING ANN index — the operational half of
+  * [[Similarity.annIvfPq]]'s contract, built the way [[DedupIndex]]
+  * persists dedup state (the standing-state role the reference's
+  * CDCWorkerCQL progress state plays for stream consumption, applied
+  * to index state — build once, probe many).
+  *
+  * Every in-query ANN entry retrains its coarse centroids and PQ
+  * codebooks per run; a real deployment trains ONCE over the corpus
+  * and then serves queries against the stored structures. This index
+  * persists exactly what IVFADC search needs, as three parquet
+  * relations under one root:
+  *
+  *  - `centroids/` — `(cid, cv, cn2)`: the [[Similarity.NumCentroids]]
+  *    coarse cells (K rows of metadata)
+  *  - `codebook/`  — `(m, code, csub, cn2s)`: the Lloyd-trained
+  *    RESIDUAL product-quantization codebook (M·K rows of metadata)
+  *  - `codes/`     — `(vec_id, cell, m, code)`: the per-vector state —
+  *    [[Similarity.PqSubspaces]] 4-bit codes plus the cell id, i.e.
+  *    ~16 bits of payload per vector instead of its 64 floats
+  *
+  * [[search]] probes the stored relations only: candidate floats are
+  * NEVER read at search time (they exist solely in `build`). At lake
+  * scale the two metadata relations broadcast, `codes/` shuffles once
+  * on the cell key — partition the stored `codes/` by `cell` and a
+  * probe prunes to its [[Similarity.NumProbes]] cells' files instead
+  * of scanning the index.
+  *
+  * The index is REBUILD-on-refresh (mode overwrite, no append):
+  * unlike [[DedupIndex]], PQ state is not append-composable — new
+  * vectors shift the trained codebook, so refresh is a new build over
+  * the grown corpus (the standard offline-retrain cadence for IVF
+  * indexes; stale codes stay correct for search until then because
+  * search never consults training recency).
+  */
+object AnnIndex {
+
+  /** The standing index, loaded: coarse centroids, PQ codebook,
+    * per-vector (cell, codes) rows. */
+  final case class Stored(centroids: DataFrame, codebook: DataFrame, codes: DataFrame)
+
+  private def prepare(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
+
+  /** Train the index structures over a `(vec_id, embedding)` corpus —
+    * residual IVFADC, exactly [[Similarity.annIvfPq]]'s training half. */
+  def build(emb: DataFrame): Stored = {
+    val (cent, cb, codes) = Similarity.ivfPqTrain(prepare(emb), residual = true)
+    Stored(cent, cb, codes)
+  }
+
+  /** Build and persist — run once per training cadence; metadata
+    * relations first, the bulk `codes/` relation last, so a partial
+    * write is detectable by a missing `codes/` commit. */
+  def write(emb: DataFrame, path: String): Unit = {
+    val s = build(emb)
+    s.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    s.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    s.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def load(spark: SparkSession, path: String): Stored = Stored(
+    spark.read.parquet(s"$path/centroids"),
+    spark.read.parquet(s"$path/codebook"),
+    spark.read.parquet(s"$path/codes"))
+
+  /** Top-k ANN over the stored index for a `(vec_id, embedding)`
+    * query frame — NO retraining, no candidate floats: probe
+    * assignment against stored centroids, ADC against the stored
+    * codebook, candidates from the stored `(cell, m, code)` rows.
+    * Same output schema and bit-identical arithmetic as
+    * [[Similarity.annIvfPq]] (rank ties and DECIMAL sums included). */
+  def search(queries: DataFrame, index: Stored,
+      topK: Int = Similarity.TopK, numProbes: Int = Similarity.NumProbes): DataFrame = {
+    val q = prepare(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    Similarity.ivfPqSearch(q, index.centroids, index.codebook, index.codes,
+      residual = true, topK, numProbes)
+  }
+
+  /** Driver-visible entry (SURVEY §2c): build → write → load → search
+    * over the `embeddings` table, so the correctness gate exercises
+    * the FULL persisted round-trip. The oracle is
+    * [[Similarity.annIvfPqSql]]: stored-index search must equal the
+    * in-query IVF-PQ pipeline bit-for-bit. */
+  def annIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+    write(emb, path)
+    search(emb.filter(col("vec_id") < Similarity.NumQueries), load(spark, path))
+  }
+}

@@ -360,13 +360,23 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v"))), residual)
 
-  private def ivfPqFrom(all: DataFrame, residual: Boolean): DataFrame = {
+  /** TRAINING half of the IVF-PQ pipeline, factored out so the
+    * standing-index path ([[AnnIndex]]) can persist its outputs and
+    * search WITHOUT retraining: coarse centroids `(cid, cv, cn2)`,
+    * the trained residual codebook `(m, code, csub, cn2s)`, and the
+    * per-vector index rows `(vec_id, cell, m, code)` — [[PqSubspaces]]
+    * rows per vector, the 16-bit-per-vector state an IVFADC index
+    * actually stores. Candidate floats appear ONLY here (build time);
+    * [[ivfPqSearch]] never reads them. */
+  private[pipeline] def ivfPqTrain(all: DataFrame, residual: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    // same aggregate-not-window assignment as annIvf (n-row exchange)
-    val (cellsFull, probesFull) = ivfAssign(all, cent)
+    // same aggregate-not-window assignment as annIvf (n-row exchange);
+    // the probe side of ivfAssign is lazy and unused here — queries
+    // are assigned at SEARCH time against the (stored) centroids
+    val (cellsFull, _) = ivfAssign(all, cent)
     val cells = cellsFull.select(col("vec_id"), col("v"), col("cell"))
-    val probes = probesFull.select(col("query_id"), col("qv"), col("cell"))
     val centV = cent.select(col("cid").as("cell"), col("cv"))
     // residual per DATA vector: x − centroid(cell(x)) (raw mode: x)
     val resCells =
@@ -377,7 +387,7 @@ object Similarity {
     val subs = resCells
       .select(col("vec_id"), col("cell"), col("rv"),
         explode_outer(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
-      .select(col("vec_id"), col("m"),
+      .select(col("vec_id"), col("cell"), col("m"),
         slice(col("rv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
       .withColumn("sn2", dot(col("sub"), col("sub")))
       .localCheckpoint() // feeds codebook training AND the encode pass
@@ -405,8 +415,8 @@ object Similarity {
           col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s"))
         .groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("dist2"), col("code"))).as("best"),
-          first(col("sub")).as("sub"))
-        .select(col("vec_id"), col("m"), col("best.code").as("code"), col("sub"))
+          first(col("sub")).as("sub"), first(col("cell")).as("cell"))
+        .select(col("vec_id"), col("cell"), col("m"), col("best.code").as("code"), col("sub"))
     val cb = nearestCode(subs, cb0)
       .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
       .groupBy(col("m"), col("code"), col("pos"))
@@ -416,7 +426,29 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
         s => s.getField("cm")).as("csub"))
       .withColumn("cn2s", dot(col("csub"), col("csub")))
-    val codes = nearestCode(subs, cb).select(col("vec_id"), col("m"), col("code"))
+    val codes = nearestCode(subs, cb)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    (cent, cb, codes)
+  }
+
+  /** SEARCH half of the IVF-PQ pipeline — probes the index structures
+    * [[ivfPqTrain]] emits (live frames or parquet-loaded, same plan)
+    * and NEVER touches a candidate's floats: only the query vectors
+    * arrive as floats; candidates exist as `(cell, m, code)` metadata.
+    * Query probe assignment, the per-cell query residual, and the ADC
+    * table are the documented [[annIvfPq]] arithmetic, bit-identical. */
+  private[pipeline] def ivfPqSearch(queries: DataFrame, cent: DataFrame, cb: DataFrame,
+      codes: DataFrame, residual: Boolean, topK: Int = TopK,
+      numProbes: Int = NumProbes): DataFrame = {
+    val centV = cent.select(col("cid").as("cell"), col("cv"))
+    // probe list: the query side of ivfAssign's window — queries are a
+    // sample by construction, so the K-expansion is tiny
+    val wAssign = Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cid"))
+    val probes = queries.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= numProbes)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
     // query residual PER PROBED CELL: (q − centroid(cell)) — raw mode
     // reuses q for every cell, but keeps the (query, cell) grain so
     // both modes share one ADC join shape
@@ -435,18 +467,24 @@ object Similarity {
       .select(col("query_id"), col("cell"), col("m"), col("code"),
         (col("qn2s") - lit(2.0) * dot(col("qsub"), col("csub")) + col("cn2s")).as("qd"))
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("approx_dist2"), col("vec_id"))
-    cells.select(col("vec_id"), col("cell"))
+    codes
       .join(broadcast(probes.select(col("query_id"), col("cell"))), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .join(codes, Seq("vec_id"))
       .join(broadcast(qdist), Seq("query_id", "cell", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("qd").cast("decimal(27,12)")).cast("double"), 6).as("approx_dist2"))
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("approx_dist2"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def ivfPqFrom(all: DataFrame, residual: Boolean): DataFrame = {
+    val (cent, cb, codes) = ivfPqTrain(all, residual)
+    val queries = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    ivfPqSearch(queries, cent, cb, codes, residual)
   }
 
   val annIvfPqSql: String = {

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN index must be a drop-in replacement for the
+  * in-query [[Similarity.annIvfPq]] pipeline: identical neighbors,
+  * distances and ranks after a parquet round-trip — and search must
+  * run off the stored `(cell, m, code)` metadata, never the
+  * candidates' float vectors. */
+class AnnIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stored-index search equals the in-query IVF-PQ pipeline") {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    AnnIndex.write(emb, path)
+    val idx = AnnIndex.load(spark, path)
+    val got = AnnIndex
+      .search(emb.filter(col("vec_id") < Similarity.NumQueries), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val expected = Similarity.annIvfPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty && expected.map(_._1).distinct.size == Similarity.NumQueries)
+  }
+
+  test("the stored index holds codes, not vectors; search reads no embedding column") {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_idx2").toString
+    AnnIndex.write(emb, path)
+    val idx = AnnIndex.load(spark, path)
+    // per-vector state is (vec_id, cell, m, code) — PqSubspaces rows
+    // per vector of scalar metadata, no float payload
+    assert(idx.codes.columns.toSeq == Seq("vec_id", "cell", "m", "code"))
+    val n = emb.count()
+    assert(idx.codes.count() == n * Similarity.PqSubspaces)
+    // metadata relations are K-bounded
+    assert(idx.centroids.count() == Similarity.NumCentroids)
+    assert(idx.codebook.count() == Similarity.PqSubspaces * Similarity.PqCodes)
+    // the search plan scans the index relations and the QUERY frame
+    // only: every parquet scan in the plan belongs to the index root
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries).localCheckpoint()
+    val plan = AnnIndex.search(queries, idx).queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { r =>
+      val roots = r.relation
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.mkString(",")
+      assert(roots.contains(path), s"search scans a non-index relation: $roots")
+    }
+  }
+
+  test("search probes numProbes cells and respects topK") {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val idx = AnnIndex.build(emb)
+    val out = AnnIndex.search(
+      emb.filter(col("vec_id") < 3), idx, topK = 2, numProbes = 1)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 2))
+    assert(rows.forall(_.getInt(3) <= 2))
+  }
+}
