@@ -729,6 +729,110 @@ object Corpus {
        |  CAST(SUM(n_new_types) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
        |FROM buckets ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------ #28u BPE merge training
+
+  val BpeMerges = 8 // unrolled merge iterations (Sennrich et al. 2016 run ~10k; shape identical)
+
+  /** BPE merge-pair training — the tokenizer-training primitive
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units"): [[BpeMerges]] iterations of count-adjacent-
+    * symbol-pairs → merge the most frequent pair everywhere. Emits the
+    * learned merge table `(step, left_sym, right_sym, merged,
+    * pair_count)` — the artifact a tokenizer ships.
+    *
+    * Determinism: words are the lowercased `[a-z0-9]+` runs (so the
+    * `<sym>` delimiters can never collide with symbol text); pair
+    * counts weight by word frequency and count every adjacent
+    * position; ties break lexically on (left, right). Merging rewrites
+    * the delimited encoding with a literal `replace` — left-to-right,
+    * non-overlapping, the exact merge order a sequential BPE applies
+    * (both engines' `replace` resumes AFTER the spliced region).
+    *
+    * Scale: everything after the first shuffle runs on the UNIQUE-WORD
+    * vocabulary, not the corpus — the per-iteration cost is one pair
+    * explode over vocab symbol arrays (Σ word lengths), one
+    * (pair)-keyed count shuffle with map-side combine, and a top-1 via
+    * orderBy+limit (TakeOrdered — no global sort shuffle); the 1-row
+    * winner broadcasts into the rewrite (the kmeans-unroll pattern at
+    * [[embKmeans]], applied to tokenizer state). The vocab frame is
+    * localCheckpointed per iteration so the unrolled plan stays flat.
+    * If the vocabulary exhausts its pairs early the remaining steps
+    * emit nothing (shorter merge table), identically in both engines. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOn(Tables.spread(Tables.documents(spark, dir)))
+
+  private[pipeline] def bpeMergesOn(d: DataFrame): DataFrame = {
+    var words = d
+      .select(explode_outer(filter(
+        split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " "),
+        t => length(t) > 0)).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      // "low" → "<l><o><w>": every symbol fully bracketed, so a merge
+      // pattern can never match across symbol boundaries
+      .select(col("wc"), regexp_replace(col("word"), "(.)", "<$1>").as("enc"))
+      .localCheckpoint()
+    val steps = (1 to BpeMerges).map { step =>
+      val pairs = words
+        .select(col("wc"),
+          split(regexp_replace(col("enc"), "^<|>$", ""), "><").as("syms"))
+        .withColumn("l", slice(col("syms"), lit(1), size(col("syms")) - 1))
+        .withColumn("r", slice(col("syms"), lit(2), size(col("syms")) - 1))
+        .select(col("wc"), explode(arrays_zip(col("l"), col("r"))).as("p"))
+        .groupBy(col("p.l").as("pa"), col("p.r").as("pb"))
+        .agg(sum(col("wc")).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1)
+        .select(lit(step).as("step"), col("pa").as("left_sym"),
+          col("pb").as("right_sym"), concat(col("pa"), col("pb")).as("merged"),
+          col("cnt").as("pair_count"))
+        .localCheckpoint()
+      words = words
+        .crossJoin(broadcast(top.select(col("left_sym"), col("right_sym"))))
+        .select(col("wc"), replace(col("enc"),
+          concat(lit("<"), col("left_sym"), lit("><"), col("right_sym"), lit(">")),
+          concat(lit("<"), col("left_sym"), col("right_sym"), lit(">"))).as("enc"))
+        .localCheckpoint()
+      top
+    }
+    steps.reduce(_ union _).orderBy(col("step"))
+  }
+
+  val bpeMergesSql: String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS enc, COUNT(*) AS wc
+        |  FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |      t -> len(t) > 0)) AS word
+        |    FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val stepCtes = (1 to BpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[j.j] AS pa, syms[j.j + 1] AS pb, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT wc, string_split(regexp_replace(enc, '^<|>$$', '', 'g'), '><') AS syms
+         |    FROM w${i - 1}),
+         |    LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS j) j
+         |  GROUP BY 1, 2),
+         |t$i AS (
+         |  SELECT $i AS step, pa AS left_sym, pb AS right_sym, pa || pb AS merged,
+         |    cnt AS pair_count
+         |  FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |w$i AS (
+         |  SELECT w.wc,
+         |    replace(w.enc, '<' || t.left_sym || '><' || t.right_sym || '>',
+         |      '<' || t.left_sym || t.right_sym || '>') AS enc
+         |  FROM w${i - 1} w CROSS JOIN t$i t)""".stripMargin
+    }
+    val unions = (1 to BpeMerges).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    s"""WITH $w0,
+       |${stepCtes.mkString(",\n")}
+       |SELECT step, left_sym, right_sym, merged, pair_count
+       |FROM ($unions) ORDER BY step""".stripMargin
+  }
+
   // ------------------------------------------------------------ #28i token-budget selection
 
   /** Token-budget curation — keep the highest-quality documents until

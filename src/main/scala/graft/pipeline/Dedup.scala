@@ -1045,8 +1045,12 @@ object Dedup {
     * re-shuffles. The span frame feeds both the dup aggregation and
     * the probe, so it is localCheckpointed (interpreted split/slice
     * would otherwise run twice — the kmeans/IVF lesson). */
-  def spanCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageOn(docs(spark, dir))
+
+  /** [[spanCoverage]] over any `(doc_id, text)` frame — factored so
+    * [[spanRewrite]]'s spec can re-score the CLEANED corpus. */
+  private[pipeline] def spanCoverageOn(d: DataFrame): DataFrame = {
     val spans = d
       .select(col("doc_id"),
         filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
@@ -1076,6 +1080,108 @@ object Dedup {
           .as("dup_span_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Duplicated-span REMOVAL — the remediation half of
+    * [[spanCoverage]]'s signal (Lee et al. 2021 §3, ExactSubstr:
+    * coverage SCORES partial copies; removal CLEANS them): emit each
+    * doc's text with every cross-doc-duplicated [[SpanTokens]]-token
+    * window spliced out.
+    *
+    * Differences from the scoring pass, both deliberate:
+    *  - **Stride 1, not [[SpanStride]]**: removal must cover every
+    *    duplicated window, not a sample — a stride-8 scan leaves up to
+    *    7 trailing duplicated tokens per region undetected, which the
+    *    rewritten corpus would immediately re-score as dup. Detection
+    *    cost is ×[[SpanStride]] the scoring pass, paid only by this
+    *    operator.
+    *  - **Every occurrence is removed** (the conservative variant):
+    *    per duplicated window the cleaned corpus keeps zero copies,
+    *    so no cross-doc pair can survive. Keep-one-copy would also
+    *    re-score ≈0 but needs a per-token canonical election across
+    *    overlapping spans; the removed-mass difference is one copy
+    *    per duplicate cluster.
+    *
+    * The cleaned text is the kept tokens of the NORMALIZED stream
+    * (lowercased, single-space) — the same token stream every dedup
+    * operator here scores on.
+    *
+    * Scale: span fan-out and digesting are map-only; the dup-digest
+    * relation (min≠max over one digest-keyed shuffle) contains only
+    * duplicated spans, so the per-doc removal-start arrays aggregate
+    * from a rare relation and join back doc-keyed; the splice itself
+    * is a map-side higher-order filter — no token-grain shuffle, no
+    * window, and docs without dup spans pay one empty-array check per
+    * token. */
+  def spanRewrite(spark: SparkSession, dir: String): DataFrame =
+    spanRewriteOn(docs(spark, dir))
+
+  private[pipeline] def spanRewriteOn(d: DataFrame): DataFrame = {
+    val toksDf = d.select(col("doc_id"),
+      filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+    val spans = toksDf
+      .filter(size(col("toks")) >= SpanTokens)
+      .select(col("doc_id"), col("toks"),
+        explode_outer(sequence(lit(1), size(col("toks")) - (SpanTokens - 1))).as("start_tok"))
+      .select(col("doc_id"), col("start_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("start_tok"), lit(SpanTokens)))).as("digest"))
+      .localCheckpoint() // feeds the dup aggregation AND the removal probe
+    val dupDigests = spans
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("min_doc") =!= col("max_doc"))
+      .select(col("digest"))
+    val removalStarts = spans
+      .join(dupDigests, Seq("digest"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("start_tok"))).as("dup_starts"))
+    toksDf.join(removalStarts, Seq("doc_id"), "left")
+      .withColumn("dup_starts",
+        coalesce(col("dup_starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (t, i) =>
+        !exists(col("dup_starts"), s =>
+          (i + 1) >= s && (i + 1) < s + SpanTokens)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanRewriteSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id, start_tok,
+       |    md5(array_to_string(list_slice(toks, start_tok, start_tok + ${SpanTokens - 1}), ' ')) AS digest
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(generate_series(1, len(toks) - ${SpanTokens - 1})) AS start_tok
+       |    FROM t WHERE len(toks) >= $SpanTokens)),
+       |dup AS (
+       |  SELECT digest FROM spans GROUP BY digest HAVING MIN(doc_id) <> MAX(doc_id)),
+       |remtok AS (
+       |  SELECT DISTINCT s.doc_id, s.start_tok + o.o AS pos
+       |  FROM spans s JOIN dup USING (digest),
+       |    LATERAL (SELECT unnest(generate_series(0, ${SpanTokens - 1})) AS o) o),
+       |toklist AS (
+       |  SELECT t.doc_id, i.i AS pos, toks[i.i] AS tok
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) i),
+       |kept AS (
+       |  SELECT k.doc_id, k.pos, k.tok
+       |  FROM toklist k LEFT JOIN remtok r ON k.doc_id = r.doc_id AND k.pos = r.pos
+       |  WHERE r.pos IS NULL),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   val spanCoverageSql: String =
     s"""WITH t AS (

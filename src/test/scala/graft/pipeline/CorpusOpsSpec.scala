@@ -9,6 +9,52 @@ class CorpusOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("bpeMerges learns the same merge table as a sequential reference BPE") {
+    import spark.implicits._
+    // the classic Sennrich-style fixture plus corpus weighting across docs
+    val d = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest low!"),
+      (3L, "Wide, wide new NEW newer: lowest")).toDF("doc_id", "text")
+    val got = Corpus.bpeMergesOn(d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+
+    // sequential reference: same tokenization, same tie-breaks
+    var vocab: Map[Vector[String], Long] = d.collect()
+      .flatMap(_.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+        .split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, o) => w.map(_.toString).toVector -> o.length.toLong }
+    val expected = (1 to Corpus.BpeMerges).flatMap { step =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, wc) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + wc
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((pa, pb), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, wc) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+              out += pa + pb; i += 2 // left-to-right, non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector -> wc
+        }
+        Some((step, pa, pb, pa + pb, cnt))
+      }
+    }
+    assert(got == expected)
+    assert(expected.size == Corpus.BpeMerges, "fixture exhausted pairs early")
+    // the table must contain at least one multi-char merge input
+    // (a merge built on an earlier merge — the whole point of BPE)
+    assert(expected.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
+
   test("decontaminate flags only non-benchmark docs that truly share a shingle") {
     // brute force: shingle every doc driver-side, intersect with the
     // benchmark slice's shingle union

@@ -9,6 +9,52 @@ class DedupSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("span rewrite removes exactly the duplicated windows; cleaned corpus re-scores zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A and B share a 20-token run; C and D are exact copies; E is
+    // unique filler long enough to span
+    val sharedRun = (1 to 20).map(i => s"shared$i")
+    val docA = ((1 to 4).map(i => s"aa$i") ++ sharedRun ++ (1 to 6).map(i => s"az$i")).mkString(" ")
+    val docB = ((1 to 10).map(i => s"bb$i") ++ sharedRun ++ (1 to 10).map(i => s"bz$i")).mkString(" ")
+    val docC = (1 to 30).map(i => s"cc$i").mkString(" ")
+    val docE = (1 to 30).map(i => s"ee$i").mkString(" ")
+    val d = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docC), (5L, docE))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRewriteOn(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // A: shared run occupies tokens 5..24 → exactly those 20 removed
+    assert(out(1L) == ((30L, 20L,
+      ((1 to 4).map(i => s"aa$i") ++ (1 to 6).map(i => s"az$i")).mkString(" "))))
+    // B: shared run occupies tokens 11..30
+    assert(out(2L) == ((40L, 20L,
+      ((1 to 10).map(i => s"bb$i") ++ (1 to 10).map(i => s"bz$i")).mkString(" "))))
+    // C/D: whole doc duplicated → everything removed
+    assert(out(3L) == ((30L, 30L, "")))
+    assert(out(4L) == ((30L, 30L, "")))
+    // E: untouched (normalized join)
+    assert(out(5L) == ((30L, 0L, docE)))
+    // the cleaned corpus carries NO cross-doc duplicated span
+    val rescored = Dedup.spanCoverageOn(
+      Dedup.spanRewriteOn(d).select(col("doc_id"), col("clean_text").as("text")))
+    assert(rescored.agg(sum(col("n_dup_spans"))).head.getLong(0) == 0L)
+  }
+
+  test("span rewrite on the corpus: removal is real and the cleaned corpus re-scores ≈ 0") {
+    import org.apache.spark.sql.functions._
+    val cleaned = Dedup.spanRewrite(spark, dir).localCheckpoint()
+    assert(cleaned.filter(col("n_removed") > 0).count() > 0,
+      "degenerate fixture: no duplicated spans removed")
+    val re = Dedup.spanCoverageOn(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")))
+      .agg(sum(col("n_dup_spans")).as("dup"), sum(col("n_spans")).as("all"))
+      .head()
+    // seam windows can in principle re-collide; anything beyond noise
+    // means removal missed real duplication
+    assert(re.getLong(0).toDouble <= 0.002 * math.max(re.getLong(1), 1L),
+      s"cleaned corpus still scores ${re.getLong(0)}/${re.getLong(1)} dup spans")
+  }
+
   test("span coverage equals a brute-force span scan") {
     val cov = Dedup.spanCoverage(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
