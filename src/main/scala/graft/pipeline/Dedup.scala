@@ -1006,6 +1006,117 @@ object Dedup {
     (assigned, cellPairs)
   }
 
+  /** Semantic duplicate GROUPS with canonical election — SemDeDup
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): partition the
+    * embedding space into cells, connect same-cell pairs at cosine ≥
+    * [[CosineThreshold]] into groups, and KEEP one representative per
+    * group — the member with the LOWEST cosine to its cell centroid
+    * (the paper's election: the far-from-centroid example preserves
+    * diversity; near-centroid copies are the redundant mass).
+    *
+    * Where [[embedCosine]] is the EXACT all-pairs contract (its
+    * triangle bound is lossless, so cells never change its output),
+    * this operator is the scaled SemDeDup approximation: pairs meet
+    * ONLY inside their cell, by design — cross-cell near-duplicates
+    * are accepted misses, which is what makes the shape linear in
+    * occupied-cell volume. Cells here are the [[Similarity]]
+    * random-hyperplane buckets (2^[[Similarity.NumPlanes]]): a pure
+    * map-side projection both engines compute bit-identically, playing
+    * the role of the paper's k-means partition; at 100 TB, more planes
+    * (or the trained [[Similarity.annIvf]] cells) — same plan shape.
+    *
+    * Scale: bucketing is map-only; the cell centroid is one
+    * (cell, dim)-keyed DECIMAL-exact mean; candidate pairs shuffle on
+    * the cell key (never all-pairs); groups reuse the
+    * [[componentsFromPairs]] fixpoint over the rare edge relation;
+    * the election is a group-keyed min(struct) aggregate. Output has
+    * one row per GROUPED vector (singletons are implicitly kept, the
+    * [[clusters]] convention). */
+  def embedCellGroups(spark: SparkSession, dir: String): DataFrame =
+    embedCellGroupsOn(Tables.spread(Tables.embeddings(spark, dir)))
+
+  private[pipeline] def embedCellGroupsOn(emb: DataFrame): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VecDot.dot(a, b)
+    val b = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .withColumn("cell", Similarity.bucketCol(col("v")))
+      .localCheckpoint() // feeds centroid mean, pair join (both sides), and the rescore
+    // DECIMAL-exact per-cell mean centroid (the cbdims recipe from
+    // the PQ codebook M-step — order-independent, hash-comparable)
+    val cent = b
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(27,12)")).cast("double") / count(lit(1)), 6)
+        .as("cm"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+        s => s.getField("cm")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val pairs = b.as("a")
+      .join(b.as("bb"),
+        col("a.cell") === col("bb.cell") && col("a.vec_id") < col("bb.vec_id"))
+      .filter(round(dot(col("a.v"), col("bb.v")) /
+        (sqrt(col("a.n2")) * sqrt(col("bb.n2"))), 6) >= CosineThreshold)
+      .select(col("a.vec_id").as("doc_id_1"), col("bb.vec_id").as("doc_id_2"))
+    // edges connect same-cell vectors only, so every group lives in
+    // exactly one cell — the centroid join below is well-defined
+    val scored = componentsFromPairs(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"))
+      .join(b.select(col("vec_id"), col("cell"), col("v"), col("n2")), Seq("vec_id"))
+      .join(broadcast(cent), Seq("cell"))
+      .withColumn("centroid_cos",
+        round(dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))), 6))
+    val keepers = scored.groupBy(col("group_id"))
+      .agg(min(struct(col("centroid_cos"), col("vec_id"))).as("k"))
+    scored.join(keepers, Seq("group_id"))
+      .select(col("vec_id"), col("cell"), col("group_id"), col("centroid_cos"),
+        (col("vec_id") === col("k.vec_id")).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedCellGroupsSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH RECURSIVE
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS n2 FROM e),
+       |b AS (
+       |  SELECT vec_id, v, n2, ${Similarity.bucketSql("v")} AS cell FROM n),
+       |centd AS (
+       |  SELECT cell, i.i AS pos,
+       |    round(CAST(SUM(CAST(v[i.i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS cm
+       |  FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cell, cv, ${dotSql("cv", "cv")} AS cn2 FROM (
+       |    SELECT cell, list(cm ORDER BY pos) AS cv FROM centd GROUP BY cell)),
+       |edges0 AS (
+       |  SELECT a.vec_id AS d1, b2.vec_id AS d2
+       |  FROM b a JOIN b b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+       |  WHERE round(${dotSql("a.v", "b2.v")} / (sqrt(a.n2) * sqrt(b2.n2)), 6) >= $CosineThreshold),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM edges0 UNION ALL SELECT d2, d1 FROM edges0),
+       |verts AS (SELECT DISTINCT a AS doc FROM edges),
+       |reach AS (
+       |  SELECT doc, doc AS r FROM verts
+       |  UNION
+       |  SELECT e2.b AS doc, reach.r FROM reach JOIN edges e2 ON e2.a = reach.doc),
+       |comp AS (
+       |  SELECT doc AS vec_id, MIN(r) AS group_id FROM reach GROUP BY doc),
+       |scored AS (
+       |  SELECT c.vec_id, b.cell, c.group_id,
+       |    round(${dotSql("b.v", "t.cv")} / (sqrt(b.n2) * sqrt(t.cn2)), 6) AS centroid_cos
+       |  FROM comp c JOIN b ON c.vec_id = b.vec_id JOIN cent t ON b.cell = t.cell)
+       |SELECT vec_id, cell, group_id, centroid_cos,
+       |  (ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY centroid_cos, vec_id) = 1) AS is_kept
+       |FROM scored ORDER BY vec_id""".stripMargin
+  }
+
   val embedCosineSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

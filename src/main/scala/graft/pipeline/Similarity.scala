@@ -96,13 +96,13 @@ object Similarity {
 
   /** Random-hyperplane bucket id: bit p set iff w_p · v >= 0. A pure
     * per-row projection (NumPlanes × Dim multiply-adds). */
-  private def bucketCol(v: Column): Column =
+  private[pipeline] def bucketCol(v: Column): Column =
     (0 until NumPlanes).map { p =>
       val dotW = (0 until Dim).map(d => element_at(v, d + 1) * planeWeight(p, d)).reduce(_ + _)
       when(dotW >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bucketSql(v: String): String =
+  private[pipeline] def bucketSql(v: String): String =
     (0 until NumPlanes).map { p =>
       val dotW = (0 until Dim).map(d => s"($v)[${d + 1}] * ${planeWeight(p, d)}").mkString(" + ")
       s"(CASE WHEN $dotW >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"

@@ -103,6 +103,80 @@ class EmbedCosineSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("embedCellGroups (SemDeDup) matches a local reference: buckets, groups, election") {
+    val got = Dedup.embedCellGroups(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Long]("group_id"),
+          r.getAs[Double]("centroid_cos"), r.getAs[Boolean]("is_kept")))).toMap
+
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucket(v: Array[Double]): Long =
+      (0 until Similarity.NumPlanes).map { p =>
+        val w = (0 until Similarity.Dim)
+          .map(d => v(d) * Similarity.planeWeight(p, d)).sum
+        if (w >= 0) 1L << p else 0L
+      }.sum
+    val cells = vecs.map { case (id, v) => id -> bucket(v) }.toMap
+    // within-cell edges at τ, union-find to min-label groups
+    val edges = for {
+      (id1, v1) <- vecs; (id2, v2) <- vecs
+      if id1 < id2 && cells(id1) == cells(id2) &&
+        round6(dot(v1, v2) / (math.sqrt(dot(v1, v1)) * math.sqrt(dot(v2, v2)))) >=
+          Dedup.CosineThreshold
+    } yield (id1, id2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b2) =>
+      val (ra, rb) = (find(a), find(b2))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val grouped = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val groupOf = grouped.map(id => id -> find(id)).toMap
+    // per-cell DECIMAL-exact mean centroid over ALL cell members
+    val byCell = vecs.groupBy { case (id, _) => cells(id) }
+    val centroid = byCell.map { case (c, ms) =>
+      val cv = Array.tabulate(Similarity.Dim) { d =>
+        val s = ms.map { case (_, v) =>
+          BigDecimal(v(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        round6(s.toDouble / ms.length)
+      }
+      c -> cv
+    }
+    val expected = grouped.map { id =>
+      val v = vecs.find(_._1 == id).get._2
+      val cv = centroid(cells(id))
+      val ccos = round6(dot(v, cv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(cv, cv))))
+      id -> (cells(id), groupOf(id), ccos)
+    }.toMap
+    val keeperOf = expected.groupBy(_._2._2).map { case (g, ms) =>
+      g -> ms.toSeq.map { case (id, (_, _, ccos)) => (ccos, id) }.min._2
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (c, g, ccos)) =>
+      assert(got(id) == ((c, g, ccos, keeperOf(g) == id)), s"vec $id")
+    }
+    // non-degenerate: at least one multi-member group, exactly one
+    // keeper per group
+    assert(expected.nonEmpty)
+    got.groupBy(_._2._2).foreach { case (g, ms) =>
+      assert(ms.count(_._2._4) == 1, s"group $g keeper count")
+      assert(ms.size >= 2, s"group $g is a singleton")
+    }
+  }
+
   test("plan never nested-loops or broadcasts the full embedding table") {
     val plan = Dedup.embedCosine(spark, dir).queryExecution.executedPlan.toString
     // The only tolerable nested-loop joins are the conditionless K-row
