@@ -56,18 +56,26 @@ object AnnIndex {
 
   /** Build and persist — run once per training cadence; metadata
     * relations first, the bulk `codes/` relation last, so a partial
-    * write is detectable by a missing `codes/` commit. */
+    * write is detectable by a missing `codes/` commit. `codes/` is
+    * PARTITIONED BY cell: a probe touches [[Similarity.NumProbes]]
+    * cells, so dynamic partition pruning skips the other K−probes
+    * partitions' files entirely — at lake scale the search reads
+    * probed cells, not the index. */
   def write(emb: DataFrame, path: String): Unit = {
     val s = build(emb)
     s.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     s.codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    s.codes.write.mode("overwrite").parquet(s"$path/codes")
+    s.codes.write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
   }
 
   def load(spark: SparkSession, path: String): Stored = Stored(
     spark.read.parquet(s"$path/centroids"),
     spark.read.parquet(s"$path/codebook"),
-    spark.read.parquet(s"$path/codes"))
+    // partition-column inference narrows cell to int — restore the
+    // build-side long so the probe equi-join needs no runtime cast,
+    // and the build-side column order
+    spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code")))
 
   /** Top-k ANN over the stored index for a `(vec_id, embedding)`
     * query frame — NO retraining, no candidate floats: probe

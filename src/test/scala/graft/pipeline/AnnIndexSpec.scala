@@ -36,6 +36,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(idx.codes.columns.toSeq == Seq("vec_id", "cell", "m", "code"))
     val n = emb.count()
     assert(idx.codes.count() == n * Similarity.PqSubspaces)
+    // codes/ is partitioned by cell: the probe join must plan a
+    // dynamic-partition-pruning filter on the stored scan, so a
+    // search reads only its probed cells' files
+    val searchPlan = AnnIndex
+      .search(emb.filter(col("vec_id") < Similarity.NumQueries), idx)
+      .queryExecution.executedPlan.toString
+    assert(searchPlan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the codes scan:\n$searchPlan")
     // metadata relations are K-bounded
     assert(idx.centroids.count() == Similarity.NumCentroids)
     assert(idx.codebook.count() == Similarity.PqSubspaces * Similarity.PqCodes)
