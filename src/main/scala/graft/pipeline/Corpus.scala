@@ -761,7 +761,11 @@ object Corpus {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOn(Tables.spread(Tables.documents(spark, dir)))
 
-  private[pipeline] def bpeMergesOn(d: DataFrame): DataFrame = {
+  private[pipeline] def bpeMergesOn(d: DataFrame): DataFrame =
+    bpePipeline(d)._1
+
+  /** Shared BPE pipeline: (merge table, final encoded vocabulary). */
+  private def bpePipeline(d: DataFrame): (DataFrame, DataFrame) = {
     var words = d
       .select(explode_outer(filter(
         split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " "),
@@ -795,7 +799,50 @@ object Corpus {
         .localCheckpoint()
       top
     }
-    steps.reduce(_ union _).orderBy(col("step"))
+    (steps.reduce(_ union _).orderBy(col("step")), words)
+  }
+
+  val BpeVocabTopK = 50
+
+  /** The TOKENIZER'S RESULTING VOCABULARY — what [[bpeMerges]]' merge
+    * table buys: after applying all [[BpeMerges]] learned merges, the
+    * top-[[BpeVocabTopK]] subword units by corpus occurrence, with the
+    * word-type reach of each and the corpus-level compression the
+    * merges achieved (`n_tokens` per word type before/after is what a
+    * tokenizer evaluation tracks). Runs the SAME unrolled pipeline —
+    * the final encoded vocabulary is the pipeline's end state, so the
+    * vocabulary costs one extra explode + subword-keyed count over
+    * the unique-word vocab, nothing corpus-sized. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabOn(Tables.spread(Tables.documents(spark, dir)))
+
+  private[pipeline] def bpeVocabOn(d: DataFrame): DataFrame = {
+    val (_, words) = bpePipeline(d)
+    words
+      .select(col("wc"), col("enc"),
+        explode(split(regexp_replace(col("enc"), "^<|>$", ""), "><")).as("subword"))
+      .groupBy(col("subword"))
+      // the encoding is injective per word, so distinct enc = distinct
+      // word types reached by the subword
+      .agg(sum(col("wc")).as("n_occurrences"),
+        countDistinct(col("enc")).as("n_word_types"))
+      .orderBy(col("n_occurrences").desc, col("subword"))
+      .limit(BpeVocabTopK)
+  }
+
+  lazy val bpeVocabSql: String = {
+    // same unrolled chain as bpeMergesSql, aggregated over the FINAL
+    // encoded vocabulary instead of the merge table
+    val body = bpeMergesSql.split("\nSELECT step,")(0)
+    s"""$body
+       |SELECT subword, CAST(SUM(wc) AS BIGINT) AS n_occurrences,
+       |  COUNT(DISTINCT enc) AS n_word_types
+       |FROM (
+       |  SELECT wc, enc,
+       |    unnest(string_split(regexp_replace(enc, '^<|>$$', '', 'g'), '><')) AS subword
+       |  FROM w$BpeMerges)
+       |GROUP BY subword
+       |ORDER BY n_occurrences DESC, subword LIMIT $BpeVocabTopK""".stripMargin
   }
 
   val bpeMergesSql: String = {

@@ -53,6 +53,24 @@ class CorpusOpsSpec extends SparkSpec {
     // the table must contain at least one multi-char merge input
     // (a merge built on an earlier merge — the whole point of BPE)
     assert(expected.exists(m => m._2.length > 1 || m._3.length > 1))
+
+    // the resulting vocabulary equals the reference pipeline's final
+    // state: subword occurrences weighted by word count, word-type
+    // reach, (count desc, subword) order
+    val gotVocab = Corpus.bpeVocabOn(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val occ = vocab.toSeq
+      .flatMap { case (syms, wc) => syms.map(s => (s, wc)) }
+      .groupBy(_._1).map { case (s, o) => s -> o.map(_._2).sum }
+    val types = vocab.keys.toSeq.flatMap(_.distinct)
+      .groupBy(identity).map { case (s, l) => s -> l.size.toLong }
+    val expVocab = occ.toSeq
+      .map { case (s, n) => (s, n, types(s)) }
+      .sortBy { case (s, n, _) => (-n, s) }
+      .take(Corpus.BpeVocabTopK)
+    assert(gotVocab == expVocab)
+    // merged subwords must appear in the vocabulary (the merges paid off)
+    assert(gotVocab.exists(_._1.length > 1))
   }
 
   test("decontaminate flags only non-benchmark docs that truly share a shingle") {
