@@ -729,6 +729,63 @@ object Corpus {
        |  CAST(SUM(n_new_types) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
        |FROM buckets ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------ #28w end-to-end clean report
+
+  /** THE END-TO-END CLEANING PIPELINE rolled up in one call — what a
+    * corpus owner runs before training: dedup keeplist (exact + near
+    * verdicts) ∧ quality filter, with duplicated-span removal
+    * ([[Dedup.spanRewrite]]) accounted on the survivors, reported per
+    * source — docs in, drop reasons staged (dedup takes precedence,
+    * matching each stage's own reason codes), and the CLEAN token
+    * mass that actually reaches the tokenizer.
+    *
+    * Scale: three document-grain pipelines (each keeping its own
+    * documented shuffle shape) meet on doc_id equi-joins — no frame
+    * carries a presentation sort into the join (the keeplistFrame
+    * rule); the rollup is a \|sources\|-key aggregate with map-side
+    * combine and one final sort over \|sources\| rows. */
+  def cleanStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"))
+    val dd = Dedup.keeplistFrame(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))
+    val qq = TextAnalysis.qualityFilterFrame(spark, dir)
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val sp = Dedup.spanRewriteFrame(Tables.spread(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"))
+    d.join(dd, Seq("doc_id")).join(qq, Seq("doc_id")).join(sp, Seq("doc_id"))
+      .withColumn("final_keep", col("dedup_keep") && col("quality_keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("dedup_keep"), 1L).otherwise(0L)).as("n_dropped_dedup"),
+        sum(when(col("dedup_keep") && !col("quality_keep"), 1L).otherwise(0L))
+          .as("n_dropped_quality"),
+        sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("final_keep"), col("n_tokens") - col("n_removed")).otherwise(0L))
+          .as("clean_tokens"),
+        sum(when(col("final_keep"), col("n_removed")).otherwise(0L))
+          .as("spans_removed_tokens"))
+      .orderBy(col("source"))
+  }
+
+  lazy val cleanStatsSql: String =
+    s"""WITH k AS (${Dedup.keeplistSql}),
+       |q AS (${graft.pipeline.TextAnalysis.qualityFilterSql}),
+       |s AS (${Dedup.spanRewriteSql}),
+       |d AS (SELECT doc_id, source FROM documents)
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_dedup,
+       |  CAST(SUM(CASE WHEN k.keep AND NOT q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_quality,
+       |  CAST(SUM(CASE WHEN k.keep AND q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN k.keep AND q.keep THEN s.n_tokens - s.n_removed ELSE 0 END) AS BIGINT) AS clean_tokens,
+       |  CAST(SUM(CASE WHEN k.keep AND q.keep THEN s.n_removed ELSE 0 END) AS BIGINT) AS spans_removed_tokens
+       |FROM d
+       |JOIN k ON d.doc_id = k.doc_id
+       |JOIN q ON d.doc_id = q.doc_id
+       |JOIN s ON d.doc_id = s.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ------------------------------------------------------------ #28u BPE merge training
 
   val BpeMerges = 8 // unrolled merge iterations (Sennrich et al. 2016 run ~10k; shape identical)

@@ -1226,7 +1226,12 @@ object Dedup {
   def spanRewrite(spark: SparkSession, dir: String): DataFrame =
     spanRewriteOn(docs(spark, dir))
 
-  private[pipeline] def spanRewriteOn(d: DataFrame): DataFrame = {
+  private[pipeline] def spanRewriteOn(d: DataFrame): DataFrame =
+    spanRewriteFrame(d).orderBy(col("doc_id"))
+
+  /** [[spanRewriteOn]] without the presentation sort (the
+    * keeplistFrame rule — composing callers join/aggregate next). */
+  private[pipeline] def spanRewriteFrame(d: DataFrame): DataFrame = {
     val toksDf = d.select(col("doc_id"),
       filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
     val spans = toksDf
@@ -1255,7 +1260,6 @@ object Dedup {
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   val spanRewriteSql: String =

@@ -476,7 +476,14 @@ object TextAnalysis {
     * Scale: both signal frames are doc-grain projections/aggregations
     * of one corpus scan; the composition adds a single doc-keyed
     * join. Map-only rules after that. */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** [[qualityFilter]] without the presentation sort — the frame the
+    * corpus-clean pipeline composes with (its next step is a join, so
+    * a global sort exchange here would be pure waste — the
+    * keeplistFrame rule). */
+  private[pipeline] def qualityFilterFrame(spark: SparkSession, dir: String): DataFrame = {
     val r = repetition(spark, dir).select("doc_id", "n_tokens",
       "top_token_frac", "dup_token_frac", "top_bigram_frac")
     val q = quality(spark, dir).select("doc_id", "quality_score")
@@ -491,7 +498,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("reason"), (col("reason") === "kept").as("keep"),
         col("n_tokens"), col("top_token_frac"), col("dup_token_frac"),
         col("top_bigram_frac"), col("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   val qualityFilterSql: String =

@@ -73,6 +73,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(gotVocab.exists(_._1.length > 1))
   }
 
+  test("cleanStats conserves docs across stages and agrees with its component filters") {
+    import org.apache.spark.sql.functions._
+    val cs = Corpus.cleanStats(spark, dir).collect()
+    assert(cs.nonEmpty)
+    // per source: every doc lands in exactly one of the three buckets
+    cs.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_dropped_dedup") + r.getAs[Long]("n_dropped_quality") +
+          r.getAs[Long]("n_kept"), r.toString)
+    }
+    // totals agree with the standalone stages
+    val totalDedupDrops = Dedup.keeplist(spark, dir).filter(!col("keep")).count()
+    assert(cs.map(_.getAs[Long]("n_dropped_dedup")).sum == totalDedupDrops)
+    assert(cs.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, dir).count())
+    // the pipeline must actually drop something AND keep something
+    assert(cs.map(_.getAs[Long]("n_kept")).sum > 0)
+    assert(cs.map(r => r.getAs[Long]("n_dropped_dedup") +
+      r.getAs[Long]("n_dropped_quality")).sum > 0)
+  }
+
   test("decontaminate flags only non-benchmark docs that truly share a shingle") {
     // brute force: shingle every doc driver-side, intersect with the
     // benchmark slice's shingle union
