@@ -66,16 +66,42 @@ object AnnIndex {
     s.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     s.codebook.write.mode("overwrite").parquet(s"$path/codebook")
     s.codes.write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    // manifest LAST: it is the index's commit marker — written only
+    // after every relation landed, and the compatibility contract a
+    // loader checks before probing (config drift between builder and
+    // searcher silently corrupts ADC distances otherwise)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((emb.count(), Similarity.Dim, Similarity.NumCentroids,
+        Similarity.PqSubspaces, Similarity.PqCodes, true))
+      .toDF("n_vectors", "dim", "num_centroids", "pq_m", "pq_k", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
   }
 
-  def load(spark: SparkSession, path: String): Stored = Stored(
-    spark.read.parquet(s"$path/centroids"),
-    spark.read.parquet(s"$path/codebook"),
-    // partition-column inference narrows cell to int — restore the
-    // build-side long so the probe equi-join needs no runtime cast,
-    // and the build-side column order
-    spark.read.parquet(s"$path/codes")
-      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code")))
+  /** The stored index's build parameters (1 row). */
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/manifest")
+
+  def load(spark: SparkSession, path: String): Stored = {
+    // manifest is the commit marker AND the compatibility gate: refuse
+    // an index whose geometry doesn't match this library's search
+    // arithmetic rather than serve silently-wrong distances
+    val m = manifest(spark, path).head()
+    require(m.getAs[Int]("dim") == Similarity.Dim &&
+      m.getAs[Int]("num_centroids") == Similarity.NumCentroids &&
+      m.getAs[Int]("pq_m") == Similarity.PqSubspaces &&
+      m.getAs[Int]("pq_k") == Similarity.PqCodes &&
+      m.getAs[Boolean]("residual"),
+      s"incompatible ANN index at $path: $m")
+    Stored(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      // partition-column inference narrows cell to int — restore the
+      // build-side long so the probe equi-join needs no runtime cast,
+      // and the build-side column order
+      spark.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code")))
+  }
 
   /** Top-k ANN over the stored index for a `(vec_id, embedding)`
     * query frame — NO retraining, no candidate floats: probe

@@ -661,6 +661,144 @@ object Dedup {
        |FROM joined
        |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
+  // ------------------------------------------------------------ #26f band-config sweep
+
+  /** LSH band-configuration SWEEP — the parameter-tuning loop for the
+    * minhash index (the [[graft.pipeline.Similarity]] `ann_recall`
+    * pattern applied to dedup): for every nested band layout of the
+    * 16-permutation signature (1×16 … 16×1), candidate recall and
+    * precision against TRUE-Jaccard-≥[[JaccardThreshold]] pairs. More
+    * bands ⇒ wider candidates ⇒ recall↑ precision↓; this emits the
+    * actual numbers that pick a config before a 100 TB run.
+    *
+    * Evaluation frame: the 16×1 config's candidates — any single
+    * agreeing permutation. Nested band widths make every narrower
+    * config's candidate set a SUBSET of it (an r-row band agreeing
+    * implies each of its rows agrees), so all five configs (and the
+    * truth) are decided per pair from the two signatures already on
+    * the pair row — pure codegen'd position compares, no re-join per
+    * config. A pair with true J ≥ τ and zero agreeing permutations is
+    * invisible to EVERY config, so excluding it from the frame only
+    * removes a constant from all recalls (at J ≥ 0.5 the miss odds
+    * per pair are (1−J)¹⁶ < 2⁻¹⁶ — the standard LSH-eval frame).
+    *
+    * Scale: one doc-grain exchange builds sig+shingle-set (the
+    * [[minhashAccuracy]] combined shape); the wide pair join meets
+    * only inside (permutation, value) buckets, df-capped at
+    * [[MaxShingleDf]] like every postings join here (#25's f² rule —
+    * the cap is part of the operator contract, same cap in the
+    * oracle); the sweep itself is ONE aggregate over the pair frame
+    * producing a 1-row summary exploded to 5 config rows. */
+  def minhashBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val combined = explodedShingleHashes(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(min((col("h") * minhashA(0) + minhashB(0)) % M).as("m0"),
+        ((1 until NumHashes).map(j =>
+          min((col("h") * minhashA(j) + minhashB(j)) % M).as(s"m$j")) :+
+          sort_array(collect_set(col("h"))).as("shs")): _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"), col("shs"))
+      .localCheckpoint()
+    val pos = combined.select(col("doc_id"),
+      posexplode(col("sig")).as(Seq("j", "mv")))
+    val hot = pos.groupBy(col("j"), col("mv")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("j"), col("mv"))
+    val capped = pos.join(hot, Seq("j", "mv"), "left_anti")
+    val wide = capped.as("a").join(capped.as("b"),
+        col("a.j") === col("b.j") && col("a.mv") === col("b.mv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    def agrees(nBands: Int): Column = {
+      val r = NumHashes / nBands
+      (0 until nBands).map { b =>
+        (0 until r).map(k =>
+          element_at(col("s1.sig"), b * r + k + 1) ===
+            element_at(col("s2.sig"), b * r + k + 1)).reduce(_ && _)
+      }.reduce(_ || _)
+    }
+    val configs = Seq(1, 2, 4, 8, 16)
+    val scored = wide
+      .join(combined.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(combined.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .withColumn("inter",
+        graft.functions.SetOps.sortedIntersectCount(col("s1.shs"), col("s2.shs")))
+      .withColumn("truth", round(col("inter").cast("double") /
+        (size(col("s1.shs")) + size(col("s2.shs")) - col("inter")).cast("double"), 6)
+        >= JaccardThreshold)
+    val aggExprs = sum(when(col("truth"), 1L).otherwise(0L)).as("n_true") +:
+      configs.flatMap(nb => Seq(
+        sum(when(agrees(nb), 1L).otherwise(0L)).as(s"cand_$nb"),
+        sum(when(agrees(nb) && col("truth"), 1L).otherwise(0L)).as(s"hit_$nb")))
+    val summary = scored.agg(aggExprs.head, aggExprs.tail: _*)
+    configs.map { nb =>
+      summary.select(lit(nb).as("n_bands"),
+        lit(NumHashes / nb).as("rows_per_band"),
+        col(s"cand_$nb").as("n_candidates"),
+        col("n_true").as("n_true_pairs"),
+        col(s"hit_$nb").as("n_hits"),
+        round(col(s"hit_$nb").cast("double") /
+          greatest(col("n_true"), lit(1L)).cast("double"), 6).as("recall"),
+        round(col(s"hit_$nb").cast("double") /
+          greatest(col(s"cand_$nb"), lit(1L)).cast("double"), 6).as("precision"))
+    }.reduce(_ unionByName _).orderBy(col("n_bands"))
+  }
+
+  lazy val minhashBandSweepSql: String = {
+    def agreesSql(nBands: Int): String = {
+      val r = NumHashes / nBands
+      (0 until nBands).map { b =>
+        (0 until r).map(k =>
+          s"sig1[${b * r + k + 1}] = sig2[${b * r + k + 1}]").mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+    }
+    val configs = Seq(1, 2, 4, 8, 16)
+    val aggCols = configs.flatMap(nb => Seq(
+      s"CAST(SUM(CASE WHEN ${agreesSql(nb)} THEN 1 ELSE 0 END) AS BIGINT) AS cand_$nb",
+      s"CAST(SUM(CASE WHEN ${agreesSql(nb)} AND truth THEN 1 ELSE 0 END) AS BIGINT) AS hit_$nb"))
+    val unions = configs.map { nb =>
+      s"""SELECT $nb AS n_bands, ${NumHashes / nb} AS rows_per_band,
+         |  cand_$nb AS n_candidates, n_true AS n_true_pairs, hit_$nb AS n_hits,
+         |  round(CAST(hit_$nb AS DOUBLE) / CAST(greatest(n_true, 1) AS DOUBLE), 6) AS recall,
+         |  round(CAST(hit_$nb AS DOUBLE) / CAST(greatest(cand_$nb, 1) AS DOUBLE), 6) AS precision
+         |FROM summary""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH codes AS (
+       |  SELECT doc_id, ${charCodesSql("lower(text)")} AS codes FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${shingleHashesFromCodesSql("codes", ShingleK)} AS shash FROM codes),
+       |sigsets AS (
+       |  SELECT doc_id, ${minhashSigSql("shash")} AS sig,
+       |    list_sort(list_distinct(shash)) AS shs
+       |  FROM sh),
+       |pos AS (
+       |  SELECT doc_id, CAST(j.j AS INT) AS j, sig[j.j] AS mv
+       |  FROM sigsets, LATERAL (SELECT unnest(generate_series(1, $NumHashes)) AS j) j),
+       |hot AS (SELECT j, mv FROM pos GROUP BY j, mv HAVING COUNT(*) > $MaxShingleDf),
+       |capped AS (
+       |  SELECT p.doc_id, p.j, p.mv FROM pos p
+       |  LEFT JOIN hot h ON p.j = h.j AND p.mv = h.mv WHERE h.j IS NULL),
+       |wide AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+       |  FROM capped a JOIN capped b
+       |    ON a.j = b.j AND a.mv = b.mv AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT
+       |    round(CAST(len(list_intersect(s1.shs, s2.shs)) AS DOUBLE) /
+       |      CAST(len(s1.shs) + len(s2.shs) - len(list_intersect(s1.shs, s2.shs)) AS DOUBLE), 6)
+       |      >= $JaccardThreshold AS truth,
+       |    s1.sig AS sig1, s2.sig AS sig2
+       |  FROM wide w
+       |  JOIN sigsets s1 ON w.doc_id_1 = s1.doc_id
+       |  JOIN sigsets s2 ON w.doc_id_2 = s2.doc_id),
+       |summary AS (
+       |  SELECT CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    ${aggCols.mkString(",\n    ")}
+       |  FROM scored)
+       |$unions
+       |ORDER BY n_bands""".stripMargin
+  }
+
   // ------------------------------------------------------------ #26c MinHash clusters
 
   /** Minimum estimated Jaccard for an LSH candidate pair to count as a

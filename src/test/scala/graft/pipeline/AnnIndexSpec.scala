@@ -63,6 +63,25 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("manifest records the build geometry and gates load") {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_idx3").toString
+    AnnIndex.write(emb, path)
+    val m = AnnIndex.manifest(spark, path).head()
+    assert(m.getAs[Long]("n_vectors") == emb.count())
+    assert(m.getAs[Int]("dim") == Similarity.Dim)
+    assert(m.getAs[Int]("num_centroids") == Similarity.NumCentroids)
+    assert(m.getAs[Int]("pq_m") == Similarity.PqSubspaces)
+    assert(m.getAs[Int]("pq_k") == Similarity.PqCodes)
+    assert(m.getAs[Boolean]("residual"))
+    // a geometry-incompatible manifest must refuse to load
+    import spark.implicits._
+    Seq((1L, 32, Similarity.NumCentroids, Similarity.PqSubspaces, Similarity.PqCodes, true))
+      .toDF("n_vectors", "dim", "num_centroids", "pq_m", "pq_k", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    intercept[IllegalArgumentException](AnnIndex.load(spark, path))
+  }
+
   test("search probes numProbes cells and respects topK") {
     val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
     val idx = AnnIndex.build(emb)

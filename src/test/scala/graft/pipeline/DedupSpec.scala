@@ -55,6 +55,31 @@ class DedupSpec extends SparkSpec {
       s"cleaned corpus still scores ${re.getLong(0)}/${re.getLong(1)} dup spans")
   }
 
+  test("band sweep: nested configs are monotone and the widest config has recall 1") {
+    val rows = Dedup.minhashBandSweep(spark, dir).collect()
+      .map(r => r.getAs[Int]("n_bands") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true_pairs"),
+          r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))).toMap
+    assert(rows.keySet == Set(1, 2, 4, 8, 16))
+    // truth frame is config-independent
+    assert(rows.values.map(_._2).toSet.size == 1)
+    val nTrue = rows(1)._2
+    assert(nTrue > 0, "degenerate fixture: no true near-dup pairs")
+    // an r-row band agreeing implies each of its sub-bands agrees:
+    // candidates and hits must be monotone in n_bands
+    val order = Seq(1, 2, 4, 8, 16)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a)._1 <= rows(b)._1, s"candidates not nested at $a→$b")
+      assert(rows(a)._3 <= rows(b)._3, s"hits not nested at $a→$b")
+      assert(rows(a)._4 <= rows(b)._4, s"recall not monotone at $a→$b")
+    }
+    // every frame pair agrees on ≥1 permutation by construction, so
+    // the 16-band config sees the whole frame: recall exactly 1
+    assert(rows(16)._4 == 1.0)
+    // the sweep must actually discriminate configs on this corpus
+    assert(rows(1)._1 < rows(16)._1)
+  }
+
   test("span coverage equals a brute-force span scan") {
     val cov = Dedup.spanCoverage(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
