@@ -183,6 +183,120 @@ object StreamingCorpus {
       }
       .start()
 
+  /** One incoming embedding on the ingest stream. */
+  final case class IncomingVec(vecId: Long, embedding: Seq[Double], timeUs: Long)
+
+  /** [[admitVectors]]' per-vector verdict: `minDist2` is the smallest
+    * ADC distance to any standing candidate in the probed cells (null
+    * when the probed cells are empty). */
+  final case class VecVerdict(vec_id: Long, time_us: Long,
+      min_dist2: Option[Double], keep: Boolean)
+
+  /** Live SEMANTIC admission — the streaming twin of
+    * [[graft.pipeline.Dedup.embedCellGroups]]'s SemDeDup decision,
+    * probing the PERSISTED ANN index ([[graft.pipeline.AnnIndex]]) the
+    * way [[admitIncremental]] probes the dedup index: an arriving
+    * embedding is dropped when some standing vector in its probed
+    * cells sits within `maxDist2` by ASYMMETRIC (ADC) distance — the
+    * arriving vector's exact per-cell residual against the stored
+    * 4-bit codes; standing floats are never read (they do not exist
+    * in the index).
+    *
+    * Everything is per-row and stateless on the stream side:
+    *  - probe assignment is a map-side top-[[graft.pipeline.Similarity.NumProbes]]
+    *    over the K collected centroids (sort of a K-element literal
+    *    array — K-row metadata, the codegen-broadcast posture
+    *    VecNearestCell documents);
+    *  - the per-(vector, cell) ADC table is 64 literal-codebook dot
+    *    products computed map-side into an array column — code
+    *    lookups are element_at, no join against the codebook;
+    *  - candidates arrive through ONE unhinted stream-static
+    *    equi-join on the cell key against the pivoted codes relation
+    *    (the standing index grows O(corpus) — AQE owns the strategy,
+    *    the 17s rule); per-vector collapse is a no-state
+    *    flatMapGroupsWithState (all of a vector's candidate rows are
+    *    born in its own micro-batch).
+    *
+    * Verdicts match a batch probe of the same index at the same
+    * threshold (spec-checked against [[graft.pipeline.AnnIndex.search]]). */
+  def admitVectors(vecs: Dataset[IncomingVec],
+      index: graft.pipeline.AnnIndex.Stored, maxDist2: Double): Dataset[VecVerdict] = {
+    import graft.pipeline.Similarity.{NumProbes, PqSubDim, PqSubspaces}
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // K-row / M·K-row metadata, collected once at stream setup (the
+    // sanctioned metadata-collect: bounded by index geometry, never
+    // by the corpus)
+    val cents: Array[(Long, Array[Double], Double)] = index.centroids.collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Double]]("cv").toArray,
+        r.getAs[Double]("cn2"))).sortBy(_._1)
+    val book: Map[(Int, Int), (Array[Double], Double)] = index.codebook.collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
+        ((r.getAs[Seq[Double]]("csub").toArray, r.getAs[Double]("cn2s")))).toMap
+    // standing side, pivoted to one row per vector: (cell, id, 4 codes)
+    val candWide = index.codes.groupBy(col("vec_id").as("cand_id"), col("cell"))
+      .pivot(col("m"), 0 until PqSubspaces)
+      .agg(first(col("code")))
+      .select(Seq(col("cand_id"), col("cell")) ++
+        (0 until PqSubspaces).map(m => col(s"$m").as(s"c$m")): _*)
+    // ---- map-side probe assignment + per-cell ADC tables ----------
+    val v = vecs
+      .withColumn("v", col("embedding"))
+      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
+    // same rounded-cosine probe rule as the batch ivfPqSearch window
+    // (round 6, cos desc, cid asc) so both paths probe the same cells
+    val scoredCells = array(cents.map { case (cid, cv, cn2) =>
+      struct((-round(graft.functions.VecDot.dot(col("v"), typedLit(cv)) /
+        (sqrt(col("n2")) * math.sqrt(cn2)), 6)).as("negCos"), lit(cid).as("cell"))
+    }: _*)
+    val probes = v
+      .withColumn("probe",
+        explode(slice(array_sort(scoredCells), 1, math.min(NumProbes, cents.length))))
+      .select(col("vecId"), col("timeUs"), col("v"), col("probe.cell").as("cell"))
+    // residual per probed cell, then the 4×16 ADC table as literals
+    val rv = cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (cid, cv, _)) =>
+      when(col("cell") === cid, zip_with(col("v"), typedLit(cv), (a, b) => a - b))
+        .otherwise(acc)
+    }
+    val withQd = probes.withColumn("rv", rv)
+      .select(Seq(col("vecId"), col("timeUs"), col("cell")) ++
+        (0 until PqSubspaces).map { m =>
+          slice(col("rv"), m * PqSubDim + 1, PqSubDim).as(s"r$m")
+        }: _*)
+      .select(col("vecId"), col("timeUs"), col("cell"),
+        array((0 until PqSubspaces).map { m =>
+          val rsub = col(s"r$m")
+          val rn2 = graft.functions.VecDot.dot(rsub, rsub)
+          array((0 until graft.pipeline.Similarity.PqCodes).map { code =>
+            val (csub, cn2s) = book((m, code))
+            rn2 - lit(2.0) * graft.functions.VecDot.dot(rsub, typedLit(csub)) + lit(cn2s)
+          }: _*)
+        }: _*).as("qd"))
+    // ---- one unhinted stream-static equi-join on the cell key -----
+    val scored = withQd.join(candWide, Seq("cell"), "left")
+      // DECIMAL-exact subspace sum rounded to 6 — the batch ADC
+      // formula bit-for-bit (doc'd bit-stability rule)
+      .withColumn("dist2", round(
+        (0 until PqSubspaces).map(m =>
+          element_at(element_at(col("qd"), m + 1), col(s"c$m").cast("int") + 1)
+            .cast("decimal(27,12)"))
+          .reduce(_ + _).cast("double"), 6))
+      .select(col("vecId"), col("timeUs"), col("dist2"))
+    // ---- per-vector collapse, no stored state ---------------------
+    scored.as[(Long, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, VecVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (vecId, rows, _) =>
+          val rs = rows.toSeq
+          val timeUs = rs.head._2
+          val dists = rs.flatMap(_._3)
+          val min = if (dists.isEmpty) None else Some(dists.min)
+          Iterator.single(VecVerdict(vecId, timeUs, min,
+            keep = min.forall(_ > maxDist2)))
+      }
+  }
+
   /** Streaming decontamination: flag incoming documents sharing any
     * word-n-gram with a STATIC benchmark relation (doc_id, text) —
     * the stream-static inner-join analogue of

@@ -163,6 +163,56 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(stored == Set(1L, 10L, 22L))
   }
 
+  test("admitVectors: streaming semantic admission matches a batch probe of the stored ANN index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // standing index over the real embeddings table
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val path = java.nio.file.Files.createTempDirectory("graft_vec_admit").toString
+    graft.pipeline.AnnIndex.write(emb, path)
+    val idx = graft.pipeline.AnnIndex.load(spark, path)
+
+    // probes: a near-copy of a stored vector (id 900001 ≈ stored 42)
+    // and that copy rotated far away (id 900002); fresh ids so the
+    // batch cross-check can't self-match
+    val base = emb.filter(col("vec_id") === 42).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    // round both probes through float so the stream (raw doubles) and
+    // the batch query frame (float column) see identical values
+    val near = base.map(x => (x * 1.001).toFloat.toDouble)
+    val far = base.reverse.zipWithIndex
+      .map { case (x, i) => (if (i % 2 == 0) -x else x).toFloat.toDouble }
+    val queries = Seq((900001L, near.toSeq), (900002L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("float")).as("embedding"))
+
+    // batch ground truth from the SAME index: min ADC distance per query
+    val batch = graft.pipeline.AnnIndex.search(queries, idx, topK = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("approx_dist2")).toMap
+    assert(batch.keySet == Set(900001L, 900002L))
+    assert(batch(900001L) < batch(900002L), s"fixture not separable: $batch")
+    val delta = (batch(900001L) + batch(900002L)) / 2.0
+
+    val input = MemoryStream[StreamingCorpus.IncomingVec]
+    val name = s"svecadmit_${System.nanoTime()}"
+    val query = StreamingCorpus
+      .admitVectors(input.toDS(), idx, maxDist2 = delta)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        StreamingCorpus.IncomingVec(900001L, near.toSeq, 1000),
+        StreamingCorpus.IncomingVec(900002L, far.toSeq, 2000)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("min_dist2"), r.getAs[Boolean]("keep")))).toMap
+    // the streamed min distance is the batch top-1 distance, verdicts split at δ
+    assert(got(900001L) == ((batch(900001L), false)), s"near: ${got(900001L)}")
+    assert(got(900002L) == ((batch(900002L), true)), s"far: ${got(900002L)}")
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
