@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Standing-ANN-index CLI — the index-family analogue of
+  * [[Replicate]]: `build` trains and persists the IVFADC index off
+  * the embeddings table (run once per training cadence); `search`
+  * probes a previously stored index WITHOUT retraining and writes the
+  * neighbor table. Splitting the two across processes is the point:
+  * the search invocation never touches the corpus floats, exactly the
+  * build-once/serve-many split a production index runs.
+  *
+  * Usage:
+  *   `sbt "runMain graft.AnnIndexTool build <sfDir> <indexPath>"`
+  *   `sbt "runMain graft.AnnIndexTool search <sfDir> <indexPath> <outDir> [k]"`
+  *
+  * At 100 TB the same lines run on a cluster with the paths pointed
+  * at the lake; `codes/` is cell-partitioned so a search reads its
+  * probed cells' files (SURVEY §2c 30f). */
+object AnnIndexTool {
+
+  /** Train + persist; returns the indexed vector count. */
+  def build(spark: SparkSession, sfDir: String, indexPath: String): Long = {
+    val emb = Tables.spread(Tables.embeddings(spark, sfDir))
+    pipeline.AnnIndex.write(emb, indexPath)
+    pipeline.AnnIndex.manifest(spark, indexPath).head().getAs[Long]("n_vectors")
+  }
+
+  /** Probe a stored index with the standard query sample
+    * (`vec_id < NumQueries`); writes `outDir/neighbors` and returns
+    * the neighbor-row count. */
+  def search(spark: SparkSession, sfDir: String, indexPath: String,
+      outDir: String, k: Int): Long = {
+    val queries = Tables.spread(Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < pipeline.Similarity.NumQueries)
+    val out = pipeline.AnnIndex.search(queries,
+      pipeline.AnnIndex.load(spark, indexPath), topK = k)
+    out.write.mode("overwrite").parquet(s"$outDir/neighbors")
+    spark.read.parquet(s"$outDir/neighbors").count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val usage = "usage: AnnIndexTool build <sfDir> <indexPath> | " +
+      "AnnIndexTool search <sfDir> <indexPath> <outDir> [k]"
+    require(args.nonEmpty, usage)
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toSeq match {
+      case Seq("build", sfDir, indexPath) =>
+        val n = build(spark, sfDir, indexPath)
+        println(s"index built: $indexPath ($n vectors)")
+      case Seq("search", sfDir, indexPath, outDir) =>
+        val n = search(spark, sfDir, indexPath, outDir, pipeline.Similarity.TopK)
+        println(s"search written: $outDir/neighbors ($n rows)")
+      case Seq("search", sfDir, indexPath, outDir, k) =>
+        val n = search(spark, sfDir, indexPath, outDir, k.toInt)
+        println(s"search written: $outDir/neighbors ($n rows)")
+      case other => throw new IllegalArgumentException(s"$usage (got: $other)")
+    }
+    spark.stop()
+  }
+}

@@ -82,6 +82,23 @@ class AnnIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](AnnIndex.load(spark, path))
   }
 
+  test("AnnIndexTool CLI: build-then-search across invocations reproduces the in-query results") {
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ann_cli_idx").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft_ann_cli_out").toString
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    assert(graft.AnnIndexTool.build(spark, dir, idxPath) == emb.count())
+    val n = graft.AnnIndexTool.search(spark, dir, idxPath, outPath, Similarity.TopK)
+    assert(n == Similarity.NumQueries.toLong * Similarity.TopK)
+    // the written neighbor table is the in-query pipeline's result
+    val got = spark.read.parquet(s"$outPath/neighbors")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("approx_dist2"), r.getAs[Int]("rank"))).toSeq
+    val expected = Similarity.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected)
+  }
+
   test("search probes numProbes cells and respects topK") {
     val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
     val idx = AnnIndex.build(emb)
