@@ -230,6 +230,9 @@ object StreamingCorpus {
     val cents: Array[(Long, Array[Double], Double)] = index.centroids.collect()
       .map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Double]]("cv").toArray,
         r.getAs[Double]("cn2"))).sortBy(_._1)
+    // an index with no centroids has nothing to probe — fail loudly at
+    // setup rather than silently swallowing every arriving vector
+    require(cents.nonEmpty, "admitVectors: the ANN index has no centroids")
     val book: Map[(Int, Int), (Array[Double], Double)] = index.codebook.collect()
       .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
         ((r.getAs[Seq[Double]]("csub").toArray, r.getAs[Double]("cn2s")))).toMap
