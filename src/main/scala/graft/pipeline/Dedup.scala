@@ -730,7 +730,10 @@ object Dedup {
       configs.flatMap(nb => Seq(
         sum(when(agrees(nb), 1L).otherwise(0L)).as(s"cand_$nb"),
         sum(when(agrees(nb) && col("truth"), 1L).otherwise(0L)).as(s"hit_$nb")))
-    val summary = scored.agg(aggExprs.head, aggExprs.tail: _*)
+    // ONE row, localCheckpointed: each of the 5 config selects below
+    // re-references it, and without the pin every branch would re-run
+    // the whole pair pipeline (measured: 40 exchanges → 8)
+    val summary = scored.agg(aggExprs.head, aggExprs.tail: _*).localCheckpoint()
     configs.map { nb =>
       summary.select(lit(nb).as("n_bands"),
         lit(NumHashes / nb).as("rows_per_band"),

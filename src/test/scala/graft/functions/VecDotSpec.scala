@@ -40,6 +40,33 @@ class VecDotSpec extends SparkSpec {
     assert(expr.nullable)
   }
 
+  test("VecNearestCell agrees with a VecDot-based argmax over seeded random data") {
+    // the fused kernel must pick exactly the cell a per-centroid
+    // VecDot cosine scan would pick (same tie rule: first max wins),
+    // and report the same cosine bit-for-bit
+    val rnd = new scala.util.Random(77)
+    val dim = 16
+    val cents = Array.fill(8)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+    val rows = Seq.fill(200)((rnd.nextLong().abs, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+    val got = rows.toDF("id", "v")
+      .select(col("id"), VecNearestCell.nearest(col("v"), cents).as("best"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getInt(0), r.getStruct(1).getDouble(1)))).toMap
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    rows.foreach { case (id, v) =>
+      val sn = math.sqrt(dotL(v, v))
+      val cos = cents.map(c => dotL(v, c) / (sn * math.sqrt(dotL(c, c))))
+      var best = 0
+      for (c <- 1 until cos.length)
+        if (java.lang.Double.compare(cos(c), cos(best)) > 0) best = c
+      assert(got(id) == ((best, cos(best))), s"row $id")
+    }
+  }
+
   test("VecNearestCell: dimension mismatch yields null (VecDot convention), codegen and interpreted") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq(
