@@ -887,11 +887,8 @@ object Corpus {
       .limit(BpeVocabTopK)
   }
 
-  lazy val bpeVocabSql: String = {
-    // same unrolled chain as bpeMergesSql, aggregated over the FINAL
-    // encoded vocabulary instead of the merge table
-    val body = bpeMergesSql.split("\nSELECT step,")(0)
-    s"""$body
+  lazy val bpeVocabSql: String =
+    s"""WITH $bpeChainCtes
        |SELECT subword, CAST(SUM(wc) AS BIGINT) AS n_occurrences,
        |  COUNT(DISTINCT enc) AS n_word_types
        |FROM (
@@ -900,9 +897,12 @@ object Corpus {
        |  FROM w$BpeMerges)
        |GROUP BY subword
        |ORDER BY n_occurrences DESC, subword LIMIT $BpeVocabTopK""".stripMargin
-  }
 
-  val bpeMergesSql: String = {
+  /** The unrolled BPE CTE chain (w0 … w[[BpeMerges]] + per-step pair
+    * counts and winners) — shared verbatim by [[bpeMergesSql]] (reads
+    * the t$i winners) and [[bpeVocabSql]] (aggregates the final
+    * w[[BpeMerges]] vocabulary). */
+  private lazy val bpeChainCtes: String = {
     val w0 =
       """w0 AS (
         |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS enc, COUNT(*) AS wc
@@ -930,9 +930,13 @@ object Corpus {
          |      '<' || t.left_sym || t.right_sym || '>') AS enc
          |  FROM w${i - 1} w CROSS JOIN t$i t)""".stripMargin
     }
+    s"""$w0,
+       |${stepCtes.mkString(",\n")}""".stripMargin
+  }
+
+  lazy val bpeMergesSql: String = {
     val unions = (1 to BpeMerges).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
-    s"""WITH $w0,
-       |${stepCtes.mkString(",\n")}
+    s"""WITH $bpeChainCtes
        |SELECT step, left_sym, right_sym, merged, pair_count
        |FROM ($unions) ORDER BY step""".stripMargin
   }
