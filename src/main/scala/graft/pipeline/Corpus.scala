@@ -830,8 +830,10 @@ object Corpus {
       .filter(col("word").isNotNull)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       // "low" → "<l><o><w>": every symbol fully bracketed, so a merge
-      // pattern can never match across symbol boundaries
-      .select(col("wc"), regexp_replace(col("word"), "(.)", "<$1>").as("enc"))
+      // pattern can never match across symbol boundaries. `word` rides
+      // along so bpeEncode can join the final encoding back to docs.
+      .select(col("word"), col("wc"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("enc"))
       .localCheckpoint()
     val steps = (1 to BpeMerges).map { step =>
       val pairs = words
@@ -850,7 +852,7 @@ object Corpus {
         .localCheckpoint()
       words = words
         .crossJoin(broadcast(top.select(col("left_sym"), col("right_sym"))))
-        .select(col("wc"), replace(col("enc"),
+        .select(col("word"), col("wc"), replace(col("enc"),
           concat(lit("<"), col("left_sym"), lit("><"), col("right_sym"), lit(">")),
           concat(lit("<"), col("left_sym"), col("right_sym"), lit(">"))).as("enc"))
         .localCheckpoint()
@@ -898,6 +900,70 @@ object Corpus {
        |GROUP BY subword
        |ORDER BY n_occurrences DESC, subword LIMIT $BpeVocabTopK""".stripMargin
 
+  /** PER-DOCUMENT BPE application — the consumer view of the learned
+    * merges: each doc's post-merge token count, the number sequence
+    * packing and token-budget curation actually budget with (chars
+    * and whitespace words are proxies; BPE tokens are the unit the
+    * model consumes). Emits per doc the word count, the post-BPE
+    * token count (Σ per-word subword lengths over occurrences), and
+    * the chars-per-token compression the merges bought.
+    *
+    * Scale: the trained vocabulary is word-keyed metadata
+    * (unique-word-sized); the corpus side explodes to (doc, word)
+    * occurrences and meets it in ONE unhinted word-keyed equi-join
+    * (AQE decides — the vocab is usually broadcastable but grows with
+    * unique words, so no mandatory hint), then re-aggregates on
+    * doc_id. Exactly the two-shuffle shape of text_tokencount with a
+    * vocab probe in the middle. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOn(Tables.spread(Tables.documents(spark, dir)))
+
+  private[pipeline] def bpeEncodeOn(d: DataFrame): DataFrame = {
+    val (_, words) = bpePipeline(d)
+    val vocabTokens = words.select(col("word"),
+      size(split(regexp_replace(col("enc"), "^<|>$", ""), "><")).as("n_subwords"))
+    d.select(col("doc_id"),
+        explode_outer(filter(
+          split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " "),
+          t => length(t) > 0)).as("word"))
+      .join(vocabTokens, Seq("word"), "left") // null word rows (empty docs) stay
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("word").isNotNull, 1L).otherwise(0L)).as("n_words"),
+        coalesce(sum(col("n_subwords").cast("long")), lit(0L)).as("n_bpe_tokens"),
+        coalesce(sum(length(col("word")).cast("long")), lit(0L)).as("n_word_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_word_chars").cast("double") /
+          greatest(col("n_bpe_tokens"), lit(1L)).cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val bpeEncodeSql: String =
+    s"""WITH $bpeChainCtes,
+       |vocab_tokens AS (
+       |  SELECT word,
+       |    len(string_split(regexp_replace(enc, '^<|>$$', '', 'g'), '><')) AS n_subwords
+       |  FROM w$BpeMerges),
+       |doc_words AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |      string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |      t -> len(t) > 0)) AS word
+       |  FROM documents),
+       |agg AS (
+       |  SELECT dw.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(v.n_subwords) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(SUM(len(dw.word)) AS BIGINT) AS n_word_chars
+       |  FROM doc_words dw JOIN vocab_tokens v ON dw.word = v.word
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_words, 0) AS n_words,
+       |  COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  COALESCE(a.n_word_chars, 0) AS n_word_chars,
+       |  round(CAST(COALESCE(a.n_word_chars, 0) AS DOUBLE) /
+       |    CAST(greatest(COALESCE(a.n_bpe_tokens, 0), 1) AS DOUBLE), 6) AS chars_per_token
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The unrolled BPE CTE chain (w0 … w[[BpeMerges]] + per-step pair
     * counts and winners) — shared verbatim by [[bpeMergesSql]] (reads
     * the t$i winners) and [[bpeVocabSql]] (aggregates the final
@@ -905,7 +971,7 @@ object Corpus {
   private lazy val bpeChainCtes: String = {
     val w0 =
       """w0 AS (
-        |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS enc, COUNT(*) AS wc
+        |  SELECT word, regexp_replace(word, '(.)', '<\1>', 'g') AS enc, COUNT(*) AS wc
         |  FROM (
         |    SELECT unnest(list_filter(
         |      string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
@@ -925,7 +991,7 @@ object Corpus {
          |    cnt AS pair_count
          |  FROM p$i ORDER BY cnt DESC, pa, pb LIMIT 1),
          |w$i AS (
-         |  SELECT w.wc,
+         |  SELECT w.word, w.wc,
          |    replace(w.enc, '<' || t.left_sym || '><' || t.right_sym || '>',
          |      '<' || t.left_sym || t.right_sym || '>') AS enc
          |  FROM w${i - 1} w CROSS JOIN t$i t)""".stripMargin

@@ -71,6 +71,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(gotVocab == expVocab)
     // merged subwords must appear in the vocabulary (the merges paid off)
     assert(gotVocab.exists(_._1.length > 1))
+
+    // per-doc application: token counts follow the reference's final
+    // word encodings, and merges actually compress (tokens < chars)
+    val encLen = vocab.map { case (syms, _) => syms.mkString("") -> syms.length.toLong }
+    val docWords = d.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty).toSeq).toMap
+    val gotEnc = Corpus.bpeEncodeOn(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docWords.foreach { case (id, ws) =>
+      val expTokens = ws.map(encLen).sum
+      val expChars = ws.map(_.length.toLong).sum
+      assert(gotEnc(id) == ((ws.length.toLong, expTokens, expChars)), s"doc $id")
+      assert(expTokens < expChars, s"doc $id: merges bought no compression")
+    }
   }
 
   test("cleanStats conserves docs across stages and agrees with its component filters") {
