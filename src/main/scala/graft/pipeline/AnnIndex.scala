@@ -70,12 +70,36 @@ object AnnIndex {
     // after every relation landed, and the compatibility contract a
     // loader checks before probing (config drift between builder and
     // searcher silently corrupts ADC distances otherwise)
-    val spark = emb.sparkSession
+    writeManifest(emb.sparkSession, path, emb.count())
+  }
+
+  private def writeManifest(spark: SparkSession, path: String, n: Long): Unit = {
     import spark.implicits._
-    Seq((emb.count(), Similarity.Dim, Similarity.NumCentroids,
+    Seq((n, Similarity.Dim, Similarity.NumCentroids,
         Similarity.PqSubspaces, Similarity.PqCodes, true))
       .toDF("n_vectors", "dim", "num_centroids", "pq_m", "pq_k", "residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** ONLINE INSERT — add new `(vec_id, embedding)` vectors to a
+    * standing index WITHOUT retraining: each is assigned to its
+    * nearest STORED coarse cell and its residual quantized against the
+    * STORED codebook (the standard IVF insert posture — codebooks
+    * refresh on the offline rebuild cadence; until then new vectors
+    * are encoded under the standing geometry). Appends
+    * [[Similarity.PqSubspaces]] metadata rows per vector to `codes/`
+    * (cell-partitioned, so an append only touches its cells'
+    * directories), then re-commits the manifest with the grown count —
+    * manifest LAST, same commit-marker discipline as [[write]].
+    * Search needs no special casing: appended vectors are ordinary
+    * `(cell, m, code)` rows. */
+  def add(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val s = load(spark, path) // validates the manifest geometry first
+    Similarity.ivfPqEncode(prepare(emb), s.centroids, s.codebook, residual = true)
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    val n = manifest(spark, path).head().getAs[Long]("n_vectors")
+    writeManifest(spark, path, n + emb.count())
   }
 
   /** The stored index's build parameters (1 row). */
@@ -128,4 +152,26 @@ object AnnIndex {
     write(emb, path)
     search(emb.filter(col("vec_id") < Similarity.NumQueries), load(spark, path))
   }
+
+  /** Vectors below this id form the TRAINED base index in
+    * [[annIndexAdd]]; the rest arrive via [[add]]. 250 keeps both
+    * halves non-empty at every test scale (500–2000 vectors) and the
+    * training seeds (vec_id < 32) inside the base. */
+  val AddSplit = 250
+
+  /** Driver-visible entry (SURVEY §2c): build the index on the first
+    * [[AddSplit]] vectors, [[add]] the rest without retraining, then
+    * search — the full online-insert round-trip. Oracle:
+    * [[annIndexAddSql]], the IVF-PQ pipeline with codebook training
+    * restricted to the base split (appended vectors encoded under the
+    * stale codebook, exactly the insert contract). */
+  def annIndexAdd(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_add").toString
+    write(emb.filter(col("vec_id") < AddSplit), path)
+    add(emb.filter(col("vec_id") >= AddSplit), path)
+    search(emb.filter(col("vec_id") < Similarity.NumQueries), load(spark, path))
+  }
+
+  val annIndexAddSql: String = Similarity.ivfPqSqlTrainedBelow(Some(AddSplit))
 }

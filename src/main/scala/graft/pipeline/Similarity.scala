@@ -368,6 +368,56 @@ object Similarity {
     * rows per vector, the 16-bit-per-vector state an IVFADC index
     * actually stores. Candidate floats appear ONLY here (build time);
     * [[ivfPqSearch]] never reads them. */
+  /** Per-(vector, subspace) nearest-codebook-entry argmin as a
+    * map-side-combining aggregate — the broadcast expansion collapses
+    * before any exchange, so the shuffle carries n·M rows, not n·M·K
+    * (the window formulation this replaces shuffled the expansion).
+    * Shared by the Lloyd E-step, the final encode pass, and
+    * [[ivfPqEncode]]'s no-retrain insert path. */
+  private def nearestCode(in: DataFrame, book: DataFrame): DataFrame =
+    in.join(broadcast(book), Seq("m"))
+      .withColumn("dist2",
+        col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist2"), col("code"))).as("best"),
+        first(col("sub")).as("sub"), first(col("cell")).as("cell"))
+      .select(col("vec_id"), col("cell"), col("m"), col("best.code").as("code"), col("sub"))
+
+  /** Residual (or raw) subvector expansion for a cell-assigned frame
+    * `(vec_id, v, cell)` — the shared front half of training's encode
+    * pass and [[ivfPqEncode]]. */
+  private def subspacesOf(cells: DataFrame, cent: DataFrame, residual: Boolean): DataFrame = {
+    val centV = cent.select(col("cid").as("cell"), col("cv"))
+    val resCells =
+      if (residual) cells.join(broadcast(centV), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      else cells.select(col("vec_id"), col("cell"), col("v").as("rv"))
+    resCells
+      .select(col("vec_id"), col("cell"), col("rv"),
+        explode_outer(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        slice(col("rv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
+      .withColumn("sn2", dot(col("sub"), col("sub")))
+  }
+
+  /** ENCODE-ONLY pass against STORED index structures — the online
+    * insert path: assign each new vector to its nearest stored coarse
+    * cell, quantize its (residual) subvectors against the stored
+    * codebook, emit `(vec_id, cell, m, code)` rows. No retraining —
+    * the standard IVF insert (codebooks retrain on the offline
+    * cadence; until then new vectors are encoded under the standing
+    * geometry, exactly what [[AnnIndex.add]] appends). Map-side work
+    * only: centroids and codebook are K-row broadcast metadata, the
+    * single exchange carries n·M rows. */
+  private[pipeline] def ivfPqEncode(all: DataFrame, cent: DataFrame, cb: DataFrame,
+      residual: Boolean): DataFrame = {
+    val (cellsFull, _) = ivfAssign(all, cent)
+    val cells = cellsFull.select(col("vec_id"), col("v"), col("cell"))
+    nearestCode(subspacesOf(cells, cent, residual), cb)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+  }
+
   private[pipeline] def ivfPqTrain(all: DataFrame, residual: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
     val cent = all.filter(col("vec_id") < NumCentroids)
@@ -377,19 +427,8 @@ object Similarity {
     // are assigned at SEARCH time against the (stored) centroids
     val (cellsFull, _) = ivfAssign(all, cent)
     val cells = cellsFull.select(col("vec_id"), col("v"), col("cell"))
-    val centV = cent.select(col("cid").as("cell"), col("cv"))
     // residual per DATA vector: x − centroid(cell(x)) (raw mode: x)
-    val resCells =
-      if (residual) cells.join(broadcast(centV), Seq("cell"))
-        .select(col("vec_id"), col("cell"),
-          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
-      else cells.select(col("vec_id"), col("cell"), col("v").as("rv"))
-    val subs = resCells
-      .select(col("vec_id"), col("cell"), col("rv"),
-        explode_outer(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
-      .select(col("vec_id"), col("cell"), col("m"),
-        slice(col("rv"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sub"))
-      .withColumn("sn2", dot(col("sub"), col("sub")))
+    val subs = subspacesOf(cells, cent, residual)
       .localCheckpoint() // feeds codebook training AND the encode pass
     // TRAINED codebook: seeds = K NON-CENTROID subvectors, then ONE
     // Lloyd iteration per subspace (emb_kmeans's recipe: DECIMAL-exact
@@ -405,18 +444,6 @@ object Similarity {
       .filter(col("vec_id") >= NumCentroids && col("vec_id") < NumCentroids + PqCodes)
       .select(col("m"), (col("vec_id") - NumCentroids).cast("int").as("code"),
         col("sub").as("csub"), col("sn2").as("cn2s"))
-    def nearestCode(in: DataFrame, book: DataFrame): DataFrame =
-      // per-(vector, subspace) argmin as a map-side-combining
-      // aggregate — the broadcast expansion collapses before any
-      // exchange, so the shuffle carries n·M rows, not n·M·K (the
-      // window formulation this replaces shuffled the expansion)
-      in.join(broadcast(book), Seq("m"))
-        .withColumn("dist2",
-          col("sn2") - lit(2.0) * dot(col("sub"), col("csub")) + col("cn2s"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("dist2"), col("code"))).as("best"),
-          first(col("sub")).as("sub"), first(col("cell")).as("cell"))
-        .select(col("vec_id"), col("cell"), col("m"), col("best.code").as("code"), col("sub"))
     val cb = nearestCode(subs, cb0)
       .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
       .groupBy(col("m"), col("code"), col("pos"))
@@ -487,7 +514,18 @@ object Similarity {
     ivfPqSearch(queries, cent, cb, codes, residual)
   }
 
-  val annIvfPqSql: String = {
+  val annIvfPqSql: String = ivfPqSqlTrainedBelow(None)
+
+  /** [[annIvfPqSql]] with the codebook's Lloyd training restricted to
+    * `vec_id < trainLimit` while everything else (coarse assignment,
+    * the encode pass, probing, ADC) still covers the full table —
+    * i.e. the ground truth for "index BUILT on the first `trainLimit`
+    * vectors, the rest [[AnnIndex.add]]ed without retraining, then
+    * searched": stale-codebook encoding of the appended vectors is
+    * exactly what the online-insert contract promises. `None` = train
+    * on everything (the plain [[annIvfPq]] pipeline). */
+  private[pipeline] def ivfPqSqlTrainedBelow(trainLimit: Option[Int]): String = {
+    val trainWhere = trainLimit.map(k => s" WHERE s.vec_id < $k").getOrElse("")
     val dotSql = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
@@ -524,7 +562,7 @@ object Similarity {
        |    SELECT s.vec_id, s.m, c.code, s.sub,
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY s.sn2 - 2.0 * ${dotSql("s.sub", "c.csub")} + c.cn2s, c.code) AS rn
-       |    FROM subs2 s JOIN cb0 c ON s.m = c.m)
+       |    FROM subs2 s JOIN cb0 c ON s.m = c.m$trainWhere)
        |  WHERE rn = 1),
        |cbdims AS (
        |  SELECT m, code, i.i AS pos,

@@ -99,6 +99,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("add appends codes under the standing geometry without retraining") {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_add_spec").toString
+    val base = emb.filter(col("vec_id") < AnnIndex.AddSplit)
+    val tail = emb.filter(col("vec_id") >= AnnIndex.AddSplit)
+    AnnIndex.write(base, path)
+    val before = AnnIndex.load(spark, path)
+    val cbBefore = before.codebook.collect().toSet
+    val centBefore = before.centroids.collect().toSet
+    AnnIndex.add(tail, path)
+    val after = AnnIndex.load(spark, path)
+    // no retraining: the metadata relations are byte-identical
+    assert(after.codebook.collect().toSet == cbBefore)
+    assert(after.centroids.collect().toSet == centBefore)
+    // bookkeeping: PqSubspaces rows per vector, manifest re-committed
+    assert(after.codes.count() == emb.count() * Similarity.PqSubspaces)
+    assert(AnnIndex.manifest(spark, path).head().getAs[Long]("n_vectors") == emb.count())
+    // the parquet round-trip reproduces the live-frame insert path:
+    // train on the base, encode everything under it, search — same
+    // neighbors, distances and ranks
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+    val got = AnnIndex.search(queries, after).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val trained = AnnIndex.build(base)
+    val live = Similarity.ivfPqSearch(
+      queries.select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"))
+        .withColumn("qn2", graft.functions.VecDot.dot(col("qv"), col("qv"))),
+      trained.centroids, trained.codebook,
+      Similarity.ivfPqEncode(
+        emb.select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v"))),
+        trained.centroids, trained.codebook, residual = true),
+      residual = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == live)
+    // the appended half actually participates in search results
+    assert(got.exists(_._2 >= AnnIndex.AddSplit))
+  }
+
   test("search probes numProbes cells and respects topK") {
     val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
     val idx = AnnIndex.build(emb)
