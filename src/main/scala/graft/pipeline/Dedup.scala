@@ -279,7 +279,7 @@ object Dedup {
     * shared by [[clusters]] (exact ngram edges) and [[minhashClusters]]
     * (LSH-estimated edges). Output: (doc_id, cluster_id, is_canonical),
     * unsorted (composing callers sort once, at the end). */
-  private def componentsFromPairs(pairs: DataFrame): DataFrame = {
+  private[pipeline] def componentsFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
       .localCheckpoint()

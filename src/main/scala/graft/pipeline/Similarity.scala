@@ -673,4 +673,113 @@ object Similarity {
        |LEFT JOIN ivfpqq pq ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
        |GROUP BY bf.query_id
        |ORDER BY bf.query_id""".stripMargin
+
+  // ------------------------------------------------------------ #28x kNN graph
+
+  /** Neighbors per vector in the kNN graph. */
+  val KnnK = 5
+
+  /** Top-[[KnnK]] edge list per vector, candidates restricted to the
+    * vector's own hyperplane bucket ([[bucketCol]]) — the ALL-vectors
+    * generalization of [[annLshBucketed]]'s query-sample search. The
+    * self equi-join on `bucket` shuffles BOTH sides on the bucket key
+    * (no broadcast — both sides are the corpus), so work is
+    * Σ occupancy² per bucket, n²/2^planes in expectation, and the
+    * rank window partitions on vec_id over bucket-sized candidate
+    * lists. At 100 TB: more planes + multi-probe, same two-exchange
+    * shape. localCheckpoint: both graph consumers (the mutual flag
+    * and the components fixpoint) probe the edge relation twice. */
+  private def knnEdges(prepared: DataFrame): DataFrame = {
+    val b = prepared.withColumn("bucket", bucketCol(col("v")))
+    val nb = b.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      col("n2").as("nn2"), col("bucket"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    b.select(col("vec_id"), col("v"), col("n2"), col("bucket"))
+      .join(nb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cosine(dot(col("v"), col("nv")), col("n2"), col("nn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .localCheckpoint()
+  }
+
+  /** SEMANTIC NEIGHBORHOOD GRAPH over the whole embedding table —
+    * every vector's [[KnnK]] nearest bucketed neighbors plus a
+    * `mutual` flag (the neighbor lists each other back): the standard
+    * substrate for semantic clustering, label propagation, and
+    * graph-based dedup. Mutuality is a self-join of the (n·k)-row
+    * edge list on the reversed key — edge-relation-sized work,
+    * independent of corpus width. */
+  def embKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(vecs(spark, dir))
+    val rev = edges.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"), lit(1).as("rev_hit"))
+    edges.join(rev, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rank"),
+        col("rev_hit").isNotNull.as("mutual"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val embKnnGraphSql: String =
+    s"""$vecsCteSql,
+       |b AS (SELECT vec_id, v, n2, ${bucketSql("v")} AS bucket FROM vecs),
+       |scored AS (
+       |  SELECT q.vec_id, c.vec_id AS neighbor_id, $cosSql AS cos_sim
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored),
+       |edges AS (SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= $KnnK)
+       |SELECT e1.vec_id, e1.neighbor_id, e1.cos_sim, e1.rank,
+       |  (e2.vec_id IS NOT NULL) AS mutual
+       |FROM edges e1
+       |LEFT JOIN edges e2 ON e1.neighbor_id = e2.vec_id AND e1.vec_id = e2.neighbor_id
+       |ORDER BY e1.vec_id, e1.rank""".stripMargin
+
+  /** SEMANTIC COMPONENTS: connected components over the MUTUAL kNN
+    * edges — mutual-kNN clustering, the conservative graph-clustering
+    * variant (one-directional edges chain unrelated neighborhoods
+    * through hub vectors; mutual edges don't). Reuses the dedup
+    * min-label/pointer-jump fixpoint ([[Dedup.componentsFromPairs]])
+    * over the (≤ n·k/2)-row mutual pair relation — iterations touch
+    * the edge relation only, never the vectors. */
+  def embKnnComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(vecs(spark, dir))
+    val mutual = edges.as("e1")
+      .join(edges.select(col("neighbor_id").as("a2"), col("vec_id").as("b2")).as("e2"),
+        col("e1.vec_id") === col("a2") && col("e1.neighbor_id") === col("b2"))
+      .filter(col("e1.vec_id") < col("e1.neighbor_id"))
+      .select(col("e1.vec_id").as("doc_id_1"), col("e1.neighbor_id").as("doc_id_2"))
+    Dedup.componentsFromPairs(mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("component_id"),
+        col("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embKnnComponentsSql: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS n2
+       |  FROM e),
+       |b AS (SELECT vec_id, v, n2, ${bucketSql("v")} AS bucket FROM vecs),
+       |scored AS (
+       |  SELECT q.vec_id, c.vec_id AS neighbor_id, $cosSql AS cos_sim
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |edges AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= $KnnK),
+       |mut AS (
+       |  SELECT e1.vec_id AS a, e1.neighbor_id AS b
+       |  FROM edges e1 JOIN edges e2 ON e1.neighbor_id = e2.vec_id AND e1.vec_id = e2.neighbor_id),
+       |verts AS (SELECT DISTINCT a AS doc FROM mut),
+       |reach AS (
+       |  SELECT doc, doc AS r FROM verts
+       |  UNION
+       |  SELECT m.b AS doc, reach.r FROM reach JOIN mut m ON m.a = reach.doc)
+       |SELECT doc AS vec_id, MIN(r) AS component_id, (doc = MIN(r)) AS is_canonical
+       |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin
 }

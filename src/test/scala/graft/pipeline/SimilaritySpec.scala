@@ -101,4 +101,45 @@ class SimilaritySpec extends SparkSpec {
       assert(v >= 0.0 && v <= 1.0, s"recall_ivfpq out of range: $v")
     }
   }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("emb_knn_graph: ranked bucket-local neighbor lists with a symmetric mutual flag") {
+    val out = Similarity.embKnnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    // per-vector: ranks are 1..k contiguous, neighbors distinct, no self-edges
+    out.groupBy(_._1).foreach { case (v, es) =>
+      assert(es.map(_._4).sorted.toSeq == (1 to es.length), s"ranks not contiguous for $v")
+      assert(es.map(_._2).distinct.length == es.length)
+      assert(es.forall(_._2 != v))
+      // ranks order by descending cosine
+      assert(es.sortBy(_._4).map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // mutual is exactly "the reverse edge exists"
+    val edgeSet = out.map(e => (e._1, e._2)).toSet
+    out.foreach { e =>
+      assert(e._5 == edgeSet.contains((e._2, e._1)), s"mutual flag wrong on $e")
+    }
+    assert(out.exists(_._5), "no mutual edges at all — graph degenerate")
+  }
+
+  test("emb_knn_components: mutual edges never cross components; labels are member minima") {
+    val graph = Similarity.embKnnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    val comp = Similarity.embKnnComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val label = comp.map(c => c._1 -> c._2).toMap
+    // exactly the vectors with a mutual edge are labeled
+    assert(label.keySet == graph.filter(_._3).map(_._1).toSet)
+    // every mutual edge stays inside one component
+    graph.filter(_._3).foreach { case (a, b, _) =>
+      assert(label(a) == label(b), s"mutual edge ($a,$b) crosses components")
+    }
+    // the label is the component's minimum member, held by its canonical
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.filter(_._3).map(_._1).toSeq == Seq(cid))
+    }
+  }
 }
