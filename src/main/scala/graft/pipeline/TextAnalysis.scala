@@ -163,6 +163,105 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ #32b Gopher rule battery
+
+  /** The MassiveText stop set: a doc must contain ≥ 2 of these (Rae
+    * et al. 2021, A.1.1 — the "contains 2 of 8 common English words"
+    * rule). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The MassiveText/Gopher QUALITY RULE BATTERY (Rae et al. 2021,
+    * A.1.1) — the rule set most large-scale text pipelines start
+    * from, as measured values plus the conjunction verdict:
+    * word count ∈ [50, 100k], mean word length ∈ [3, 10],
+    * #/ellipsis symbol-to-word ratio ≤ 0.1, ≥ 80% of words carry an
+    * alphabetic character, ≥ 2 distinct [[GopherStops]], ≤ 90% of
+    * lines bullet-started, ≤ 30% ellipsis-ended. Deliberately
+    * rational arithmetic only (counts and one rounded division per
+    * ratio) so the verdicts hash-match the oracle bit-for-bit.
+    * Map-only: one codegen'd scan, no shuffle before the
+    * presentation sort — [[quality]]'s scale shape. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(docs(spark, dir))
+
+  /** [[gopherRules]] over any `(doc_id, text)`-shaped frame (spec
+    * entry point for boundary-case corpora). */
+  private[pipeline] def gopherRulesOn(in: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val lines = col("lines")
+    val nW = greatest(size(toks), lit(1)).cast("double")
+    val nL = greatest(size(lines), lit(1)).cast("double")
+    val stopArr = array(GopherStops.map(lit): _*)
+    in
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("lines", filter(split(col("text"), "\n"), l => length(l) > 0))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nW, 6))
+      .withColumn("symbol_ratio",
+        round(size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+          .cast("double") / nW, 6))
+      .withColumn("alpha_word_ratio",
+        round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nW, 6))
+      .withColumn("n_stop_hits", size(array_intersect(toks, stopArr)).cast("long"))
+      .withColumn("bullet_line_ratio",
+        round(size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") / nL, 6))
+      .withColumn("ellipsis_line_ratio",
+        round(size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+          .cast("double") / nL, 6))
+      .withColumn("n_rules_passed",
+        Seq(col("n_words").between(50L, 100000L),
+          col("mean_word_len").between(3.0d, 10.0d),
+          col("symbol_ratio") <= 0.1d,
+          col("alpha_word_ratio") >= 0.8d,
+          col("n_stop_hits") >= 2L,
+          col("bullet_line_ratio") <= 0.9d,
+          col("ellipsis_line_ratio") <= 0.3d)
+          .map(_.cast("long")).reduce(_ + _))
+      .withColumn("pass_gopher", col("n_rules_passed") === 7L)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        col("alpha_word_ratio"), col("n_stop_hits"), col("bullet_line_ratio"),
+        col("ellipsis_line_ratio"), col("n_rules_passed"), col("pass_gopher"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopSet = GopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $tokensSql AS tokens,
+       |    list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, tokens, lines,
+       |    CAST(greatest(len(tokens), 1) AS DOUBLE) AS nw,
+       |    CAST(greatest(len(lines), 1) AS DOUBLE) AS nl
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(len(tokens) AS BIGINT) AS n_words,
+       |    round(CAST(list_reduce(list_prepend(0, list_transform(tokens, t -> len(t))),
+       |      (acc, x) -> acc + x) AS DOUBLE) / nw, 6) AS mean_word_len,
+       |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / nw, 6) AS symbol_ratio,
+       |    round(CAST(len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / nw, 6) AS alpha_word_ratio,
+       |    CAST(len(list_intersect(list_distinct(tokens), [$stopSet])) AS BIGINT) AS n_stop_hits,
+       |    round(CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE) / nl, 6) AS bullet_line_ratio,
+       |    round(CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE) / nl, 6) AS ellipsis_line_ratio
+       |  FROM m)
+       |SELECT *,
+       |  (CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
+       |   + CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT)
+       |   + CAST(symbol_ratio <= 0.1 AS BIGINT)
+       |   + CAST(alpha_word_ratio >= 0.8 AS BIGINT)
+       |   + CAST(n_stop_hits >= 2 AS BIGINT)
+       |   + CAST(bullet_line_ratio <= 0.9 AS BIGINT)
+       |   + CAST(ellipsis_line_ratio <= 0.3 AS BIGINT)) AS n_rules_passed,
+       |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |   AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 AND n_stop_hits >= 2
+       |   AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3) AS pass_gopher
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ #33 token counting
 
   /** BPE-ish pre-tokenizer regex: letter runs, digit runs, single

@@ -246,4 +246,35 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("gopherRules: each rule trips exactly at its documented boundary") {
+    import spark.implicits._
+    val stops = "the be to of and that have with"   // 8 stop words, 24 chars
+    val pass49 = stops + (" word" * 41)             // 49 words
+    val pass50 = stops + (" word" * 42)             // 50 words — minimum
+    val shortW = ("a " * 48) + "the to"             // mean word len 53/50 < 3
+    val symbols = pass50 + (" # # # # # #")         // 6/56 ≈ 0.107 > 0.1
+    val numeric = ("123 " * 50).trim                // no alpha, no stops
+    val bullets = ("- " + stops + " item\n") * 10   // every line bullet-led
+    val docs = Seq(
+      (0L, pass50), (1L, pass49), (2L, shortW), (3L, symbols),
+      (4L, numeric), (5L, bullets)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Boolean]("pass_gopher"), s"baseline doc should pass: ${out(0L)}")
+    assert(out(0L).getAs[Long]("n_words") == 50L)
+    assert(out(0L).getAs[Long]("n_stop_hits") == 8L)
+    assert(!out(1L).getAs[Boolean]("pass_gopher")) // 49 words: one short of minimum
+    assert(out(1L).getAs[Long]("n_words") == 49L)
+    assert(!out(2L).getAs[Boolean]("pass_gopher")) // mean word length below 3
+    assert(out(2L).getAs[Double]("mean_word_len") < 3.0)
+    assert(!out(3L).getAs[Boolean]("pass_gopher")) // symbol-to-word over 0.1
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!out(4L).getAs[Boolean]("pass_gopher")) // no alphabetic words, no stops
+    assert(out(4L).getAs[Double]("alpha_word_ratio") == 0.0)
+    assert(out(4L).getAs[Long]("n_stop_hits") == 0L)
+    assert(out(4L).getAs[Double]("mean_word_len") == 3.0) // boundary: inclusive
+    assert(!out(5L).getAs[Boolean]("pass_gopher")) // all lines bullet-led
+    assert(out(5L).getAs[Double]("bullet_line_ratio") == 1.0)
+  }
 }
