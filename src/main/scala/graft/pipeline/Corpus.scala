@@ -1175,6 +1175,135 @@ object Corpus {
        |FROM e CROSS JOIN d2
        |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ #28z top-k PCA
+
+  /** Principal components extracted per deflation round. */
+  val PcaComponents = 3
+
+  /** TOP-[[PcaComponents]] PCA DIRECTIONS by power iteration with
+    * Hotelling DEFLATION — the multi-component extension of
+    * [[embPowerIteration]]'s building block: extract the dominant
+    * direction (two unrolled matvec rounds from the all-ones start,
+    * the parent operator's contract), NORMALIZE it, project it out of
+    * every vector (v ← v − (v·e)e), repeat on the deflated corpus.
+    * Emits the three unit directions per dimension — the basis a
+    * 3-D embedding map / whitening pass consumes.
+    *
+    * Determinism across engines: every materialization point is
+    * rounded (matvec sums DECIMAL(27,12)-exact as in the parent; the
+    * norm accumulates m² in DECIMAL(38,12) — round-2 magnitudes
+    * square to ~1e18, past DECIMAL(27,12)'s 15 integer digits; unit
+    * components rounded to 6), and all elementwise IEEE arithmetic
+    * shares the oracle's fold order. Scale: each matvec is one
+    * broadcast + posexplode + d-key aggregate (n·d-row exchange);
+    * deflation is map-only against the broadcast 1-row direction;
+    * 3 components = 6 unrolled matvec exchanges, corpus read once
+    * (localCheckpoint between deflations). */
+  def embPcaTopk(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint() // three deflation chains re-read the corpus
+    var vs = vecs
+    val es = (1 to PcaComponents).map { k =>
+      val e = unitize(topDirection(vs)).localCheckpoint()
+      if (k < PcaComponents) vs = deflate(vs, dirArray(e)).localCheckpoint()
+      e
+    }
+    es.zipWithIndex
+      .map { case (e, i) => e.select(col("pos"), col("e").as(s"pc${i + 1}")) }
+      .reduce((a, b) => a.join(b, Seq("pos")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        col("pc1"), col("pc2"), col("pc3"))
+      .orderBy(col("dim"))
+  }
+
+  /** u[pos] = Σ_rows (v·direction)·v[pos], DECIMAL-exact — one
+    * broadcast of the 1-row direction, one n·d-row exchange. */
+  private def matvecOn(vs: DataFrame, direction: DataFrame): DataFrame = {
+    import graft.functions.VecDot.dot
+    vs.join(broadcast(direction), lit(true))
+      .withColumn("s", dot(col("v"), col("dv")))
+      .select(col("s"), posexplode_outer(col("v")).as(Seq("pos", "x")))
+      .select(col("pos"), (col("s") * col("x")).cast("decimal(27,12)").as("sx"))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("sx")).cast("double"), 6).as("m"))
+  }
+
+  /** Two unrolled power-iteration rounds from the all-ones start —
+    * [[embPowerIteration]]'s recipe over any `(vec_id, v)` frame. */
+  private def topDirection(vs: DataFrame): DataFrame = {
+    val ones = vs.limit(1).select(transform(col("v"), _ => lit(1.0d)).as("dv"))
+    val u1 = matvecOn(vs, ones)
+    val d1 = u1.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("dv"))
+    matvecOn(vs, d1)
+  }
+
+  /** (pos, m) → unit-normalized (pos, e), norm DECIMAL-exact. */
+  private def unitize(u: DataFrame): DataFrame = {
+    val n = u.agg(
+      sqrt(sum((col("m") * col("m")).cast("decimal(38,12)")).cast("double")).as("nrm"))
+    u.crossJoin(broadcast(n))
+      .select(col("pos"), round(col("m") / col("nrm"), 6).as("e"))
+  }
+
+  /** (pos, e) → 1-row `dv` array, ordered by pos. */
+  private def dirArray(e: DataFrame): DataFrame =
+    e.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("e")))),
+        s => s.getField("e")).as("dv"))
+
+  /** Hotelling deflation: v ← v − (v·e)e against the broadcast unit
+    * direction — map-only. */
+  private def deflate(vs: DataFrame, e: DataFrame): DataFrame = {
+    import graft.functions.VecDot.dot
+    vs.join(broadcast(e), lit(true))
+      .withColumn("p", dot(col("v"), col("dv")))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("dv"), (a, b) => a - col("p") * b).as("v"))
+  }
+
+  /** One power-iteration + normalization CTE block over `$src`
+    * (suffix `$tag`), mirroring [[matvecOn]]/[[unitize]] exactly. */
+  private def pcaRoundCtes(src: String, tag: String): String =
+    s"""s1$tag AS (
+       |  SELECT v, ${sqlDot("v", "list_transform(v, x -> CAST(1.0 AS DOUBLE))")} AS s FROM $src),
+       |u1$tag AS (
+       |  SELECT i.i AS pos, round(CAST(SUM(CAST(s * v[i.i] AS DECIMAL(27,12))) AS DOUBLE), 6) AS m
+       |  FROM s1$tag, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+       |  GROUP BY i.i),
+       |d1$tag AS (SELECT list(m ORDER BY pos) AS dv FROM u1$tag),
+       |s2$tag AS (
+       |  SELECT v, ${sqlDot("v", s"d1$tag.dv")} AS s FROM $src CROSS JOIN d1$tag),
+       |u2$tag AS (
+       |  SELECT i.i AS pos, round(CAST(SUM(CAST(s * v[i.i] AS DECIMAL(27,12))) AS DOUBLE), 6) AS m
+       |  FROM s2$tag, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+       |  GROUP BY i.i),
+       |n$tag AS (
+       |  SELECT CAST(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)) AS DOUBLE) AS nrm FROM u2$tag),
+       |e$tag AS (SELECT list(round(m / n$tag.nrm, 6) ORDER BY pos) AS ev FROM u2$tag, n$tag)""".stripMargin
+
+  /** Deflation CTE: `$out` = `$src` minus its `e$k` projection. */
+  private def pcaDeflateCte(src: String, k: Int, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, list_transform(generate_series(1, len(v)), i -> v[i] - p * ev[i]) AS v
+       |  FROM (SELECT t.vec_id, t.v, ${sqlDot("t.v", s"e$k.ev")} AS p, e$k.ev AS ev
+       |        FROM $src t CROSS JOIN e$k))""".stripMargin
+
+  val embPcaTopkSql: String =
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${pcaRoundCtes("v0", "1")},
+       |${pcaDeflateCte("v0", 1, "w1")},
+       |${pcaRoundCtes("w1", "2")},
+       |${pcaDeflateCte("w1", 2, "w2")},
+       |${pcaRoundCtes("w2", "3")}
+       |SELECT CAST(i.i AS INT) AS dim, e1.ev[i.i] AS pc1, e2.ev[i.i] AS pc2, e3.ev[i.i] AS pc3
+       |FROM e1 CROSS JOIN e2 CROSS JOIN e3,
+       |  LATERAL (SELECT unnest(generate_series(1, len(e1.ev))) AS i) i
+       |ORDER BY dim""".stripMargin
+
   // ------------------------------------------------------------ #28r quality deciles
 
   /** Corpus quality deciles — the curriculum/ablation report: docs

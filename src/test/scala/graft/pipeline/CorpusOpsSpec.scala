@@ -247,6 +247,26 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("embPcaTopk: unit directions, mutually orthogonal, pc1 = normalized parent direction") {
+    val rows = Corpus.embPcaTopk(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length == 64)
+    val pcs = Seq(rows.map(_._2), rows.map(_._3), rows.map(_._4))
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    pcs.foreach { p => assert(math.abs(dot(p, p) - 1.0) < 1e-4, s"not unit: ${dot(p, p)}") }
+    for (i <- 0 until 3; j <- i + 1 until 3)
+      assert(math.abs(dot(pcs(i), pcs(j))) < 0.05,
+        s"pc${i + 1} and pc${j + 1} not orthogonal: ${dot(pcs(i), pcs(j))}")
+    // pc1 is the parent operator's converged direction, normalized
+    val u2 = Corpus.embPowerIteration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("u2"))).sortBy(_._1).map(_._2)
+    val n = math.sqrt(dot(u2, u2))
+    u2.map(_ / n).zip(pcs(0)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5, s"pc1 drifts from parent: $a vs $b")
+    }
+  }
+
   test("gopherRules: each rule trips exactly at its documented boundary") {
     import spark.implicits._
     val stops = "the be to of and that have with"   // 8 stop words, 24 chars
