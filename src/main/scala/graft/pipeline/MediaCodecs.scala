@@ -142,6 +142,74 @@ object MediaCodecs {
       bits
     }
 
+  /** 64-bit DCT perceptual hash (pHash) of a netpbm image — the
+    * frequency-domain fingerprint: mean-pool luma to a 32×32 grid,
+    * 2-D DCT-II, keep the 8×8 LOW-FREQUENCY block, set bit
+    * (v·8 + u) iff its coefficient exceeds the block's median
+    * (mean of the two middle order statistics — deterministic for
+    * the even count). Any monotone rescaling of luma (contrast,
+    * encoding maxVal) preserves coefficient ORDER, so the hash is
+    * invariant where [[averageHash]] is; structured low-frequency
+    * content additionally survives local pixel noise that flips
+    * aHash cells. None where the payload doesn't parse. */
+  def perceptualHash(payload: Array[Byte]): Option[Long] =
+    parseNetpbmHeader(payload).map { case (channels, width, height, _, pos) =>
+      val G = 32
+      val grid = new Array[Double](G * G)
+      val cnt = new Array[Int](G * G)
+      var y = 0
+      while (y < height) {
+        val gy = y * G / height
+        var x = 0
+        while (x < width) {
+          val gx = x * G / width
+          grid(gy * G + gx) += lumaAt(payload, pos, channels, y * width + x)
+          cnt(gy * G + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < G * G) { if (cnt(i) > 0) grid(i) /= cnt(i); i += 1 }
+      // separable low-frequency DCT-II: rows first (8 output freqs),
+      // then columns — O(K·G²) instead of the naive O(K²·G²)
+      val K = 8
+      val cosT = Array.tabulate(K, G)((u, x) =>
+        math.cos(math.Pi * (2 * x + 1) * u / (2.0 * G)))
+      val rowT = Array.ofDim[Double](G, K) // rowT(y)(u) = Σ_x grid(y,x)·cos(u,x)
+      y = 0
+      while (y < G) {
+        var u = 0
+        while (u < K) {
+          var acc = 0.0
+          var x = 0
+          while (x < G) { acc += grid(y * G + x) * cosT(u)(x); x += 1 }
+          rowT(y)(u) = acc
+          u += 1
+        }
+        y += 1
+      }
+      val coef = new Array[Double](K * K)
+      var v = 0
+      while (v < K) {
+        var u = 0
+        while (u < K) {
+          var acc = 0.0
+          var yy = 0
+          while (yy < G) { acc += rowT(yy)(u) * cosT(v)(yy); yy += 1 }
+          coef(v * K + u) = acc
+          u += 1
+        }
+        v += 1
+      }
+      val sorted = coef.sorted
+      val median = (sorted(31) + sorted(32)) / 2.0
+      var bits = 0L
+      i = 0
+      while (i < 64) { if (coef(i) > median) bits |= (1L << i); i += 1 }
+      bits
+    }
+
   final case class DecodedVideo(width: Int, height: Int, nFrames: Int,
       sampledFrames: Seq[Int], sampledMeanLuma: Seq[Double])
 

@@ -265,18 +265,24 @@ object Multimodal {
     * bucket (e.g. flat single-color images) is an AQE-splittable join
     * input, with the same df-cap option ngram_jaccard documents if a
     * degenerate hash dominates a corpus. */
-  def imageDedup(spark: SparkSession, media: DataFrame): DataFrame = {
-    val hashes = imageHashes(spark, media).toDF()
-    val blocks = hashes.select(col("doc_id"), col("ahash"),
+  def imageDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    hammingPairs(imageHashes(spark, media).toDF(), "ahash")
+
+  /** The shared pigeonhole pair generator over a 64-bit hash column:
+    * candidates by exact match on any of four 16-bit blocks (shuffle
+    * on (block_idx, block_value) only), exact hamming filter at
+    * ≤ [[ImageHammingMax]] — complete by the pigeonhole cover. */
+  private def hammingPairs(hashes: DataFrame, hcol: String): DataFrame = {
+    val blocks = hashes.select(col("doc_id"), col(hcol).as("h"),
         explode(expr("sequence(0, 3)")).as("block_idx"))
-      .withColumn("block_val", expr("shiftright(ahash, block_idx * 16) & 65535"))
+      .withColumn("block_val", expr("shiftright(h, block_idx * 16) & 65535"))
     blocks.as("a").join(blocks.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
           col("a.block_val") === col("b.block_val") &&
           col("a.doc_id") < col("b.doc_id"))
       // a pair can share several blocks — dedupe before the exact filter
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+        col("a.h").as("h1"), col("b.h").as("h2"))
       .distinct()
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= ImageHammingMax)
@@ -287,4 +293,30 @@ object Multimodal {
   /** End-to-end image near-dup over the synthesized corpus images. */
   def imageDedupPipeline(spark: SparkSession, dir: String): DataFrame =
     imageDedup(spark, attachMedia(spark, graft.Tables.documents(spark, dir)))
+
+  case class ImagePhash(doc_id: Long, phash: Long)
+
+  /** DCT pHash per decodable image — same batch shape as
+    * [[imageHashes]]. */
+  def imagePhashes(spark: SparkSession, media: DataFrame): Dataset[ImagePhash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap(r => MediaCodecs.perceptualHash(r.payload).map(ImagePhash(r.doc_id, _)))
+    }
+  }
+
+  /** Image near-dup pairs under the FREQUENCY-DOMAIN hash
+    * ([[MediaCodecs.perceptualHash]]) — [[imageDedup]]'s plan with
+    * pHash bits: mean-pooled 32×32 luma through a low-frequency
+    * 8×8 DCT block, bits vs the block median. Same pigeonhole block
+    * cover, so output is exactly all pairs at pHash-hamming ≤
+    * [[ImageHammingMax]]; pHash survives local pixel noise that
+    * flips aHash cells, the standard trade for the extra DCT per
+    * image (still one map-side pass, 8 bytes/row shuffled). */
+  def imagePhashDedup(spark: SparkSession, media: DataFrame): DataFrame =
+    hammingPairs(imagePhashes(spark, media).toDF(), "phash")
+
+  /** End-to-end pHash near-dup over the synthesized corpus images. */
+  def imagePhashPipeline(spark: SparkSession, dir: String): DataFrame =
+    imagePhashDedup(spark, attachMedia(spark, graft.Tables.documents(spark, dir)))
 }

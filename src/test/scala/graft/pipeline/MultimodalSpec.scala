@@ -164,6 +164,53 @@ class MultimodalSpec extends SparkSpec {
     assert(e2e.forall(_.getAs[Int]("hamming") <= Multimodal.ImageHammingMax))
   }
 
+  test("pHash: encoding/contrast invariant, noise-robust, bucketed pairs = brute force") {
+    import spark.implicits._
+    def grad(x: Int, y: Int): Int = (x * 8 + y * 4) % 200
+    // same luma as PGM and as gray PPM; contrast-scaled copy; a copy
+    // under salt-and-pepper noise at isolated pixels; an unrelated
+    // structure; an undecodable payload
+    def noisy(x: Int, y: Int): Int =
+      if ((x * 31 + y * 17) % 97 == 0) math.min(255, grad(x, y) + 25) else grad(x, y)
+    val imgs = Seq(
+      Multimodal.MediaRow(1L, MediaCodecs.encodePgm(32, 32, grad), 32, 32, "pgm"),
+      Multimodal.MediaRow(2L, MediaCodecs.encodePpm(32, 32, (x, y) => (grad(x, y), grad(x, y), grad(x, y))), 32, 32, "ppm"),
+      Multimodal.MediaRow(3L, MediaCodecs.encodePgm(32, 32, (x, y) => grad(x, y) / 2), 32, 32, "pgm"),
+      Multimodal.MediaRow(4L, MediaCodecs.encodePgm(32, 32, noisy), 32, 32, "pgm"),
+      Multimodal.MediaRow(5L, MediaCodecs.encodePgm(32, 32, (x, y) => ((x ^ y) * 37) % 256), 32, 32, "pgm"),
+      Multimodal.MediaRow(6L, "not an image".getBytes("UTF-8"), 4, 3, "jpeg"))
+    val media = imgs.toDF()
+    val ph = Multimodal.imagePhashes(spark, media).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    assert(ph.keySet == Set(1L, 2L, 3L, 4L, 5L)) // undecodable dropped
+    // PGM and gray PPM of the SAME luma hash identically; BT.601 of
+    // (g,g,g) is g exactly
+    assert(ph(1L) == ph(2L))
+    // halving contrast preserves every coefficient comparison
+    assert(ph(1L) == ph(3L))
+    // isolated-pixel noise stays within the near-dup threshold for
+    // the low-frequency hash
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(4L)) <= Multimodal.ImageHammingMax,
+      s"noise moved pHash too far: ${java.lang.Long.bitCount(ph(1L) ^ ph(4L))}")
+    // unrelated structure is far away
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(5L)) > Multimodal.ImageHammingMax)
+
+    // bucketed pair generation is exactly brute force at <= threshold
+    val expected = (for {
+      a <- ph.keys; b <- ph.keys if a < b
+      d = java.lang.Long.bitCount(ph(a) ^ ph(b)) if d <= Multimodal.ImageHammingMax
+    } yield (a, b, d)).toSet
+    val got = Multimodal.imagePhashDedup(spark, media).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected, s"bucketed pHash pairs $got != brute force $expected")
+
+    // end-to-end over the synthesized corpus: runs and respects the threshold
+    val e2e = Multimodal.imagePhashPipeline(spark, dir).collect()
+    assert(e2e.nonEmpty)
+    assert(e2e.forall(_.getAs[Int]("hamming") <= Multimodal.ImageHammingMax))
+  }
+
   test("stubbed decode emits deterministic features with real batch plumbing") {
     val feats = Multimodal.pipeline(spark, dir)
     val rows = feats.collect()
