@@ -311,6 +311,33 @@ object Queries {
       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** Explicit GROUPING SETS over (priority) and (status) — the
+    * non-hierarchical complement to [[qRollup]]/[[qCube]]: exactly the
+    * two single-dimension marginals, no cross cells, in ONE
+    * aggregation (each input row fans to its 2 set memberships before
+    * the single shuffle — two GROUP BY queries for the price of one
+    * exchange). The 100 TB note from cube applies: the fan-out is
+    * |sets|, chosen explicitly instead of 2^dims. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("priority"), col("status"))
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY priority, status""".stripMargin
+
   /** Anti join: customers with no orders (NOT EXISTS → left_anti; the
     * shuffle is on the key both sides, broadcast when one side is
     * small — Catalyst picks per stats/AQE). */

@@ -1304,6 +1304,79 @@ object Corpus {
        |  LATERAL (SELECT unnest(generate_series(1, len(e1.ev))) AS i) i
        |ORDER BY dim""".stripMargin
 
+  // ------------------------------------------------------------ #28z2 farthest-first seeds
+
+  /** Seeds selected by farthest-first traversal. */
+  val FarthestSeeds = 8
+
+  /** FARTHEST-FIRST TRAVERSAL (Gonzalez k-center): pick vec 0, then
+    * repeatedly the vector MAXIMIZING its distance² to the chosen set
+    * — the classic 2-approximation for k-center and the diversity
+    * seeding for k-means/coresets (what k-means++ approximates
+    * stochastically; this variant is deterministic, so it
+    * oracle-checks). Per round: one map pass folding the new seed
+    * into the running min-distance column (broadcast 1-row seed,
+    * `least(md, d²)`), one TakeOrdered top-1 — no shuffle of the
+    * corpus, [[FarthestSeeds]]−1 unrolled rounds, the kmeans-unroll
+    * pattern. Emits each seed with its selection distance² (the
+    * k-center radius curve — how much coverage each seed buys). */
+  def embSeedFarthest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot.dot
+    val vecs = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint() // re-read per unrolled round
+    val s0 = vecs.filter(col("vec_id") === 0)
+    def foldSeed(in: DataFrame, seed: DataFrame): DataFrame = in
+      .crossJoin(broadcast(seed.select(col("v").as("sv"))))
+      .withColumn("diff", zip_with(col("v"), col("sv"), (a, b) => a - b))
+      .select(col("vec_id"), col("v"),
+        least(coalesce(col("md"), lit(Double.MaxValue)),
+          dot(col("diff"), col("diff"))).as("md"))
+      .localCheckpoint()
+    var md = foldSeed(vecs.withColumn("md", lit(null).cast("double")), s0)
+    val picks = Seq.newBuilder[DataFrame]
+    picks += s0.select(lit(1).as("seed_idx"), col("vec_id"), lit(0.0d).as("dist2"))
+    for (k <- 2 to FarthestSeeds) {
+      val next = md.orderBy(col("md").desc, col("vec_id")).limit(1).localCheckpoint()
+      picks += next.select(lit(k).as("seed_idx"), col("vec_id"),
+        round(col("md"), 6).as("dist2"))
+      if (k < FarthestSeeds) md = foldSeed(md, next)
+    }
+    picks.result().reduce(_ unionByName _).orderBy(col("seed_idx"))
+  }
+
+  private def d2Sql(a: String, s: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len($a)), i -> (($a)[i] - ($s)[i]) * (($a)[i] - ($s)[i]))), (acc, x) -> acc + x)""".stripMargin
+
+  val embSeedFarthestSql: String = {
+    val rounds = (2 to FarthestSeeds).map { k =>
+      val prev = if (k == 2) "m1" else s"m${k - 1}"
+      val pick = s"p$k AS (SELECT vec_id, v, md FROM $prev ORDER BY md DESC, vec_id LIMIT 1)"
+      val fold =
+        if (k < FarthestSeeds)
+          s""",
+             |m$k AS (
+             |  SELECT a.vec_id, a.v, least(a.md, ${d2Sql("a.v", "s.v")}) AS md
+             |  FROM $prev a CROSS JOIN p$k s)""".stripMargin
+        else ""
+      pick + fold
+    }.mkString(",\n")
+    val selects = (2 to FarthestSeeds)
+      .map(k => s"UNION ALL SELECT $k AS seed_idx, vec_id, round(md, 6) AS dist2 FROM p$k")
+      .mkString("\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |m1 AS (
+       |  SELECT a.vec_id, a.v, ${d2Sql("a.v", "s.v")} AS md
+       |  FROM v0 a CROSS JOIN (SELECT v FROM v0 WHERE vec_id = 0) s),
+       |$rounds
+       |SELECT * FROM (
+       |SELECT 1 AS seed_idx, vec_id, CAST(0.0 AS DOUBLE) AS dist2 FROM v0 WHERE vec_id = 0
+       |$selects)
+       |ORDER BY seed_idx""".stripMargin
+  }
+
   // ------------------------------------------------------------ #28r quality deciles
 
   /** Corpus quality deciles — the curriculum/ablation report: docs

@@ -11,7 +11,8 @@ class SparkEntrySpec extends SparkSpec {
     * accuracy/decode spec. */
   private val rowsOnly =
     Set("q_percentiles_approx", "corpus_topk_tokens_approx", "q_approx_distinct",
-      "mm_binary_pipeline", "mm_audio_pipeline", "mm_video_pipeline", "mm_image_dedup")
+      "mm_binary_pipeline", "mm_audio_pipeline", "mm_video_pipeline", "mm_image_dedup",
+      "mm_image_phash")
 
   test("every query has a matching oracle (and no orphan oracles)") {
     assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)

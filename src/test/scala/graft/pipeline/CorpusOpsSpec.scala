@@ -267,6 +267,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("embSeedFarthest equals a sequential farthest-first reference; radii non-increasing") {
+    val vs = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // sequential reference: Gonzalez farthest-first from vec 0
+    var expected = List((1, 0L, 0.0))
+    val md = scala.collection.mutable.Map(vs.keys.map(id => id -> d2(vs(id), vs(0L))).toSeq: _*)
+    for (k <- 2 to Corpus.FarthestSeeds) {
+      val (pick, pd) = md.toSeq.maxBy { case (id, d) => (d, -id) } // max d, tie lowest id
+      expected ::= ((k, pick, BigDecimal(pd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      vs.keys.foreach(id => md(id) = math.min(md(id), d2(vs(id), vs(pick))))
+    }
+    val got = Corpus.embSeedFarthest(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == expected.reverse, s"$got\nvs\n${expected.reverse}")
+    // selection radii are non-increasing after the anchor
+    val radii = got.drop(1).map(_._3)
+    assert(radii.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(got.map(_._2).distinct.length == Corpus.FarthestSeeds)
+  }
+
   test("gopherRules: each rule trips exactly at its documented boundary") {
     import spark.implicits._
     val stops = "the be to of and that have with"   // 8 stop words, 24 chars
