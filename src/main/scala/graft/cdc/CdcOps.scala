@@ -222,6 +222,63 @@ object CdcOps {
       |WHERE rn = 1 AND cdc_operation <> 3
       |ORDER BY user_id""".stripMargin
 
+  /** [[timeTravel]]'s labeled cutoffs: the two generation switchovers
+    * plus the log head — the AS-OF points an operator actually asks
+    * about ("what did the table look like when generation N went
+    * live?"). */
+  val TimeTravelCutoffs: Seq[(String, Long)] = Seq(
+    "gen1_switch" -> Gen1StartUs,
+    "gen2_switch" -> Gen2StartUs,
+    "head" -> Long.MaxValue)
+
+  /** TIME TRAVEL — reconstruct the replicated table's state AS OF
+    * each [[TimeTravelCutoffs]] instant from the log alone: the LWW
+    * fold of [[replicateLww]] restricted to changes strictly before
+    * the cutoff (rows whose last pre-cutoff write is a DELETE are
+    * absent from that snapshot, exactly the replicator's state had it
+    * stopped there). This is the log-as-source-of-truth payoff the
+    * reference's replicator implies but never materializes: any
+    * historical state is a filter + fold away, no stored snapshots.
+    *
+    * Scale: the 3-row cutoff dim broadcasts; the single shuffle is
+    * the (as_of, user_id) rank partition — |cutoffs|× the LWW
+    * exchange, each partition window-sized. More cutoffs = wider
+    * fan-out of the SAME plan (an audit sweep passes dozens). */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+    timeTravelFromLog(cdcLog(spark, dir))
+
+  /** Same operator over ANY conforming CDC-log relation. */
+  def timeTravelFromLog(log: DataFrame): DataFrame = {
+    import log.sparkSession.implicits._
+    val cuts = TimeTravelCutoffs.toDF("as_of", "cutoff_us")
+    val w = Window.partitionBy(col("as_of"), col("user_id"))
+      .orderBy(col("time_us").desc, col("event_id").desc)
+    log
+      .filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+      .crossJoin(broadcast(cuts))
+      .filter(col("time_us") < col("cutoff_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("as_of"), col("user_id"), col("event_id").as("last_event_id"),
+        col("time_us").as("last_write_us"), col("value"), col("props"))
+      .orderBy(col("as_of"), col("user_id"))
+  }
+
+  val timeTravelSql: String = CdcLogAdapter.oracleCte +
+    s""", cuts AS (
+       |  SELECT 'gen1_switch' AS as_of, CAST($Gen1StartUs AS BIGINT) AS cutoff_us
+       |  UNION ALL SELECT 'gen2_switch', CAST($Gen2StartUs AS BIGINT)
+       |  UNION ALL SELECT 'head', CAST(${Long.MaxValue} AS BIGINT)),
+       |ranked AS (
+       |  SELECT c.as_of, l.user_id, l.event_id, l.time_us, l.cdc_operation, l.value, l.props,
+       |    ROW_NUMBER() OVER (PARTITION BY c.as_of, l.user_id
+       |      ORDER BY l.time_us DESC, l.event_id DESC) AS rn
+       |  FROM cdc l CROSS JOIN cuts c
+       |  WHERE l.cdc_operation IN (1, 2, 3) AND l.time_us < c.cutoff_us)
+       |SELECT as_of, user_id, event_id AS last_event_id, time_us AS last_write_us, value, props
+       |FROM ranked WHERE rn = 1 AND cdc_operation <> 3
+       |ORDER BY as_of, user_id""".stripMargin
+
   /** #8: partition-delete semantics (PartitionDeleteOperationHandler):
     * a PARTITION_DELETE at time T masks every row of that partition
     * written at or before T; later writes resurrect their row. The

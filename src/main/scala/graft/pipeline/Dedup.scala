@@ -397,6 +397,59 @@ object Dedup {
        |SELECT doc_id, reason, (reason = 'kept') AS keep
        |FROM reasons ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #25h shingle novelty
+
+  /** PER-DOCUMENT NOVELTY under corpus order — for each doc, the
+    * fraction of its distinct word-shingles whose FIRST corpus
+    * occurrence (minimum doc_id) is the doc itself: 1.0 = entirely
+    * new text, 0.0 = every shingle already seen in an earlier doc.
+    * The curation lens between exact dedup (whole-doc) and span
+    * coverage (which windows): how much each doc ADDS to the corpus,
+    * the marginal-contribution ordering dedup-aware samplers weight
+    * by. Uses the UNCAPPED shingle universe — boilerplate is exactly
+    * what novelty should count against, so the df cap that protects
+    * pair generation would bias this metric.
+    *
+    * Scale: no pair generation at all — one groupBy(shingle) min
+    * (map-side combine), one co-partitioned join back on shingle
+    * (a hot shingle's postings meet a 1-row first, AQE-splittable),
+    * one doc_id rollup. Linear in the inverted index, the cheapest
+    * op in the dedup family. */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val inv = docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= ShingleWords)
+      .select(col("doc_id"), explode_outer(wordShingles(col("toks"))).as("shingle"))
+      .localCheckpoint() // feeds the first-occurrence agg AND the probe
+    val firsts = inv.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    inv.join(firsts, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ratio",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val shingleNoveltySql: String = {
+    val concat = (0 until ShingleWords).map(o => s"tokens[i+$o]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tokens
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tokens) - ${ShingleWords - 1}),
+       |      i -> $concat)) AS shingles
+       |  FROM toks WHERE len(tokens) >= $ShingleWords),
+       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM inv GROUP BY shingle)
+       |SELECT i.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+       |FROM inv i JOIN f ON i.shingle = f.shingle
+       |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ #25g dedup rate by source
 
   /** Duplication-rate dashboard per provenance group — [[keeplist]]'s

@@ -169,4 +169,31 @@ class CdcOpsSpec extends SparkSpec {
     assert(pairs.length == 1)
     assert(pairs.head.getAs[Long]("right_event_id") == 24L)
   }
+
+  test("time travel: snapshots stop at their cutoff; the head snapshot is the LWW state") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CdcOps.timeTravel(spark, dir).collect()
+    val byCut = rows.groupBy(_.getAs[String]("as_of"))
+    assert(byCut.keySet == CdcOps.TimeTravelCutoffs.map(_._1).toSet)
+    // every snapshot row's last write precedes its cutoff
+    val cutoffUs = CdcOps.TimeTravelCutoffs.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("last_write_us") < cutoffUs(r.getAs[String]("as_of")))
+    }
+    // the head snapshot IS replicate_lww's final state, row for row
+    val head = byCut("head")
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[Long]("last_write_us"))).toSet
+    val lww = CdcOps.replicateLww(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[Long]("last_write_us"))).toSet
+    assert(head == lww)
+    // an earlier snapshot never reflects a write at/after its cutoff,
+    // and each user's state only moves FORWARD across cutoffs
+    val g1 = byCut("gen1_switch").map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[Long]("last_write_us")).toMap
+    val g2 = byCut("gen2_switch").map(r =>
+      r.getAs[Long]("user_id") -> r.getAs[Long]("last_write_us")).toMap
+    g1.foreach { case (u, t1) => g2.get(u).foreach(t2 => assert(t2 >= t1)) }
+  }
 }

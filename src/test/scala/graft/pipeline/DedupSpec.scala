@@ -178,4 +178,40 @@ class DedupSpec extends SparkSpec {
     assert(groups.map(_.getAs[Long]("n_copies")).sum == total)
     assert(groups.map(_.getAs[Long]("canonical_doc_id")).distinct.length == groups.length)
   }
+
+  test("shingle novelty equals a sequential first-occurrence reference") {
+    val docs = graft.Tables.spread(graft.Tables.documents(spark, dir))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    def shingles(text: String): Set[String] = {
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (toks.length < Dedup.ShingleWords) Set.empty
+      else toks.sliding(Dedup.ShingleWords).map(_.mkString(" ")).toSet
+    }
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    val expected = docs.flatMap { case (id, text) =>
+      val sh = shingles(text)
+      if (sh.isEmpty) None
+      else {
+        sh.foreach(s => if (!firstSeen.contains(s)) firstSeen(s) = id)
+        val novel = sh.count(s => firstSeen(s) == id)
+        Some((id, sh.size.toLong, novel.toLong,
+          BigDecimal(novel.toDouble / sh.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSeq
+    val got = Dedup.shingleNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the corpus's first eligible doc is entirely novel by construction
+    assert(got.head._4 == 1.0)
+    // an exact duplicate of an earlier doc contributes nothing new
+    val texts = docs.toMap
+    val dupOfEarlier = docs.collectFirst {
+      case (id, t) if shingles(t).nonEmpty &&
+        docs.exists { case (j, u) => j < id && u == t } => id
+    }
+    dupOfEarlier.foreach { id =>
+      assert(got.find(_._1 == id).get._4 == 0.0, s"exact dup $id must score 0")
+    }
+  }
 }
