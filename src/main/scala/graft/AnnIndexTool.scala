@@ -12,18 +12,37 @@ import org.apache.spark.sql.functions._
   * build-once/serve-many split a production index runs.
   *
   * Usage:
-  *   `sbt "runMain graft.AnnIndexTool build <sfDir> <indexPath>"`
+  *   `sbt "runMain graft.AnnIndexTool build <sfDir> <indexPath> [untilVecId]"`
+  *   `sbt "runMain graft.AnnIndexTool add <sfDir> <indexPath> <fromVecId>"`
   *   `sbt "runMain graft.AnnIndexTool search <sfDir> <indexPath> <outDir> [k]"`
+  *
+  * `add` is the ONLINE INSERT between rebuilds: vectors with
+  * `vec_id >= fromVecId` are encoded under the STORED geometry and
+  * appended ([[pipeline.AnnIndex.add]]) — no retraining.
   *
   * At 100 TB the same lines run on a cluster with the paths pointed
   * at the lake; `codes/` is cell-partitioned so a search reads its
   * probed cells' files (SURVEY §2c 30f). */
 object AnnIndexTool {
 
-  /** Train + persist; returns the indexed vector count. */
-  def build(spark: SparkSession, sfDir: String, indexPath: String): Long = {
+  /** Train + persist; returns the indexed vector count.
+    * `untilVecId` bounds the build to a prefix of the table (the
+    * base for a later [[add]]); Long.MaxValue = everything. */
+  def build(spark: SparkSession, sfDir: String, indexPath: String,
+      untilVecId: Long = Long.MaxValue): Long = {
     val emb = Tables.spread(Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < untilVecId)
     pipeline.AnnIndex.write(emb, indexPath)
+    pipeline.AnnIndex.manifest(spark, indexPath).head().getAs[Long]("n_vectors")
+  }
+
+  /** Online-insert the tail of the embeddings table (vec_id >=
+    * fromVecId) into a stored index; returns the index's grown
+    * vector count. */
+  def add(spark: SparkSession, sfDir: String, indexPath: String, fromVecId: Long): Long = {
+    val emb = Tables.spread(Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") >= fromVecId)
+    pipeline.AnnIndex.add(emb, indexPath)
     pipeline.AnnIndex.manifest(spark, indexPath).head().getAs[Long]("n_vectors")
   }
 
@@ -41,7 +60,8 @@ object AnnIndexTool {
   }
 
   def main(args: Array[String]): Unit = {
-    val usage = "usage: AnnIndexTool build <sfDir> <indexPath> | " +
+    val usage = "usage: AnnIndexTool build <sfDir> <indexPath> [untilVecId] | " +
+      "AnnIndexTool add <sfDir> <indexPath> <fromVecId> | " +
       "AnnIndexTool search <sfDir> <indexPath> <outDir> [k]"
     require(args.nonEmpty, usage)
     val spark = Sessions.local()
@@ -50,6 +70,12 @@ object AnnIndexTool {
       case Seq("build", sfDir, indexPath) =>
         val n = build(spark, sfDir, indexPath)
         println(s"index built: $indexPath ($n vectors)")
+      case Seq("build", sfDir, indexPath, untilVecId) =>
+        val n = build(spark, sfDir, indexPath, untilVecId.toLong)
+        println(s"index built: $indexPath ($n vectors)")
+      case Seq("add", sfDir, indexPath, fromVecId) =>
+        val n = add(spark, sfDir, indexPath, fromVecId.toLong)
+        println(s"index grown: $indexPath ($n vectors)")
       case Seq("search", sfDir, indexPath, outDir) =>
         val n = search(spark, sfDir, indexPath, outDir, pipeline.Similarity.TopK)
         println(s"search written: $outDir/neighbors ($n rows)")

@@ -140,6 +140,23 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.exists(_._2 >= AnnIndex.AddSplit))
   }
 
+  test("AnnIndexTool CLI: build-prefix/add-tail/search equals the ann_index_add entry") {
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ann_cli_add").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft_ann_cli_add_out").toString
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    assert(graft.AnnIndexTool.build(spark, dir, idxPath, AnnIndex.AddSplit) ==
+      emb.filter(col("vec_id") < AnnIndex.AddSplit).count())
+    assert(graft.AnnIndexTool.add(spark, dir, idxPath, AnnIndex.AddSplit) == emb.count())
+    graft.AnnIndexTool.search(spark, dir, idxPath, outPath, Similarity.TopK)
+    val got = spark.read.parquet(s"$outPath/neighbors")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("approx_dist2"), r.getAs[Int]("rank"))).toSeq
+    val expected = AnnIndex.annIndexAdd(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected)
+  }
+
   test("search probes numProbes cells and respects topK") {
     val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
     val idx = AnnIndex.build(emb)
