@@ -255,7 +255,10 @@ object CdcOps {
       .orderBy(col("time_us").desc, col("event_id").desc)
     log
       .filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
-      .crossJoin(broadcast(cuts))
+      // no broadcast HINT (the repo rule: no forced hints in cdc
+      // operators — PlanGuardSpec); a 3-row LocalRelation broadcasts
+      // on stats anyway
+      .crossJoin(cuts)
       .filter(col("time_us") < col("cutoff_us"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
