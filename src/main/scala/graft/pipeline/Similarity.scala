@@ -782,4 +782,82 @@ object Similarity {
        |  SELECT m.b AS doc, reach.r FROM reach JOIN mut m ON m.a = reach.doc)
        |SELECT doc AS vec_id, MIN(r) AS component_id, (doc = MIN(r)) AS is_canonical
        |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------ #30h range search
+
+  /** Cosine radius for range search: return EVERY neighbor with
+    * cos ≥ RangeTau, not a fixed top-k. */
+  val RangeTau = 0.25
+
+  /** Range (radius) search: all corpus vectors within cosine ≥
+    * [[RangeTau]] of each query vector — the retrieval op behind
+    * "fetch every sufficiently-similar document", where top-k is the
+    * wrong contract because result cardinality is data-dependent.
+    *
+    * EXACT results through approximate infrastructure: vectors live in
+    * IVF cells (same deterministic coarse centroids as [[annIvf]]),
+    * each cell publishes its angular radius (max geodesic distance of
+    * a member to the centroid), and a (query, cell) probe pair is kept
+    * only when the spherical triangle inequality says the cell COULD
+    * hold a match: angle(q,c) − radius(c) ≤ acos(τ). Every surviving
+    * candidate is exactly re-scored, so pruning is lossless for any
+    * centroid placement — the same bound family as
+    * `dedup_embed_cosine`'s cell pairs (Dedup.scala), applied
+    * query-side.
+    *
+    * Scale shape: assignment is the map-side-combining argmax over the
+    * broadcast K-expansion (exchange carries n rows); radii are one
+    * K-row aggregate; the probe relation is ≤ Q·K rows (broadcast);
+    * the candidate join shuffles on `cell` so per-query work scales
+    * with the occupancy of geometrically-reachable cells, not n. At
+    * 100 TB: trained centroids with larger K (cells shrink, radii
+    * tighten, pruning sharpens) — identical plan. */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame =
+    rangeFrom(vecs(spark, dir))
+
+  private[pipeline] def rangeFrom(all: DataFrame): DataFrame = {
+    val (probes, assigned) = rangeProbes(all)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+      .filter(col("cos_sim") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** (surviving (query, cell) probes, cell-assigned corpus). Exposed
+    * so RangeSearchSpec can assert the bound actually prunes. */
+  private[pipeline] def rangeProbes(all: DataFrame): (DataFrame, DataFrame) = {
+    def angle(cos: Column): Column = acos(least(greatest(cos, lit(-1.0)), lit(1.0)))
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    // unrounded cosine: the bound is geometric, presentation rounding
+    // happens only on the final re-score
+    val scored = all.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
+        max(struct(col("c_cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("v"), col("n2"),
+        (-col("best.ncid")).as("cell"), angle(col("best.c_cos")).as("theta"))
+    val radii = assigned.groupBy(col("cell")).agg(max(col("theta")).as("radius"))
+    val thetaTau = math.acos(RangeTau)
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
+        col("cid").as("cell"), angle(col("c_cos")).as("qtheta"))
+      .join(radii, Seq("cell"))
+      .filter(col("qtheta") - col("radius") <= lit(thetaTau) + lit(1e-9))
+      .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
+    (probes, assigned.select(col("vec_id"), col("v"), col("n2"), col("cell")))
+  }
+
+  val annRangeSearchSql: String =
+    s"""$vecsCteSql,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cosSql AS cos_sim
+       |  FROM vecs q JOIN vecs c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim
+       |FROM scored WHERE cos_sim >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
 }

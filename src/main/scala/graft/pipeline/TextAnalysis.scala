@@ -828,4 +828,133 @@ object TextAnalysis {
        |HAVING SUM(sign) <> 0
        |ORDER BY doc_id, dim""".stripMargin
   }
+
+  // ------------------------------------------------------------ #33m char entropy
+
+  /** Character-unigram Shannon entropy per document (bits) — the
+    * text-diversity signal quality pipelines cut on at the tails
+    * (keyboard mash is low-entropy; base64/binary spray is
+    * high-entropy). The whole computation is ONE codegen'd scalar
+    * ([[graft.functions.CharEntropy]]) inside the corpus scan: no
+    * per-character explode, no shuffle — the explode+groupBy
+    * formulation the oracle uses would re-exchange the corpus at
+    * character grain at 100 TB. Count-based decomposition keeps every
+    * log argument a small integer (see the expression's bit-stability
+    * contract). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_cp"),
+      size(array_distinct(split(col("text"), ""))).cast("long").as("n_distinct"),
+      round(graft.functions.CharEntropy.of(col("text")), 6).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
+  val charEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(text)), i -> text[i])) AS ch
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c FROM chars GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT doc_id, list(c ORDER BY ch) AS cs, CAST(SUM(c) AS DOUBLE) AS n,
+      |    COUNT(*) AS nd
+      |  FROM cnt GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_cp, CAST(nd AS BIGINT) AS n_distinct,
+      |  round(ln(n) / ln(CAST(2.0 AS DOUBLE))
+      |    - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(cs, c -> c * (ln(c) / ln(CAST(2.0 AS DOUBLE))))),
+      |      (a, x) -> a + x) / n, 6) AS char_entropy
+      |FROM terms ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ #33n PII scrub
+
+  /** PII patterns — the common Java/RE2 regex subset (character
+    * classes, bounded repeats, no lookaround), so Spark and the
+    * oracle match/replace identical spans. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** Generic PII detect + redact over any (doc_id, `textCol`) frame:
+    * per-class match counts on the ORIGINAL text and a `clean_text`
+    * with every span replaced by its class tag, in a fixed
+    * email → IP → phone pass order (the classes are disjoint by
+    * construction of the patterns, so order only fixes determinism).
+    * Map-only: both counting and redaction are per-row regex scans
+    * that fuse into the corpus read — the pre-training scrub pass
+    * runs at input bandwidth at 100 TB. */
+  def piiScrubOn(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("pii_total", col("n_emails") + col("n_ips") + col("n_phones"))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+
+  /** The synthetic corpus is PII-free, so the driver-visible entry
+    * first DIRTIES it deterministically from doc_id (the same
+    * synthesize-from-fields precedent as the multimodal pipelines):
+    * every 3rd doc gains an email, every 4th an IPv4, every 5th a
+    * phone — overlapping classes on doc_ids divisible by 12, 15, 20,
+    * none on coprime ids, so counts and redactions are non-trivial
+    * and the oracle rebuilds the identical dirty text. */
+  private def dirtied(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("dirty_text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOn(dirtied(spark, dir), "dirty_text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("pii_total"), col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubSql: String = {
+    // DuckDB '…' strings don't process backslash escapes, so the
+    // runtime pattern (one backslash per escape) embeds verbatim
+    val email = EmailRe
+    val ip = Ipv4Re
+    val phone = PhoneRe
+    s"""WITH d AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |      || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS dirty_text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty_text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(dirty_text, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(dirty_text, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(dirty_text, '$email'))
+       |    + len(regexp_extract_all(dirty_text, '$ip'))
+       |    + len(regexp_extract_all(dirty_text, '$phone')) AS BIGINT) AS pii_total,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(dirty_text, '$email', '<EMAIL>', 'g'),
+       |      '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS clean_text
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 }
