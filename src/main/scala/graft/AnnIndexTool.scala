@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   *   `sbt "runMain graft.AnnIndexTool build <sfDir> <indexPath> [untilVecId]"`
   *   `sbt "runMain graft.AnnIndexTool add <sfDir> <indexPath> <fromVecId>"`
   *   `sbt "runMain graft.AnnIndexTool search <sfDir> <indexPath> <outDir> [k]"`
+  *   `sbt "runMain graft.AnnIndexTool compact <indexPath>"`
   *
   * `add` is the ONLINE INSERT between rebuilds: vectors with
   * `vec_id >= fromVecId` are encoded under the STORED geometry and
-  * appended ([[pipeline.AnnIndex.add]]) — no retraining.
+  * appended ([[pipeline.AnnIndex.add]]) — no retraining. `compact` is
+  * the maintenance pass between adds ([[pipeline.AnnIndex.compact]]):
+  * drops replayed-append duplicates, collapses each cell to one file.
   *
   * At 100 TB the same lines run on a cluster with the paths pointed
   * at the lake; `codes/` is cell-partitioned so a search reads its
@@ -62,7 +65,8 @@ object AnnIndexTool {
   def main(args: Array[String]): Unit = {
     val usage = "usage: AnnIndexTool build <sfDir> <indexPath> [untilVecId] | " +
       "AnnIndexTool add <sfDir> <indexPath> <fromVecId> | " +
-      "AnnIndexTool search <sfDir> <indexPath> <outDir> [k]"
+      "AnnIndexTool search <sfDir> <indexPath> <outDir> [k] | " +
+      "AnnIndexTool compact <indexPath>"
     require(args.nonEmpty, usage)
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -82,6 +86,10 @@ object AnnIndexTool {
       case Seq("search", sfDir, indexPath, outDir, k) =>
         val n = search(spark, sfDir, indexPath, outDir, k.toInt)
         println(s"search written: $outDir/neighbors ($n rows)")
+      case Seq("compact", indexPath) =>
+        val s = pipeline.AnnIndex.compact(spark, indexPath)
+        println(s"index compacted: $indexPath (rows ${s.rowsBefore} -> ${s.rowsAfter}, " +
+          s"files ${s.filesBefore} -> ${s.filesAfter}, ${s.nVectors} vectors)")
       case other => throw new IllegalArgumentException(s"$usage (got: $other)")
     }
     spark.stop()

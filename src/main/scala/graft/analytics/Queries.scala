@@ -1162,4 +1162,44 @@ object Queries {
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), ApproxDistinctRsd).as("approx_users"))
       .orderBy(col("event_type"))
+
+  // ------------------------------------------------------------ #23w unpivot
+
+  /** Wide→long UNPIVOT (melt) of a metrics block — the reshaping
+    * half of q_event_pivot's pivot, and the feed shape for
+    * metric-per-row sinks (dashboards, tidy-data exports). Uses the
+    * Dataset `unpivot` API, which Catalyst plans as ONE Expand over
+    * the aggregated frame — a single pass emitting |metrics| rows per
+    * input row, instead of the |metrics|-scans UNION ALL the oracle
+    * spells out. The expand runs over the POST-aggregate frame
+    * (|groups|·|metrics| rows), so at 100 TB the melt is free next to
+    * the one fact-table aggregation that feeds it. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        count(lit(1)).cast("double").as("count_order"))
+      .unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_base_price"), col("count_order")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("metric"))
+  }
+
+  val qUnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |    CAST(COUNT(*) AS DOUBLE) AS count_order
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, metric, value FROM (
+      |  SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, l_linestatus, 'count_order', count_order FROM wide)
+      |ORDER BY l_returnflag, l_linestatus, metric""".stripMargin
 }

@@ -102,6 +102,64 @@ object AnnIndex {
     writeManifest(spark, path, n + emb.count())
   }
 
+  /** Compaction report: row/file counts around the rewrite. */
+  final case class CompactStats(rowsBefore: Long, rowsAfter: Long,
+      filesBefore: Long, filesAfter: Long, nVectors: Long)
+
+  /** COMPACT the standing `codes/` relation — the maintenance half of
+    * [[add]]'s contract. Every online insert appends at least one new
+    * file per touched cell directory, so a long add cadence turns the
+    * index into a small-files swamp (the classic lake-maintenance
+    * problem), and a REPLAYED add (task retry, at-least-once driver)
+    * appends exact duplicate rows — which is not benign here:
+    * [[search]] SUMS per-subspace distances per (query, vec_id), so a
+    * duplicated vector's ADC distance doubles and its ranking is
+    * silently wrong. Compaction rewrites `codes/` with exact
+    * duplicates dropped and ONE file per cell (each cell's rows land
+    * in a single task via a cell repartition).
+    *
+    * Conflicting codes for the same (vec_id, m) — a vector re-added
+    * after the geometry drifted — are NOT repairable by dedup; compact
+    * fails loudly and the fix is a rebuild.
+    *
+    * Commit discipline (same marker as [[write]]/[[add]]): the rewrite
+    * lands in `codes_compact/` first, then the manifest is DELETED
+    * (loaders refuse the mid-swap state instead of reading a
+    * half-swapped relation), the directory swap happens, and a fresh
+    * manifest with the deduped count commits LAST. A crash mid-swap
+    * leaves a manifest-less index that [[load]] rejects — recoverable,
+    * never silently wrong. */
+  def compact(spark: SparkSession, path: String): CompactStats = {
+    load(spark, path) // manifest + geometry gate before touching files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val filesBefore = countFiles(codesPath)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code"))
+    val rowsBefore = codes.count()
+    val deduped = codes.distinct().localCheckpoint()
+    val conflicts = deduped.groupBy(col("vec_id"), col("m"))
+      .count().filter(col("count") > 1).limit(1).count()
+    require(conflicts == 0L,
+      s"conflicting codes for the same (vec_id, m) at $path — rebuild the index, compaction cannot pick a side")
+    deduped.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes_compact")
+    val rowsAfter = spark.read.parquet(s"$path/codes_compact").count()
+    val nVectors = rowsAfter / Similarity.PqSubspaces
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest"), true)
+    fs.delete(codesPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), codesPath)
+    writeManifest(spark, path, nVectors)
+    CompactStats(rowsBefore, rowsAfter, filesBefore, countFiles(codesPath), nVectors)
+  }
+
   /** The stored index's build parameters (1 row). */
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/manifest")

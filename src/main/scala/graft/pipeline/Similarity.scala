@@ -783,6 +783,85 @@ object Similarity {
        |SELECT doc AS vec_id, MIN(r) AS component_id, (doc = MIN(r)) AS is_canonical
        |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------ #28z3 label propagation
+
+  /** Vectors with vec_id below this are the LABELED seed set. */
+  val SeedCount = 100
+
+  /** Semi-supervised LABEL PROPAGATION over the kNN graph — the
+    * standard scale-up move when labels are scarce (annotate a seed
+    * set, spread by semantic neighborhood): every unlabeled vector
+    * takes the cosine-weighted majority label of the SEED vectors
+    * among its [[KnnK]] bucketed neighbors ([[knnEdges]] — same graph
+    * as emb_knn_graph). Vote weights sum through DECIMAL so the
+    * majority is order-independent and hash-exact; ties break to the
+    * lower label. Emits the prediction, its support (neighbor count +
+    * weight), and agreement with the held-out true label — the
+    * accuracy-evaluation twin (ann_recall / emb_cluster_purity
+    * family).
+    *
+    * Scale: the vote is one groupBy over the (≤ n·k)-row edge⋈seed
+    * join; the seed relation is label metadata (id, label), never
+    * vectors — propagation cost is edge-relation-sized, independent
+    * of corpus width. Multi-round propagation = re-run with the
+    * previous round's predictions as seeds (same plan). */
+  def embLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label").cast("int").as("label"))
+    labelPropFrom(labels, vecs(spark, dir))
+  }
+
+  /** Frame-level core: `labels` = (vec_id, label int), `prepared` =
+    * (vec_id, v, n2). */
+  private[pipeline] def labelPropFrom(labels: DataFrame, prepared: DataFrame): DataFrame = {
+    val edges = knnEdges(prepared)
+    val seeds = labels.filter(col("vec_id") < SeedCount)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("seed_label"))
+    val votes = edges.filter(col("vec_id") >= SeedCount)
+      .join(seeds, Seq("neighbor_id"))
+      .groupBy(col("vec_id"), col("seed_label"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(col("cos_sim").cast("decimal(27,12)")).as("w"))
+    votes.groupBy(col("vec_id"))
+      .agg(max(struct(col("w"), (-col("seed_label")).as("nl"))).as("best"),
+        sum(col("n_votes")).as("n_seed_neighbors"))
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"),
+        (-col("best.nl")).cast("int").as("predicted_label"),
+        col("n_seed_neighbors"),
+        round(col("best.w").cast("double"), 6).as("vote_weight"),
+        ((-col("best.nl")) === col("label")).as("agrees_truth"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embLabelPropSql: String =
+    s"""$vecsCteSql,
+       |b AS (SELECT vec_id, v, n2, ${bucketSql("v")} AS bucket FROM vecs),
+       |scored AS (
+       |  SELECT q.vec_id, c.vec_id AS neighbor_id, $cosSql AS cos_sim
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |edges AS (SELECT vec_id, neighbor_id, cos_sim FROM ranked WHERE rank <= $KnnK),
+       |labels AS (SELECT vec_id, CAST(label AS INT) AS label FROM embeddings),
+       |votes AS (
+       |  SELECT e.vec_id, l.label AS seed_label, COUNT(*) AS n_votes,
+       |    SUM(CAST(e.cos_sim AS DECIMAL(27,12))) AS w
+       |  FROM edges e JOIN labels l ON e.neighbor_id = l.vec_id AND l.vec_id < $SeedCount
+       |  WHERE e.vec_id >= $SeedCount GROUP BY 1, 2),
+       |best AS (
+       |  SELECT vec_id, seed_label, w,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY w DESC, seed_label) AS rn,
+       |    SUM(n_votes) OVER (PARTITION BY vec_id) AS n_seed_neighbors
+       |  FROM votes)
+       |SELECT b.vec_id, CAST(b.seed_label AS INT) AS predicted_label,
+       |  CAST(b.n_seed_neighbors AS BIGINT) AS n_seed_neighbors,
+       |  round(CAST(b.w AS DOUBLE), 6) AS vote_weight,
+       |  (b.seed_label = l2.label) AS agrees_truth
+       |FROM best b JOIN labels l2 USING (vec_id)
+       |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin
+
   // ------------------------------------------------------------ #30h range search
 
   /** Cosine radius for range search: return EVERY neighbor with

@@ -47,4 +47,26 @@ class QueriesSpec extends SparkSpec {
 
     assert(got == expected)
   }
+
+  test("unpivot melts each wide row into one row per metric via ONE Expand") {
+    val df = Queries.qUnpivot(spark, dir)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+    val metrics = Set("sum_qty", "sum_base_price", "count_order")
+    // every (flag, status) group appears exactly |metrics| times
+    rows.groupBy(r => (r._1, r._2)).foreach { case (g, rs) =>
+      assert(rs.map(_._3).toSet == metrics, s"group $g metrics ${rs.map(_._3).toSet}")
+    }
+    // count_order in long form equals the wide count
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.filter(_._3 == "count_order").foreach { case (f, s, _, v) =>
+      assert(v == wide((f, s)).toDouble)
+    }
+    // one-pass melt: a single Expand node, no Union of re-scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Union"), plan)
+  }
 }

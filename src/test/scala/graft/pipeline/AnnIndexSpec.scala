@@ -167,4 +167,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 2))
     assert(rows.forall(_.getInt(3) <= 2))
   }
+
+  test("compact repairs a replayed add and collapses cell files") {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_compact").toString
+    val base = emb.filter(col("vec_id") < AnnIndex.AddSplit)
+    val tail = emb.filter(col("vec_id") >= AnnIndex.AddSplit)
+    AnnIndex.write(base, path)
+    AnnIndex.add(tail, path)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+    val cleanSearch = AnnIndex.search(queries, AnnIndex.load(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+
+    // replayed add: exact duplicate code rows — search now double-sums
+    // the duplicated vectors' ADC distances, so results are corrupt
+    AnnIndex.add(tail, path)
+    val n = emb.count()
+    val dupCodes = AnnIndex.load(spark, path).codes
+    assert(dupCodes.count() == (n + tail.count()) * Similarity.PqSubspaces)
+    val corrupt = AnnIndex.search(queries, AnnIndex.load(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(corrupt != cleanSearch, "duplicate rows should corrupt ADC sums")
+
+    val stats = AnnIndex.compact(spark, path)
+    assert(stats.rowsBefore == (n + tail.count()) * Similarity.PqSubspaces)
+    assert(stats.rowsAfter == n * Similarity.PqSubspaces)
+    assert(stats.nVectors == n)
+    assert(stats.filesAfter < stats.filesBefore)
+    // one file per occupied cell
+    val occupied = AnnIndex.load(spark, path).codes.select("cell").distinct().count()
+    assert(stats.filesAfter == occupied, s"${stats.filesAfter} files for $occupied cells")
+    // manifest re-committed with the deduped count
+    assert(AnnIndex.manifest(spark, path).head().getAs[Long]("n_vectors") == n)
+    // and search is exactly the pre-replay result again
+    val repaired = AnnIndex.search(queries, AnnIndex.load(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(repaired == cleanSearch)
+  }
+
+  test("compact refuses conflicting codes for one (vec_id, m)") {
+    import spark.implicits._
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_conflict").toString
+    AnnIndex.write(emb, path)
+    // simulate a drifted re-add: same vec_id, different code value
+    val existing = AnnIndex.load(spark, path).codes
+    val drifted = existing.limit(Similarity.PqSubspaces)
+      .withColumn("code", (col("code") + 1) % Similarity.PqCodes)
+    drifted.write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+    val e = intercept[IllegalArgumentException](AnnIndex.compact(spark, path))
+    assert(e.getMessage.contains("rebuild"))
+  }
 }
