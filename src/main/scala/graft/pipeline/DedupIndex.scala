@@ -74,6 +74,49 @@ object DedupIndex {
   def update(admitted: DataFrame, path: String): Unit =
     signatures(admitted).write.mode("append").parquet(path)
 
+  /** Compaction report: row/file counts around the rewrite. */
+  final case class CompactStats(rowsBefore: Long, rowsAfter: Long,
+      filesBefore: Long, filesAfter: Long)
+
+  /** COMPACT the standing relation — the maintenance pass for a long
+    * [[update]] cadence: every append lands new files (small-files
+    * swamp) and a REPLAYED append duplicates whole rows. Duplicates
+    * are semantically harmless here ([[admit]] distincts), but they
+    * inflate every probe's scan and band join, so compaction drops
+    * exact duplicates and rewrites the relation into `numFiles`
+    * files. Conflicting state for one doc_id (same id, different
+    * digest/sig — a re-ingested mutated doc) is NOT repairable by
+    * dedup: compact fails loudly; the fix is a rebuild.
+    *
+    * Swap discipline: the rewrite lands beside the index first, then
+    * the old relation is deleted and the new one renamed in. A crash
+    * mid-swap leaves a missing index that [[load]] fails on loudly —
+    * recoverable from the corpus, never silently wrong. */
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): CompactStats = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val idxPath = new org.apache.hadoop.fs.Path(path)
+    val filesBefore = countFiles(idxPath)
+    val idx = spark.read.parquet(path)
+    val rowsBefore = idx.count()
+    val deduped = idx.distinct().localCheckpoint()
+    val conflicts = deduped.groupBy(col("doc_id"))
+      .count().filter(col("count") > 1).limit(1).count()
+    require(conflicts == 0L,
+      s"conflicting index rows for the same doc_id at $path — rebuild the index, compaction cannot pick a side")
+    val rowsAfter = deduped.count()
+    deduped.repartition(numFiles).write.mode("overwrite").parquet(s"${path}_compact")
+    fs.delete(idxPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"${path}_compact"), idxPath)
+    CompactStats(rowsBefore, rowsAfter, filesBefore, countFiles(idxPath))
+  }
+
   /** Admit a `(doc_id, text)` batch against the standing index —
     * verdict per doc, SAME schema and precedence as
     * [[Dedup.incremental]] (exact_corpus > exact_batch > near_corpus >

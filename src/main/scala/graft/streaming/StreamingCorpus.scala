@@ -352,4 +352,43 @@ object StreamingCorpus {
       .join(broadcast(shingled(benchmark, "bench_id")), Seq("shingle"))
       .select(col("doc_id"), col("bench_id"), col("shingle"))
   }
+
+  /** CONTINUOUS TRENDING TOKENS — the streaming analogue of
+    * [[graft.pipeline.Corpus.topkTokens]]: per-(event-time window,
+    * token) counts over the arriving corpus, finalized in append mode
+    * once the watermark passes the window end. Ranking is NOT done in
+    * the stream: top-k across keys is a cross-key operation the state
+    * store can't express per key, and the finalized count relation is
+    * (windows × vocab) — tiny next to the corpus — so the standard
+    * layout finalizes counts in the stream and ranks each closed
+    * window with [[trendingTopK]] (a batch step over metadata, e.g. in
+    * the sink's foreachBatch).
+    *
+    * Scale: the only shuffle keys on (window, token) — same
+    * token-grain exchange as the batch wordcount; watermark eviction
+    * bounds state to windows-in-flight × vocab. */
+  def trendingTokens(docs: Dataset[IncomingDoc],
+      windowMs: Long, confidenceMs: Long): DataFrame =
+    docs.toDF()
+      .withColumn("event_time", timestamp_micros(col("timeUs")))
+      .withWatermark("event_time", s"$confidenceMs milliseconds")
+      .select(col("event_time"),
+        explode_outer(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(window(col("event_time"), s"$windowMs milliseconds"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("token"), col("n"))
+
+  /** Rank a finalized [[trendingTokens]] relation: top-k tokens per
+    * closed window (ties → lexicographic). The window function runs
+    * over per-window COUNT rows (vocab-sized, already reduced), the
+    * sanctioned above-a-reducer shape. */
+  def trendingTopK(finalized: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(col("n").desc, col("token"))
+    finalized.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("window_start"), col("rank"))
+  }
 }

@@ -60,4 +60,43 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
     assert(v2 == Map(20L -> "exact_corpus", 21L -> "near_corpus", 22L -> "kept"))
   }
+
+  test("compact drops replayed-append duplicates, keeps verdicts, collapses files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val tail = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_dedup_compact").toString + "/idx"
+    DedupIndex.write(corpus, path)
+    DedupIndex.update(tail, path)
+    val batch = Seq((900001L, "a fresh probe document about nothing at all")).toDF("doc_id", "text")
+    val before = DedupIndex.admit(batch, DedupIndex.load(spark, path))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val nUnique = corpus.count() + tail.count()
+
+    DedupIndex.update(tail, path) // replayed append: exact duplicate rows
+    assert(spark.read.parquet(path).count() == nUnique + tail.count())
+
+    val stats = DedupIndex.compact(spark, path)
+    assert(stats.rowsBefore == nUnique + tail.count())
+    assert(stats.rowsAfter == nUnique)
+    assert(stats.filesAfter == 1L)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(spark.read.parquet(path).count() == nUnique)
+    val after = DedupIndex.admit(batch, DedupIndex.load(spark, path))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == before)
+  }
+
+  test("compact refuses conflicting rows for one doc_id") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dedup_conflict").toString + "/idx"
+    DedupIndex.write(Seq((1L, "original text of document one here")).toDF("doc_id", "text"), path)
+    // re-ingested mutated doc: same id, different digest/sig
+    DedupIndex.update(Seq((1L, "mutated text of document one here")).toDF("doc_id", "text"), path)
+    val e = intercept[IllegalArgumentException](DedupIndex.compact(spark, path))
+    assert(e.getMessage.contains("rebuild"))
+  }
 }

@@ -263,4 +263,37 @@ class StreamingCorpusSpec extends SparkSpec {
         (3L, 200L, "one two three four")))
     } finally query.stop()
   }
+
+  test("trendingTokens finalizes per-window counts; trendingTopK ranks closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IncomingDoc]
+    val name = s"strend_${System.nanoTime()}"
+    val WinMs = 10000L
+    // watermark = max event − confidence; window [0,10s) closes once an
+    // event ≥ 11s arrives (confidence 1s)
+    val query = StreamingCorpus.trendingTokens(input.toDS(), WinMs, confidenceMs = 1000)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        IncomingDoc(1, "spark spark flink", 1000000),
+        IncomingDoc(2, "spark beam", 2000000),
+        IncomingDoc(3, "flink", 9000000)))
+      query.processAllAvailable()
+      // window [0,10s) not closed yet: nothing finalized in append mode
+      assert(spark.table(name).isEmpty)
+      input.addData(Seq(IncomingDoc(4, "late window sentinel", 12000000)))
+      query.processAllAvailable()
+      val finalized = spark.table(name)
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      // exactly the first window's counts, nothing from the open one
+      assert(finalized.map(_._1).toSet == Set(0L))
+      assert(finalized.map(t => (t._2, t._3)).toSet ==
+        Set(("spark", 3L), ("flink", 2L), ("beam", 1L)))
+
+      val top2 = StreamingCorpus.trendingTopK(spark.table(name), 2)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(top2.toSeq == Seq(("spark", 3L, 1), ("flink", 2L, 2)))
+    } finally query.stop()
+  }
 }
