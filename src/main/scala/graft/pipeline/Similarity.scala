@@ -862,6 +862,94 @@ object Similarity {
        |FROM best b JOIN labels l2 USING (vec_id)
        |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin
 
+  // ------------------------------------------------------------ #28z4 MMR selection
+
+  val MmrK = 6
+  /** Relevance weight λ; diversity weight is 1−λ, spelled 0.3 in both
+    * engines as a LITERAL (never computed as 1−0.7, whose IEEE value
+    * is 0.30000000000000004 — a silent cross-engine skew if one side
+    * computes and the other writes the literal). */
+  val MmrLambda = 0.7
+  val MmrGamma = 0.3
+
+  /** MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein 1998)
+    * — the retrieval-diversity primitive: greedily pick [[MmrK]] docs
+    * maximizing λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s), so each
+    * pick trades query relevance against redundancy with what's
+    * already picked (pure top-k returns k near-copies of the best hit
+    * on a deduplicated-corpus query; MMR is the standard fix for RAG
+    * context packing and eval-set selection). Query = vec 0;
+    * deterministic greedy, so it oracle-checks exactly
+    * (the [[graft.pipeline.Corpus.embSeedFarthest]] unroll pattern:
+    * [[MmrK]] rounds of broadcast-1-row fold + TakeOrdered top-1).
+    *
+    * State per candidate is (rel, ms): relevance to the query and the
+    * running max similarity to picked docs — both folded map-only
+    * against the broadcast pick; the corpus never shuffles (each
+    * round is one TakeOrdered reduction + one map). ms starts at −1
+    * (cosine's floor), making round 1 pure relevance; picked docs
+    * leave the candidate frame. */
+  def embMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir).localCheckpoint() // re-read per unrolled round
+    val q = all.filter(col("vec_id") === 0)
+    var st = all.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.select(col("v").as("qv"), col("n2").as("qn2"))))
+      .select(col("vec_id"), col("v"), col("n2"),
+        (dot(col("v"), col("qv")) / (sqrt(col("n2")) * sqrt(col("qn2")))).as("rel"))
+      .withColumn("ms", lit(-1.0d))
+      .localCheckpoint()
+    val picks = Seq.newBuilder[DataFrame]
+    for (k <- 1 to MmrK) {
+      val scored = st.withColumn("score",
+        lit(MmrLambda) * col("rel") - lit(MmrGamma) * col("ms"))
+      val pick = scored.orderBy(col("score").desc, col("vec_id")).limit(1).localCheckpoint()
+      picks += pick.select(lit(k).as("pick_idx"), col("vec_id"),
+        round(col("rel"), 6).as("relevance"), round(col("score"), 6).as("mmr_score"))
+      if (k < MmrK)
+        st = st.crossJoin(broadcast(pick.select(col("vec_id").as("s_vid"),
+            col("v").as("sv"), col("n2").as("sn2"))))
+          .filter(col("vec_id") =!= col("s_vid"))
+          .select(col("vec_id"), col("v"), col("n2"), col("rel"),
+            greatest(col("ms"),
+              dot(col("v"), col("sv")) / (sqrt(col("n2")) * sqrt(col("sn2")))).as("ms"))
+          .localCheckpoint()
+    }
+    picks.result().reduce(_ unionByName _).orderBy(col("pick_idx"))
+  }
+
+  val embMmrSelectSql: String = {
+    def cosRaw(a: String, b: String, an2: String, bn2: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)
+         |    / (sqrt($an2) * sqrt($bn2))""".stripMargin
+    val rounds = (2 to MmrK).map { k =>
+      s""",
+         |st$k AS (
+         |  SELECT a.vec_id, a.v, a.n2, a.rel,
+         |    greatest(a.ms, ${cosRaw("a.v", "s.v", "a.n2", "s.n2")}) AS ms
+         |  FROM st${k - 1} a CROSS JOIN p${k - 1} s WHERE a.vec_id <> s.vec_id),
+         |p$k AS (
+         |  SELECT *, CAST($MmrLambda AS DOUBLE) * rel - CAST($MmrGamma AS DOUBLE) * ms AS score
+         |  FROM st$k ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString("")
+    val selects = (1 to MmrK)
+      .map(k => s"SELECT $k AS pick_idx, vec_id, round(rel, 6) AS relevance, round(score, 6) AS mmr_score FROM p$k")
+      .mkString("\nUNION ALL ")
+    s"""$vecsCteSql,
+       |st1 AS (
+       |  SELECT a.vec_id, a.v, a.n2,
+       |    ${cosRaw("a.v", "q.v", "a.n2", "q.n2")} AS rel,
+       |    CAST(-1.0 AS DOUBLE) AS ms
+       |  FROM vecs a CROSS JOIN (SELECT v, n2 FROM vecs WHERE vec_id = 0) q
+       |  WHERE a.vec_id <> 0),
+       |p1 AS (
+       |  SELECT *, CAST($MmrLambda AS DOUBLE) * rel - CAST($MmrGamma AS DOUBLE) * ms AS score
+       |  FROM st1 ORDER BY score DESC, vec_id LIMIT 1)$rounds
+       |SELECT * FROM (
+       |$selects)
+       |ORDER BY pick_idx""".stripMargin
+  }
+
   // ------------------------------------------------------------ #30h range search
 
   /** Cosine radius for range search: return EVERY neighbor with

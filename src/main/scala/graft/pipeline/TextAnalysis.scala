@@ -927,6 +927,53 @@ object TextAnalysis {
         col("pii_total"), col("clean_text"))
       .orderBy(col("doc_id"))
 
+  /** Per-source PII exposure report — the governance rollup over
+    * [[piiScrub]]: how dirty is each ingest source, which class
+    * dominates, what fraction of docs needs scrubbing. One few-key
+    * groupBy with map-side combine over the scrub projection — the
+    * rollup adds nothing to the scan's cost at 100 TB. */
+  def piiRate(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOn(dirtied(spark, dir), "dirty_text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pii_total") > 0, 1)).as("n_docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(col("n_phones")).as("n_phones"),
+        round(count(when(col("pii_total") > 0, 1)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pii_doc_rate"))
+      .orderBy(col("source"))
+
+  val piiRateSql: String = {
+    val email = EmailRe
+    val ip = Ipv4Re
+    val phone = PhoneRe
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |      || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS dirty_text
+       |  FROM documents),
+       |scrub AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(dirty_text, '$email')) AS e,
+       |    len(regexp_extract_all(dirty_text, '$ip')) AS i,
+       |    len(regexp_extract_all(dirty_text, '$phone')) AS p
+       |  FROM d)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(*) FILTER (e + i + p > 0) AS BIGINT) AS n_docs_with_pii,
+       |  CAST(SUM(e) AS BIGINT) AS n_emails,
+       |  CAST(SUM(i) AS BIGINT) AS n_ips,
+       |  CAST(SUM(p) AS BIGINT) AS n_phones,
+       |  round(CAST(COUNT(*) FILTER (e + i + p > 0) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE), 6) AS pii_doc_rate
+       |FROM scrub GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val piiScrubSql: String = {
     // DuckDB '…' strings don't process backslash escapes, so the
     // runtime pattern (one backslash per escape) embeds verbatim
