@@ -28,6 +28,45 @@ object Corpus {
     * appends must land every doc in the same split). The high bits of
     * an LCG mix decide the bucket; at 100 TB the same expression
     * shards any corpus with zero coordination. */
+  /** Per-stratum exact-k sample size for [[stratifiedSample]]. */
+  val StratifiedK = 10
+  /** Hash-order modulus (== MixScale, declared here because the SQL
+    * val below initializes before that later constant). */
+  val StratifiedScale = 65536L
+
+  /** STRATIFIED exact-k sampling — k docs per source, chosen by a
+    * deterministic LCG-hash order (the [[sample]] generator), so the
+    * draw is reproducible across runs/engines and every stratum is
+    * represented with exactly min(k, |stratum|) rows — the eval-set /
+    * human-review draw where a plain corpus-wide sample starves small
+    * sources. Per-source ranks via
+    * [[graft.functions.DistributedRanks]]: a source-partitioned
+    * row_number window would pin each source's full corpus in one
+    * task (the round-3 skew rule); ranking over the hash key is
+    * range-partitioned instead, and only rank ≤ k rows survive. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir))
+      .withColumn("skey", expr(s"((doc_id * $SampleA + $SampleC) div 65536) % $StratifiedScale"))
+    graft.functions.DistributedRanks
+      .withGroupRanks(d, "source", Seq(col("skey"), col("doc_id")))
+      .filter(col("rn") <= StratifiedK)
+      .select(col("doc_id"), col("source"), col("rn").cast("bigint").as("sample_rank"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    ((doc_id * $SampleA + $SampleC) // 65536) % $StratifiedScale AS skey
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+       |  FROM d)
+       |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+       |FROM ranked WHERE rn <= $StratifiedK
+       |ORDER BY source, sample_rank""".stripMargin
+
   def sample(spark: SparkSession, dir: String): DataFrame = {
     val bucket = expr(s"((doc_id * $SampleA + $SampleC) div 65536) % 100")
     Tables.documents(spark, dir)
@@ -543,6 +582,76 @@ object Corpus {
       |  CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
       |  CAST(SUM(CASE WHEN q >= 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Bit widths [[embQuantizeSweep]] evaluates. */
+  val QuantizeSweepBits = Seq(2, 4, 8)
+
+  /** SCALAR-QUANTIZATION TUNING CURVE — reconstruction error vs bit
+    * width (the ann_recall/band_sweep pattern applied to embedding
+    * compression): per-dim min/max uniform quantizer at 2^b cells,
+    * midpoint reconstruction, for b ∈ [[QuantizeSweepBits]] in ONE
+    * pass — the (vec, dim) explode joins the tiny per-dim range
+    * relation, fans ×|bits| map-side, and collapses to |bits| rows
+    * with map-side combine. Per-value squared errors round-trip
+    * through DECIMAL so the sum is order-independent (the doc'd
+    * bit-stability rule); the curve answers "how many bits does this
+    * corpus actually need" before an emb_quantize deployment. */
+  def embQuantizeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
+    val dims = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x").cast("double").as("xd"))
+      .groupBy(col("dim"))
+      .agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+    val bits = {
+      import spark.implicits._
+      QuantizeSweepBits.map(b => (b, (1L << b).toDouble)).toDF("bits", "cells")
+    }
+    vals.join(dims, "dim")
+      .crossJoin(broadcast(bits))
+      .withColumn("q",
+        when(col("mx") === col("mn"), lit(0.0d))
+          .otherwise(least(
+            floor((col("xd") - col("mn")) * col("cells") / (col("mx") - col("mn"))),
+            col("cells") - lit(1.0d))))
+      .withColumn("xr",
+        col("mn") + (col("q") + lit(0.5d)) * (col("mx") - col("mn")) / col("cells"))
+      .withColumn("err", col("xd") - col("xr"))
+      .groupBy(col("bits"))
+      .agg(count(lit(1)).as("n_vals"),
+        round(sum((col("err") * col("err")).cast("decimal(27,12)")).cast("double"), 6)
+          .as("sse"),
+        sum(when(col("q") === col("cells") - lit(1.0d), 1L).otherwise(0L)).as("n_top_cell"))
+      .orderBy(col("bits"))
+  }
+
+  val embQuantizeSweepSql: String = {
+    val bitsValues = QuantizeSweepBits
+      .map(b => s"($b, CAST(${1L << b} AS DOUBLE))").mkString(", ")
+    s"""WITH vals AS (
+       |  SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS xd
+       |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i),
+       |dims AS (
+       |  SELECT dim, MIN(xd) AS mn, MAX(xd) AS mx FROM vals GROUP BY dim),
+       |b(bits, cells) AS (VALUES $bitsValues),
+       |q AS (
+       |  SELECT v.vec_id, b.bits, b.cells, v.xd, d.mn, d.mx,
+       |    CASE WHEN d.mx = d.mn THEN CAST(0.0 AS DOUBLE)
+       |         ELSE least(FLOOR((v.xd - d.mn) * b.cells / (d.mx - d.mn)),
+       |                    b.cells - CAST(1.0 AS DOUBLE)) END AS q
+       |  FROM vals v JOIN dims d ON v.dim = d.dim CROSS JOIN b),
+       |e AS (
+       |  SELECT bits, cells, q,
+       |    xd - (mn + (q + CAST(0.5 AS DOUBLE)) * (mx - mn) / cells) AS err
+       |  FROM q)
+       |SELECT bits, COUNT(*) AS n_vals,
+       |  round(CAST(SUM(CAST(err * err AS DECIMAL(27,12))) AS DOUBLE), 6) AS sse,
+       |  CAST(SUM(CASE WHEN q = cells - CAST(1.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_top_cell
+       |FROM e GROUP BY bits ORDER BY bits""".stripMargin
+  }
 
   // ------------------------------------------------------------ outliers
 

@@ -865,6 +865,57 @@ object TextAnalysis {
       |      (a, x) -> a + x) / n, 6) AS char_entropy
       |FROM terms ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #33o readability
+
+  /** FLESCH READING EASE per document — the classic readability
+    * signal quality pipelines report next to the Gopher rules
+    * (206.835 − 1.015·words/sentence − 84.6·syllables/word).
+    * Syllables ≈ vowel groups (`[aeiouy]+`), counted over the WHOLE
+    * lowercased text in one regex pass — a vowel group never spans a
+    * space, so the text-level count equals the per-word sum without a
+    * per-token interpreted HOF loop (the SURVEY §4 lesson). Sentences
+    * = `[.!?]+` runs, floored at 1. Map-only single scan; constants
+    * are LITERALS in both engines, ratios one IEEE divide each, so
+    * the score hash-matches. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOn(docs(spark, dir))
+
+  /** Frame-level core over any (doc_id, text) frame. */
+  def readabilityOn(df: DataFrame): DataFrame =
+    df
+      .withColumn("n_words", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_sentences",
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("long"))
+      .withColumn("n_syllables",
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long"))
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_syllables").cast("double") /
+        greatest(col("n_words"), lit(1)).cast("double"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(col("wps"), 6).as("words_per_sentence"),
+        round(col("spw"), 6).as("syllables_per_word"),
+        round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 6)
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+
+  val readabilitySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_words,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+       |    CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS spw
+       |  FROM d)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  round(wps, 6) AS words_per_sentence,
+       |  round(spw, 6) AS syllables_per_word,
+       |  round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps
+       |    - CAST(84.6 AS DOUBLE) * spw, 6) AS flesch
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ #33n PII scrub
 
   /** PII patterns — the common Java/RE2 regex subset (character

@@ -325,4 +325,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out(5L).getAs[Boolean]("pass_gopher")) // all lines bullet-led
     assert(out(5L).getAs[Double]("bullet_line_ratio") == 1.0)
   }
+
+  test("quantize sweep: reconstruction error strictly improves with bit width") {
+    val rows = Corpus.embQuantizeSweep(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Corpus.QuantizeSweepBits)
+    // same value population at every width
+    assert(rows.map(_._2).distinct.size == 1)
+    // more bits, strictly less squared error — the curve's whole point
+    rows.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => assert(b < a, s"$b !< $a") }
+    assert(rows.last._3 > 0.0)
+  }
+
+  test("stratified sample draws exactly k per source, deterministically") {
+    val got = Corpus.stratifiedSample(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = got.groupBy(_._2)
+    bySource.foreach { case (s, rs) =>
+      assert(rs.length <= Corpus.StratifiedK, s"source $s drew ${rs.length}")
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong), s"ranks not dense for $s")
+    }
+    // deterministic: a second evaluation is identical
+    val again = Corpus.stratifiedSample(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
 }
