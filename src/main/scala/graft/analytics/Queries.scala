@@ -1163,6 +1163,50 @@ object Queries {
         approx_count_distinct(col("user_id"), ApproxDistinctRsd).as("approx_users"))
       .orderBy(col("event_type"))
 
+  // ------------------------------------------------------------ #23x event transitions
+
+  /** EVENT TRANSITION MATRIX — per-user behavioral Markov chain: for
+    * every consecutive event pair in a user's timeline, count the
+    * (from_type → to_type) transition and report its probability
+    * conditioned on the from-state (row-stochastic). The per-user lag
+    * window is keyed by user_id — high-cardinality, never a lone hot
+    * key — and the transition rollup is a \|types\|²-key groupBy with
+    * map-side combine; the conditional divides exact counts once
+    * (hash-stable IEEE divide). The product-analytics twin of
+    * q_funnel: funnel checks ONE ordered path, this reports the whole
+    * first-order transition structure. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("time_us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_total"))
+    trans.join(fromTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
+        round(col("n").cast("double") / col("from_total").cast("double"), 6)
+          .as("p_transition"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total FROM trans GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n, tot.from_total,
+      |  round(CAST(t.n AS DOUBLE) / CAST(tot.from_total AS DOUBLE), 6) AS p_transition
+      |FROM trans t JOIN tot USING (from_type)
+      |ORDER BY t.from_type, t.to_type""".stripMargin
+
   // ------------------------------------------------------------ #23w unpivot
 
   /** Wide→long UNPIVOT (melt) of a metrics block — the reshaping

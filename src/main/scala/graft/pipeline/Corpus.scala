@@ -653,6 +653,62 @@ object Corpus {
        |FROM e GROUP BY bits ORDER BY bits""".stripMargin
   }
 
+  /** EMBEDDING DRIFT MONITOR — per-label centroid shift between two
+    * ingest batches (here the deterministic vec_id parity split as
+    * reference vs current): ‖c_ref − c_cur‖² and the centroid cosine,
+    * the model-ops alarm for "did the embedding distribution move
+    * between snapshots" (re-train / re-index trigger). Per-dim means
+    * from DECIMAL-exact sums, ROUNDED FIRST so both engines compose
+    * the same doubles; the cross-dim sums (shift², dot, norms) each
+    * round-trip through DECIMAL — order-independent (the doc'd
+    * bit-stability rule). Scale: one (label, dim)-grain aggregate with
+    * map-side combine (labels·dims rows), then a label-grain rollup —
+    * the corpus is read once, nothing wider than d·|labels| shuffles. */
+  def embCentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        col("x").cast("double").cast("decimal(27,12)").as("xd"))
+    val cent = vals.groupBy(col("label"), col("dim"))
+      .agg(
+        round(sum(when(col("vec_id") % 2 === 0, col("xd"))).cast("double") /
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)), 6).as("m_ref"),
+        round(sum(when(col("vec_id") % 2 === 1, col("xd"))).cast("double") /
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)), 6).as("m_cur"),
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+    cent.groupBy(col("label"))
+      .agg(min(col("n_ref")).as("n_ref"), min(col("n_cur")).as("n_cur"),
+        round(sum(((col("m_ref") - col("m_cur")) * (col("m_ref") - col("m_cur")))
+          .cast("decimal(27,12)")).cast("double"), 6).as("shift2"),
+        round(sum((col("m_ref") * col("m_cur")).cast("decimal(27,12)")).cast("double") /
+          (sqrt(sum((col("m_ref") * col("m_ref")).cast("decimal(27,12)")).cast("double")) *
+           sqrt(sum((col("m_cur") * col("m_cur")).cast("decimal(27,12)")).cast("double"))), 6)
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  val embCentroidShiftSql: String =
+    """WITH vals AS (
+      |  SELECT vec_id, label, i.i AS dim,
+      |    CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(27,12)) AS xd
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i),
+      |cent AS (
+      |  SELECT label, dim,
+      |    round(CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN xd END) AS DOUBLE) /
+      |      SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END), 6) AS m_ref,
+      |    round(CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN xd END) AS DOUBLE) /
+      |      SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END), 6) AS m_cur,
+      |    SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+      |    SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+      |  FROM vals GROUP BY 1, 2)
+      |SELECT label, CAST(MIN(n_ref) AS BIGINT) AS n_ref, CAST(MIN(n_cur) AS BIGINT) AS n_cur,
+      |  round(CAST(SUM(CAST((m_ref - m_cur) * (m_ref - m_cur) AS DECIMAL(27,12))) AS DOUBLE), 6) AS shift2,
+      |  round(CAST(SUM(CAST(m_ref * m_cur AS DECIMAL(27,12))) AS DOUBLE) /
+      |    (sqrt(CAST(SUM(CAST(m_ref * m_ref AS DECIMAL(27,12))) AS DOUBLE)) *
+      |     sqrt(CAST(SUM(CAST(m_cur * m_cur AS DECIMAL(27,12))) AS DOUBLE))), 6) AS centroid_cos
+      |FROM cent GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------------------ outliers
 
   val OutliersPerLabel = 5

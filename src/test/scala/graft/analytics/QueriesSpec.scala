@@ -69,4 +69,27 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("Expand"), plan)
     assert(!plan.contains("Union"), plan)
   }
+
+  test("event transitions are row-stochastic and match a sequential recompute") {
+    val rows = Queries.qEventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // row-stochastic: each from-state's probabilities sum to ~1, and
+    // its n's sum to its from_total exactly
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-4, s"$from p-sum ${rs.map(_._5).sum}")
+      assert(rs.map(_._3).sum == rs.head._4, s"$from n-sum vs total")
+    }
+    // sequential recompute from the raw table
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._4, e._2)).map(_._3).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == expected)
+  }
 }

@@ -337,6 +337,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.last._3 > 0.0)
   }
 
+  test("centroid shift matches a local recompute; parity halves stay aligned") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val got = Corpus.embCentroidShift(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val rows = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def mean6(xs: Seq[Double]): Double =
+      BigDecimal(xs.map(BigDecimal(_)).sum.toDouble / xs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_._2).foreach { case (label, vs) =>
+      val (ref, cur) = vs.partition(_._1 % 2 == 0)
+      val dims = vs.head._3.indices
+      val mr = dims.map(d => mean6(ref.toSeq.map(_._3(d))))
+      val mc = dims.map(d => mean6(cur.toSeq.map(_._3(d))))
+      val shift2 = BigDecimal(dims.map(d => BigDecimal((mr(d) - mc(d)) * (mr(d) - mc(d)))).sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cos = {
+        val dot = dims.map(d => BigDecimal(mr(d) * mc(d))).sum.toDouble
+        val nr = math.sqrt(dims.map(d => BigDecimal(mr(d) * mr(d))).sum.toDouble)
+        val nc = math.sqrt(dims.map(d => BigDecimal(mc(d) * mc(d))).sum.toDouble)
+        BigDecimal(dot / (nr * nc)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val (nRef, nCur, gShift, gCos) = got(label)
+      assert(nRef == ref.size.toLong && nCur == cur.size.toLong)
+      assert(math.abs(gShift - shift2) <= 1e-6, s"label $label: $gShift vs $shift2")
+      // note: these near-centered synthetic embeddings have tiny label
+      // centroids, so cos is legitimately noisy — assert exactness,
+      // not magnitude
+      assert(math.abs(gCos - cos) <= 1e-6, s"label $label: $gCos vs $cos")
+    }
+  }
+
   test("stratified sample draws exactly k per source, deterministically") {
     val got = Corpus.stratifiedSample(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
