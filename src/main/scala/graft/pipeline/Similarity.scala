@@ -1013,7 +1013,10 @@ object Similarity {
     val probes = scored.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
         col("cid").as("cell"), angle(col("c_cos")).as("qtheta"))
-      .join(radii, Seq("cell"))
+      // radii is K-bounded cell metadata (≤ NumCentroids rows) — the
+      // sanctioned broadcast class; unhinted this planned an SMJ with
+      // two sort exchanges on a K-row side
+      .join(broadcast(radii), Seq("cell"))
       .filter(col("qtheta") - col("radius") <= lit(thetaTau) + lit(1e-9))
       .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
     (probes, assigned.select(col("vec_id"), col("v"), col("n2"), col("cell")))
