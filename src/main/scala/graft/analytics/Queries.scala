@@ -590,7 +590,7 @@ object Queries {
 
   // ------------------------------------------------------------ #23n funnel
 
-  /** Staged conversion funnel over the event stream (page_view →
+  /** Staged conversion funnel over the event stream (view →
     * click → purchase, each stage strictly after the previous): the
     * classic product-analytics query. Each user's stage times are
     * nested conditional minima computed in ONE pass over the user's
@@ -608,7 +608,7 @@ object Queries {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
     val staged = ev
-      .withColumn("t1", min(when(col("event_type") === "page_view", col("t"))).over(w))
+      .withColumn("t1", min(when(col("event_type") === "view", col("t"))).over(w))
       .withColumn("t2", min(when(col("event_type") === "click" && col("t") > col("t1"), col("t"))).over(w))
       .withColumn("t3", min(when(col("event_type") === "purchase" && col("t") > col("t2"), col("t"))).over(w))
       .groupBy(col("user_id"))
@@ -633,7 +633,7 @@ object Queries {
       |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
       |staged AS (
       |  SELECT user_id,
-      |    MIN(CASE WHEN event_type = 'page_view' THEN t END) AS t1
+      |    MIN(CASE WHEN event_type = 'view' THEN t END) AS t1
       |  FROM ev GROUP BY 1),
       |s2 AS (
       |  SELECT e.user_id, ANY_VALUE(s.t1) AS t1,
@@ -1162,6 +1162,125 @@ object Queries {
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), ApproxDistinctRsd).as("approx_users"))
       .orderBy(col("event_type"))
+
+  // ------------------------------------------------------------ #23z funnel latency
+
+  /** FUNNEL CONVERSION LATENCY — exact p50/p90 of the time between
+    * funnel steps (view→click, click→purchase), per step: the tail
+    * report [[qFunnel]]'s averages hide. Per-user step times reuse the
+    * funnel staging; the two step-delta populations stack into one
+    * (step, delta) relation and rank via
+    * [[graft.functions.DistributedRanks]] — a step-partitioned window
+    * would pin each step's full population in one task (2 hot keys;
+    * the round-3 skew rule), range partitioning keeps ranks exact and
+    * tasks bounded. Percentiles are closed-form from (rank, n), the
+    * q_percentiles rule. */
+  def qFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("t") > col("t1"), col("t"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("t") > col("t2"), col("t"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    val deltas = staged.select(col("user_id"),
+        explode_outer(array(
+          struct(lit("view_to_click").as("step"), (col("t2") - col("t1")).as("delta_us")),
+          struct(lit("click_to_purchase").as("step"), (col("t3") - col("t2")).as("delta_us")))).as("s"))
+      .select(col("s.step").as("step"), col("s.delta_us").as("delta_us"), col("user_id"))
+      .filter(col("delta_us").isNotNull)
+    val ranked = graft.functions.DistributedRanks
+      .withGroupRanks(deltas, "step", Seq(col("delta_us"), col("user_id")))
+    val pc = Seq((1, 2, "p50_us"), (9, 10, "p90_us")).map { case (num, den, name) =>
+      max(when(col("rn") === expr(s"($num * n + ${den - 1}) div $den"), col("delta_us"))).as(name)
+    }
+    ranked.groupBy(col("step"))
+      .agg(max(col("n")).as("n_converted"), pc: _*)
+      .orderBy(col("step"))
+  }
+
+  val qFunnelTimeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |staged AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN t END) AS t1
+      |  FROM ev GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, ANY_VALUE(s.t1) AS t1,
+      |    MIN(CASE WHEN e.event_type = 'click' AND e.t > s.t1 THEN e.t END) AS t2
+      |  FROM ev e JOIN staged s ON e.user_id = s.user_id GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, ANY_VALUE(s.t1) AS t1, ANY_VALUE(s.t2) AS t2,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.t > s.t2 THEN e.t END) AS t3
+      |  FROM ev e JOIN s2 s ON e.user_id = s.user_id GROUP BY 1),
+      |deltas AS (
+      |  SELECT 'view_to_click' AS step, t2 - t1 AS delta_us, user_id
+      |  FROM s3 WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'click_to_purchase' AS step, t3 - t2 AS delta_us, user_id
+      |  FROM s3 WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+      |ranked AS (
+      |  SELECT step, delta_us,
+      |    ROW_NUMBER() OVER (PARTITION BY step ORDER BY delta_us, user_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY step) AS n
+      |  FROM deltas)
+      |SELECT step, CAST(MAX(n) AS BIGINT) AS n_converted,
+      |  MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN delta_us END) AS p50_us,
+      |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delta_us END) AS p90_us
+      |FROM ranked GROUP BY 1 ORDER BY step""".stripMargin
+
+  // ------------------------------------------------------------ #23y top movers
+
+  /** PERIOD-OVER-PERIOD MOVERS — per event_type volume and value
+    * change between the two halves of the observed time range (the
+    * "what changed this week" report): counts, DECIMAL-exact value
+    * sums, absolute delta and relative change (NULL when the first
+    * half is empty — no fake infinities). The range midpoint comes
+    * from a 1-row min/max aggregate broadcast back over the scan; the
+    * rollup is a \|types\|-key groupBy with map-side combine — two
+    * passes over the fact table, nothing wider than \|types\| shuffles. */
+  def qTopChange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"), col("value"))
+    val bounds = ev.agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("first_half", col("t") * 2 <= col("mn") + col("mx"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("first_half"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("n_second"),
+        sum(when(col("first_half"), dec2(col("value")))).cast("double").as("value_first"),
+        sum(when(!col("first_half"), dec2(col("value")))).cast("double").as("value_second"))
+      .withColumn("delta", col("n_second") - col("n_first"))
+      .withColumn("pct_change",
+        when(col("n_first") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n_second") - col("n_first")).cast("double") /
+            col("n_first").cast("double"), 6)))
+      .orderBy(col("event_type"))
+  }
+
+  val qTopChangeSql: String =
+    """WITH ev AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+      |b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM ev),
+      |halves AS (
+      |  SELECT event_type, value, (t * 2 <= b.mn + b.mx) AS first_half
+      |  FROM ev CROSS JOIN b),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |    CAST(SUM(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS n_second,
+      |    CAST(SUM(CASE WHEN first_half THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS value_first,
+      |    CAST(SUM(CASE WHEN NOT first_half THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS value_second
+      |  FROM halves GROUP BY 1)
+      |SELECT event_type, n_first, n_second, value_first, value_second,
+      |  n_second - n_first AS delta,
+      |  CASE WHEN n_first = 0 THEN NULL
+      |       ELSE round(CAST(n_second - n_first AS DOUBLE) / CAST(n_first AS DOUBLE), 6)
+      |  END AS pct_change
+      |FROM agg ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------ #23x event transitions
 
