@@ -832,6 +832,42 @@ object Corpus {
        |  MAX(n_chars) AS max_chars
        |FROM assigned GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Shard-write report for [[writeShards]]. */
+  final case class ShardWriteReport(nShards: Long, nDocs: Long,
+      minShardChars: Long, maxShardChars: Long, filesWritten: Long)
+
+  /** WRITE the size-balanced shards [[shardBalance]] plans — the
+    * operational half of the 100 TB writer-balance story: the same
+    * per-source round-robin-by-size assignment, then ONE shard-keyed
+    * repartition so each shard's docs land in exactly one task, and a
+    * `partitionBy(shard)` parquet commit (one file per shard — a
+    * downstream trainer streams shard directories of near-equal char
+    * mass instead of hot-spotting on one fat file). Returns the
+    * balance report read back from the WRITTEN files, so the spec
+    * gates the artifact, not the plan. */
+  def writeShards(docs: DataFrame, path: String, nShards: Int = BalanceShards): ShardWriteReport = {
+    val spark = docs.sparkSession
+    val assigned = graft.functions.DistributedRanks.withGroupRanks(
+        docs, "source", Seq(col("n_chars").desc, col("doc_id")))
+      .withColumn("shard", ((col("rn") - 1) % nShards).cast("int"))
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("shard"))
+    assigned.repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    val stats = back.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .agg(count(lit(1)).as("n_shards"), sum(col("n")).as("n_docs"),
+        min(col("chars")).as("mn"), max(col("chars")).as("mx"))
+      .head()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var files = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) files += 1
+    ShardWriteReport(stats.getLong(0), stats.getLong(1), stats.getLong(2),
+      stats.getLong(3), files)
+  }
+
   // ------------------------------------------------------------ vocab growth
 
   /** Docs per vocabulary-growth bucket. */

@@ -862,6 +862,94 @@ object Similarity {
        |FROM best b JOIN labels l2 USING (vec_id)
        |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin
 
+  // ------------------------------------------------------------ #28y2 kNN PageRank
+
+  val PageRankDamping = 0.85
+  val PageRankBase = 0.15
+  val PageRankIters = 2
+
+  /** PAGERANK over the mutual-kNN graph — semantic CENTRALITY: which
+    * documents sit at the core of their neighborhood structure vs the
+    * periphery (the prototypicality signal for curriculum ordering
+    * and coreset picks; SemDeDup keeps cluster cores for the same
+    * reason). [[PageRankIters]] unrolled power-iteration rounds over
+    * the DIRECTED view of the mutual edge relation (symmetric, so
+    * every node has in-degree ≥ 1 — no dangling mass correction
+    * needed): r' = 0.15/n + 0.85·Σ r_u/deg_u. Per-target
+    * contributions sum through DECIMAL(38,18) (order-independent);
+    * ranks re-round to 12 dp each iteration so both engines compose
+    * identical doubles; damping constants are literals.
+    *
+    * Scale: each iteration is one edge-relation join + one
+    * target-keyed aggregate — edge-sized work (≤ n·k rows), never
+    * vector-width; the standard distributed-PageRank plan. */
+  def embKnnPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(vecs(spark, dir))
+    // directed view of the mutual relation: both orientations
+    val mut = edges.as("e1")
+      .join(edges.select(col("neighbor_id").as("a2"), col("vec_id").as("b2")).as("e2"),
+        col("e1.vec_id") === col("a2") && col("e1.neighbor_id") === col("b2"))
+      .select(col("e1.vec_id").as("src"), col("e1.neighbor_id").as("dst"))
+      .localCheckpoint()
+    val deg = mut.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = mut.select(col("src").as("v")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("v"), col("n"), round(lit(1.0) / col("n"), 12).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to PageRankIters) {
+      r = mut.join(r.select(col("v").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum((col("r") / col("deg")).cast("decimal(38,18)")).as("s"))
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("v"), col("n"),
+          round(lit(PageRankBase) / col("n") +
+            lit(PageRankDamping) * col("s").cast("double"), 12).as("r"))
+        .localCheckpoint()
+    }
+    r.join(deg.select(col("src").as("v"), col("deg")), Seq("v"))
+      .select(col("v").as("vec_id"), col("deg").as("degree"),
+        round(col("r"), 6).as("pagerank"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embKnnPagerankSql: String = {
+    val iters = (1 to PageRankIters).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT m.dst AS v, SUM(CAST(r${i - 1}.r / deg.deg AS DECIMAL(38,18))) AS s
+         |  FROM mut m JOIN r${i - 1} ON m.src = r${i - 1}.v JOIN deg ON m.src = deg.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT c$i.v, round(CAST($PageRankBase AS DOUBLE) / nn.n
+         |    + CAST($PageRankDamping AS DOUBLE) * CAST(s AS DOUBLE), 12) AS r
+         |  FROM c$i CROSS JOIN nn)""".stripMargin
+    }.mkString("")
+    s"""$vecsCteSql,
+       |b AS (SELECT vec_id, v, n2, ${bucketSql("v")} AS bucket FROM vecs),
+       |scored AS (
+       |  SELECT q.vec_id, c.vec_id AS neighbor_id, $cosSql AS cos_sim
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |edges AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= $KnnK),
+       |mut AS (
+       |  SELECT e1.vec_id AS src, e1.neighbor_id AS dst
+       |  FROM edges e1 JOIN edges e2 ON e1.neighbor_id = e2.vec_id AND e1.vec_id = e2.neighbor_id),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM mut GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS v FROM mut),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT v, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS r
+       |  FROM nodes CROSS JOIN nn)$iters
+       |SELECT r$PageRankIters.v AS vec_id, CAST(deg.deg AS BIGINT) AS degree,
+       |  round(r$PageRankIters.r, 6) AS pagerank
+       |FROM r$PageRankIters JOIN deg ON r$PageRankIters.v = deg.src
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ #28z4 MMR selection
 
   val MmrK = 6

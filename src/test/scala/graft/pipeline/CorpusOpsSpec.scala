@@ -372,6 +372,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeShards lands balanced one-file shards that round-trip") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.spread(graft.Tables.documents(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
+    val r = Corpus.writeShards(docs, path)
+    assert(r.nShards == Corpus.BalanceShards.toLong)
+    assert(r.nDocs == docs.count())
+    // one parquet file per shard directory
+    assert(r.filesWritten == r.nShards)
+    // size balance: round-robin by size keeps shards within a tight band
+    assert(r.minShardChars * 2 > r.maxShardChars,
+      s"shard spread ${r.minShardChars}..${r.maxShardChars}")
+    // written artifact agrees with the planned report
+    val planned = Corpus.shardBalance(spark, dir).collect()
+      .map(ro => ro.getInt(0) -> (ro.getLong(1), ro.getLong(2))).toMap
+    val got = spark.read.parquet(path).groupBy(col("shard"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("n_chars")).as("chars"))
+      .collect().map(ro => ro.getInt(0) -> (ro.getLong(1), ro.getLong(2))).toMap
+    assert(got == planned)
+  }
+
   test("stratified sample draws exactly k per source, deterministically") {
     val got = Corpus.stratifiedSample(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

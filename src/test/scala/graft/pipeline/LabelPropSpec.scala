@@ -89,4 +89,20 @@ class LabelPropSpec extends SparkSpec {
     assert(got.size > 50, s"too few predictions (${got.size}) to judge")
     assert(acc >= 0.9, s"accuracy $acc below 0.9 on clustered data")
   }
+
+  test("kNN pagerank conserves mass and stays positive") {
+    val rows = Similarity.embKnnPagerank(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, d, r) =>
+      assert(d >= 1L, s"node $v degree $d")
+      assert(r > 0.0, s"node $v rank $r")
+    }
+    // symmetric graph, no dangling mass: total rank stays ~1 through
+    // the damped iterations (drift only from per-iteration rounding)
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1.0) < 0.01, s"total rank $total")
+    // centrality does real work: ranks are not uniform
+    assert(rows.map(_._3).distinct.length > 10, "pagerank collapsed to uniform")
+  }
 }
