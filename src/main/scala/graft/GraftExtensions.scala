@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleHashDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.charEntropyDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }
@@ -50,5 +51,14 @@ object GraftExtensions {
       case Seq(a, b) => graft.functions.VecDot(a, b)
       case _ => throw new IllegalArgumentException(
         "vec_dot(a, b) takes exactly 2 arguments")
+    })
+
+  val charEntropyDescriptor: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("char_entropy"),
+    new ExpressionInfo(classOf[graft.functions.CharEntropy].getName, "char_entropy"),
+    (children: Seq[Expression]) => children match {
+      case Seq(text) => graft.functions.CharEntropy(text)
+      case _ => throw new IllegalArgumentException(
+        "char_entropy(text) takes exactly 1 argument")
     })
 }

@@ -45,4 +45,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(r == 140.0)
   }
+
+  test("char_entropy is callable from SQL and matches the expression") {
+    val r = spark.sql("SELECT char_entropy('abab') AS h").collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    intercept[Exception](spark.sql("SELECT char_entropy('a', 'b')").collect())
+  }
 }
