@@ -868,6 +868,61 @@ object Corpus {
       stats.getLong(3), files)
   }
 
+  /** SOURCE-OVERLAP MATRIX — pairwise word-shingle Jaccard between
+    * ingest sources (which feeds duplicate each other: two mirrors of
+    * the same crawl show up here long before doc-level dedup runs).
+    * The grain is (source, shingle) DISTINCT — per-shingle fan-out is
+    * bounded by the SOURCE count (≤ |sources| rows per shingle, so
+    * the self-join expands to at most |sources|²/2 pairs per shingle,
+    * never doc²; no df-cap needed at any corpus size). One vocab-grain
+    * shuffle + one bounded pair aggregate; |sources|² output rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = Tables.spread(Tables.documents(spark, dir))
+      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .filter(size(col("toks")) >= Dedup.ShingleWords)
+      .select(col("source"), explode_outer(Dedup.wordShingles(col("toks"))).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+      .localCheckpoint() // feeds both the sizes and the pair join
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    val shared = ss.as("a").join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_1"), col("b.source").as("source_2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_1"), col("n_shingles").as("n_1")), Seq("source_1"))
+      .join(sizes.select(col("source").as("source_2"), col("n_shingles").as("n_2")), Seq("source_2"))
+      .select(col("source_1"), col("source_2"), col("n_shared"), col("n_1"), col("n_2"),
+        round(col("n_shared").cast("double") /
+          (col("n_1") + col("n_2") - col("n_shared")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("source_1"), col("source_2"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+       |  FROM documents),
+       |ss AS (
+       |  SELECT DISTINCT source, shingle FROM (
+       |    SELECT source,
+       |      unnest(list_distinct(list_transform(
+       |        generate_series(1, len(toks) - ${Dedup.ShingleWords - 1}),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS shingle
+       |    FROM d WHERE len(toks) >= ${Dedup.ShingleWords})),
+       |sizes AS (SELECT source, COUNT(*) AS n_shingles FROM ss GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS source_1, b.source AS source_2, COUNT(*) AS n_shared
+       |  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT s.source_1, s.source_2, s.n_shared,
+       |  s1.n_shingles AS n_1, s2.n_shingles AS n_2,
+       |  round(CAST(s.n_shared AS DOUBLE) /
+       |    CAST(s1.n_shingles + s2.n_shingles - s.n_shared AS DOUBLE), 6) AS jaccard
+       |FROM shared s
+       |JOIN sizes s1 ON s.source_1 = s1.source
+       |JOIN sizes s2 ON s.source_2 = s2.source
+       |ORDER BY s.source_1, s.source_2""".stripMargin
+
   // ------------------------------------------------------------ vocab growth
 
   /** Docs per vocabulary-growth bucket. */

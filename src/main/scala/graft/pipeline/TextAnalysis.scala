@@ -916,6 +916,30 @@ object TextAnalysis {
        |    - CAST(84.6 AS DOUBLE) * spw, 6) AS flesch
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #33p compressibility
+
+  /** COMPRESSION-RATIO quality signal — deflate as a crude language
+    * model: repetitive boilerplate compresses far below natural
+    * prose; random/base64 spray barely compresses. One codegen'd
+    * scalar ([[graft.functions.DeflateLen]]) inside the corpus scan,
+    * map-only. ROWS-GATED (no SQL oracle): the compressed length is
+    * zlib byte accounting, not relational semantics — correctness is
+    * held by TextCompressionSpec (independent local recompute +
+    * ordering properties on handcrafted docs). */
+  def compression(spark: SparkSession, dir: String): DataFrame =
+    compressionOn(docs(spark, dir))
+
+  /** Frame-level core over any (doc_id, text) frame. */
+  def compressionOn(df: DataFrame): DataFrame =
+    df
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("n_deflate_bytes",
+        graft.functions.DeflateLen.of(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_bytes"), col("n_deflate_bytes"),
+        round(col("n_deflate_bytes").cast("double") /
+          greatest(col("n_bytes"), lit(1L)).cast("double"), 6).as("deflate_ratio"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ #33n PII scrub
 
   /** PII patterns — the common Java/RE2 regex subset (character
