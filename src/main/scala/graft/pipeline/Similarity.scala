@@ -862,6 +862,102 @@ object Similarity {
        |FROM best b JOIN labels l2 USING (vec_id)
        |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin
 
+  // ------------------------------------------------------------ #30i probe sweep
+
+  /** Probe counts [[annProbeSweep]] evaluates (≤ the max rank kept). */
+  val ProbeSweep = Seq(1, 2, 4)
+
+  /** IVF PROBE-COUNT TUNING CURVE — recall@k vs numProbes (the
+    * band_sweep/quantize_sweep pattern applied to the IVF search
+    * knob): candidates are generated ONCE with each probed cell's
+    * rank (crn ≤ max sweep), then every sweep setting re-ranks the
+    * SAME candidate relation filtered to crn ≤ p — one corpus scan,
+    * one candidate join, |sweep| re-rankings of an already-tiny
+    * frame. Answers "how many probes does this corpus need for the
+    * recall target" before fixing NumProbes in production. */
+  def annProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir).localCheckpoint() // feeds cells, probes, ground truth
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    val scored = all.join(broadcast(cent), lit(true))
+      .withColumn("c_cos", cosine(dot(col("v"), col("cv")), col("n2"), col("cn2")))
+    val cells = scored
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
+        max(struct(col("c_cos"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("v"), col("n2"), (-col("best.ncid")).as("cell"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("cid"))
+    val maxP = ProbeSweep.max
+    val probes = scored.filter(col("vec_id") < NumQueries)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= maxP)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
+        col("cid").as("cell"), col("crn"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+      .select(col("query_id"), col("vec_id"), col("crn"), col("cos_sim"))
+    val pdim = { import spark.implicits._; ProbeSweep.toDF("probes") }
+    val wR = Window.partitionBy(col("probes"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val hits = cand.crossJoin(broadcast(pdim))
+      .filter(col("crn") <= col("probes"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= TopK)
+      .select(col("probes"), col("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1L).as("hit"))
+    val bf = bruteForceFrom(all).select(col("query_id"), col("neighbor_id"))
+    bf.crossJoin(broadcast(pdim))
+      .join(hits, Seq("probes", "query_id", "neighbor_id"), "left")
+      .groupBy(col("probes"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / col("n_exact"), 6))
+      .orderBy(col("probes"))
+  }
+
+  val annProbeSweepSql: String = {
+    val dotAC =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i])), (acc, x) -> acc + x)""".stripMargin
+    val dotQV =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * c.v[i])), (acc, x) -> acc + x)""".stripMargin
+    val pvals = ProbeSweep.map(p => s"($p)").mkString(", ")
+    s"""$vecsCteSql,
+       |cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM vecs WHERE vec_id < $NumCentroids),
+       |cscored AS (
+       |  SELECT a.vec_id, a.v, a.n2, c.cid,
+       |    round($dotAC / (sqrt(a.n2) * sqrt(c.cn2)), 6) AS c_cos
+       |  FROM vecs a CROSS JOIN cent c),
+       |cellr AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid) AS rn
+       |  FROM cscored),
+       |cells AS (SELECT vec_id, v, n2, cid AS cell FROM cellr WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, n2 AS qn2, cid AS cell, rn AS crn
+       |  FROM cellr WHERE vec_id < $NumQueries AND rn <= ${ProbeSweep.max}),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id, p.crn,
+       |    round($dotQV / (sqrt(p.qn2) * sqrt(c.n2)), 6) AS cos_sim
+       |  FROM cells c JOIN probes p ON c.cell = p.cell AND c.vec_id <> p.query_id),
+       |pr(probes) AS (VALUES $pvals),
+       |rankedp AS (
+       |  SELECT pr.probes, cand.query_id, cand.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.probes, cand.query_id
+       |      ORDER BY cand.cos_sim DESC, cand.vec_id) AS rank
+       |  FROM cand CROSS JOIN pr WHERE cand.crn <= pr.probes),
+       |hits AS (SELECT probes, query_id, vec_id AS neighbor_id FROM rankedp WHERE rank <= $TopK),
+       |bf AS ($annBruteForceSql)
+       |SELECT pr.probes, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  round(CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM bf CROSS JOIN pr
+       |LEFT JOIN hits h ON h.probes = pr.probes AND h.query_id = bf.query_id
+       |  AND h.neighbor_id = bf.neighbor_id
+       |GROUP BY pr.probes ORDER BY pr.probes""".stripMargin
+  }
+
   // ------------------------------------------------------------ #28y2 kNN PageRank
 
   val PageRankDamping = 0.85

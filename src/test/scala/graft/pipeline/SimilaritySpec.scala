@@ -142,4 +142,20 @@ class SimilaritySpec extends SparkSpec {
       assert(members.filter(_._3).map(_._1).toSeq == Seq(cid))
     }
   }
+
+  test("probe sweep: recall is monotone in probes and agrees with ann_recall at NumProbes") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.annProbeSweep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Similarity.ProbeSweep)
+    // adding probes can only add candidates: recall never decreases
+    rows.map(_._4).toSeq.sliding(2).foreach { case Seq(a, b) => assert(b >= a, s"$b < $a") }
+    assert(rows.forall(_._4 > 0.0))
+    // the sweep's NumProbes row reproduces ann_recall's IVF hit count
+    assert(Similarity.ProbeSweep.contains(Similarity.NumProbes))
+    val sweepAtDefault = rows.find(_._1 == Similarity.NumProbes).get._3
+    val ivfHits = Similarity.annRecall(spark, dir).collect()
+      .map(_.getAs[Long]("n_ivf_hits")).sum
+    assert(sweepAtDefault == ivfHits, s"$sweepAtDefault vs $ivfHits")
+  }
 }
