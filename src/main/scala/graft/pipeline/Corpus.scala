@@ -868,6 +868,52 @@ object Corpus {
       stats.getLong(3), files)
   }
 
+  /** Token budget the [[epochPlan]] allocates. */
+  val EpochBudgetTokens = 200000L
+
+  /** EPOCH PLAN — per-source repeat factors under a fixed token
+    * budget: temperature weights (α = 0.5, the sqrt flattening
+    * mix_temperature resamples BY) allocate the budget across
+    * sources, and `epochs = allocation / source_tokens` says how many
+    * times each source repeats in one training run (> 1 = the source
+    * is up-sampled and will repeat; the repeated-data accounting a
+    * mixing decision needs BEFORE launching, complementing
+    * mix_temperature's doc-level resample and select_budget's
+    * doc-level cut). Per-source sqrt weights round-trip through
+    * DECIMAL so the denominator is order-independent; one
+    * source-grain aggregate + a broadcast 1-row total. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("t"))
+      .withColumn("st", sqrt(col("t").cast("double")).cast("decimal(27,12)"))
+    val denom = src.agg(sum(col("st")).as("sum_st"))
+      .select(col("sum_st").cast("double").as("denom"))
+    val w = col("st").cast("double") / col("denom")
+    src.crossJoin(broadcast(denom))
+      .select(col("source"), col("t").as("n_tokens"),
+        round(w, 12).as("weight"),
+        round(lit(EpochBudgetTokens.toDouble) * w, 6).as("alloc_tokens"),
+        round(lit(EpochBudgetTokens.toDouble) * w / col("t"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  val epochPlanSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS nt
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, CAST(SUM(nt) AS BIGINT) AS t,
+       |    CAST(sqrt(CAST(SUM(nt) AS DOUBLE)) AS DECIMAL(27,12)) AS st
+       |  FROM tok GROUP BY 1),
+       |d AS (SELECT CAST(SUM(st) AS DOUBLE) AS denom FROM src)
+       |SELECT source, t AS n_tokens,
+       |  round(CAST(st AS DOUBLE) / d.denom, 12) AS weight,
+       |  round(CAST($EpochBudgetTokens AS DOUBLE) * (CAST(st AS DOUBLE) / d.denom), 6) AS alloc_tokens,
+       |  round(CAST($EpochBudgetTokens AS DOUBLE) * (CAST(st AS DOUBLE) / d.denom) / t, 6) AS epochs
+       |FROM src CROSS JOIN d ORDER BY source""".stripMargin
+
   /** SOURCE-OVERLAP MATRIX — pairwise word-shingle Jaccard between
     * ingest sources (which feeds duplicate each other: two mirrors of
     * the same crawl show up here long before doc-level dedup runs).
