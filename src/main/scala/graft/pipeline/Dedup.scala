@@ -638,6 +638,56 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Similarity thresholds [[thresholdSweep]] evaluates. */
+  val JaccardSweep = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** DEDUP THRESHOLD SWEEP — duplicate volume vs similarity cutoff
+    * (the band_sweep/probe_sweep pattern on the DECISION knob): for
+    * every τ in [[JaccardSweep]], how many LSH candidate pairs clear
+    * est_jaccard ≥ τ and what fraction of the corpus would be dropped
+    * (distinct higher-id partners — the [[minhashClusters]] duplicate
+    * rule). The pair relation is computed ONCE; the sweep is a
+    * broadcast |τ|-row expansion + one aggregate — answering "how
+    * aggressive can dedup be before it eats the corpus" before a
+    * threshold ships. Empty thresholds still emit a zero row (the
+    * curve's tail is the point). */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2"), col("est_jaccard"))
+    val tdim = { import spark.implicits._; JaccardSweep.toDF("threshold") }
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val agg = pairs.crossJoin(broadcast(tdim))
+      .filter(col("est_jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs_raw"),
+        countDistinct(col("doc_id_2")).as("n_dup_docs_raw"))
+    tdim.join(agg, Seq("threshold"), "left")
+      .crossJoin(broadcast(nd))
+      .select(col("threshold"),
+        coalesce(col("n_pairs_raw"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs_raw"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs_raw"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy(col("threshold"))
+  }
+
+  val thresholdSweepSql: String = {
+    val tvals = JaccardSweep.map(t => s"($t)").mkString(", ")
+    s"""WITH pairsrc AS ($minhashLshSql),
+       |thr AS (SELECT CAST(th AS DOUBLE) AS threshold FROM (VALUES $tvals) t(th)),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |agg AS (
+       |  SELECT thr.threshold, COUNT(*) AS n_pairs, COUNT(DISTINCT p.doc_id_2) AS n_dup_docs
+       |  FROM pairsrc p JOIN thr ON p.est_jaccard >= thr.threshold
+       |  GROUP BY 1)
+       |SELECT thr.threshold,
+       |  CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(agg.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       |  round(CAST(COALESCE(agg.n_dup_docs, 0) AS DOUBLE) / CAST(nd.n_docs AS DOUBLE), 6) AS dup_rate
+       |FROM thr LEFT JOIN agg ON thr.threshold = agg.threshold CROSS JOIN nd
+       |ORDER BY thr.threshold""".stripMargin
+  }
+
   // ------------------------------------------------------------ #26b MinHash accuracy
 
   /** MinHash estimator quality: estimated vs TRUE char-shingle Jaccard

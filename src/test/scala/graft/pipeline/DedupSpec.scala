@@ -214,4 +214,20 @@ class DedupSpec extends SparkSpec {
       assert(got.find(_._1 == id).get._4 == 0.0, s"exact dup $id must score 0")
     }
   }
+
+  test("threshold sweep: every cutoff emits a row, volumes fall monotonically") {
+    val rows = Dedup.thresholdSweep(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Dedup.JaccardSweep)
+    // raising the cutoff can only drop pairs and dup docs
+    rows.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"$a -> $b")
+    }
+    // a pair needs n_dup_docs ≤ n_pairs (each dup doc has ≥1 pair) and
+    // the rate must mirror the doc count
+    rows.foreach { case (_, np, ndd, rate) =>
+      assert(ndd <= np)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
