@@ -661,7 +661,9 @@ object Dedup {
       .groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pairs_raw"),
         countDistinct(col("doc_id_2")).as("n_dup_docs_raw"))
-    tdim.join(agg, Seq("threshold"), "left")
+    // agg is ≤ |τ| rows of sweep metadata — broadcast (unhinted this
+    // planned an SMJ with sorts on two ≤5-row sides)
+    tdim.join(broadcast(agg), Seq("threshold"), "left")
       .crossJoin(broadcast(nd))
       .select(col("threshold"),
         coalesce(col("n_pairs_raw"), lit(0L)).as("n_pairs"),

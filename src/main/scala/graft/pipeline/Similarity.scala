@@ -907,8 +907,9 @@ object Similarity {
       .select(col("probes"), col("query_id"), col("vec_id").as("neighbor_id"),
         lit(1L).as("hit"))
     val bf = bruteForceFrom(all).select(col("query_id"), col("neighbor_id"))
+    // hits is ≤ |sweep|·Q·k rows of evaluation metadata — broadcast
     bf.crossJoin(broadcast(pdim))
-      .join(hits, Seq("probes", "query_id", "neighbor_id"), "left")
+      .join(broadcast(hits), Seq("probes", "query_id", "neighbor_id"), "left")
       .groupBy(col("probes"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
