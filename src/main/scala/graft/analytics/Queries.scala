@@ -1163,6 +1163,63 @@ object Queries {
         approx_count_distinct(col("user_id"), ApproxDistinctRsd).as("approx_users"))
       .orderBy(col("event_type"))
 
+  // ------------------------------------------------------------ #23aa numeric histogram
+
+  val HistogramBins = 10
+
+  /** DATA-ADAPTIVE equi-width histogram of a continuous column
+    * (events.value): bins derived from the observed min/max (one
+    * 1-row aggregate broadcast back over the scan — the
+    * q_top_change/zscore two-pass shape), every bin emitted INCLUDING
+    * empties (a profiling report with silent holes misreads as "no
+    * outliers"), DECIMAL-exact per-bin value mass. Distinct from
+    * text_length_histogram's fixed integer bucketing: the bin
+    * geometry here follows the data. Max value clamps into the last
+    * bin (the standard closed-right-edge rule). */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("value"))
+    val bounds = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val w = (col("mx") - col("mn")) / lit(HistogramBins.toDouble)
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("value") - col("mn")) / w),
+            lit(HistogramBins - 1L))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+    val bdim = { import spark.implicits._
+      (0L until HistogramBins.toLong).toDF("bin") }
+    bdim.join(broadcast(binned), Seq("bin"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(col("bin"),
+        round(col("mn") + col("bin").cast("double") * w, 6).as("bin_lo"),
+        round(col("mn") + (col("bin") + 1).cast("double") * w, 6).as("bin_hi"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
+      .orderBy(col("bin"))
+  }
+
+  val qHistogramSql: String =
+    s"""WITH ev AS (SELECT value FROM events),
+       |b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
+       |binned AS (
+       |  SELECT CASE WHEN b.mx = b.mn THEN CAST(0 AS BIGINT)
+       |         ELSE least(CAST(FLOOR((e.value - b.mn) /
+       |           ((b.mx - b.mn) / CAST($HistogramBins AS DOUBLE))) AS BIGINT),
+       |           CAST(${HistogramBins - 1} AS BIGINT)) END AS bin,
+       |    COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |  FROM ev e CROSS JOIN b GROUP BY 1),
+       |bins AS (SELECT unnest(generate_series(0, ${HistogramBins - 1})) AS bin)
+       |SELECT bins.bin,
+       |  round(b.mn + CAST(bins.bin AS DOUBLE) * ((b.mx - b.mn) / CAST($HistogramBins AS DOUBLE)), 6) AS bin_lo,
+       |  round(b.mn + CAST(bins.bin + 1 AS DOUBLE) * ((b.mx - b.mn) / CAST($HistogramBins AS DOUBLE)), 6) AS bin_hi,
+       |  CAST(COALESCE(binned.n_events, 0) AS BIGINT) AS n_events,
+       |  COALESCE(binned.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
+       |FROM bins LEFT JOIN binned ON bins.bin = binned.bin CROSS JOIN b
+       |ORDER BY bins.bin""".stripMargin
+
   // ------------------------------------------------------------ #23z funnel latency
 
   /** FUNNEL CONVERSION LATENCY — exact p50/p90 of the time between
