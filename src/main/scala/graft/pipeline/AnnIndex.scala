@@ -153,9 +153,19 @@ object AnnIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes_compact")
     val rowsAfter = spark.read.parquet(s"$path/codes_compact").count()
     val nVectors = rowsAfter / Similarity.PqSubspaces
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest"), true)
-    fs.delete(codesPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), codesPath)
+    // Each step must be CHECKED before the manifest commits: a rename
+    // that returns false (object-store FS quirks, leftover destination)
+    // followed by an unconditional writeManifest would commit a valid
+    // manifest over a missing codes/ relation — the exact
+    // silently-wrong state the manifest-commits-last discipline exists
+    // to prevent. Failing here leaves a manifest-less index that
+    // load() refuses: recoverable, never wrong.
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest"), true),
+      s"compact: failed to delete manifest at $path/manifest — aborting before swap")
+    require(fs.delete(codesPath, true),
+      s"compact: failed to delete $codesPath — index is manifest-less, rebuild or retry")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), codesPath),
+      s"compact: rename failed: $path/codes_compact -> $codesPath — index is manifest-less, rebuild or retry")
     writeManifest(spark, path, nVectors)
     CompactStats(rowsBefore, rowsAfter, filesBefore, countFiles(codesPath), nVectors)
   }
@@ -232,4 +242,16 @@ object AnnIndex {
   }
 
   val annIndexAddSql: String = Similarity.ivfPqSqlTrainedBelow(Some(AddSplit))
+
+  /** BENCH-ONLY probe surface (round-8 verdict: the 4.2 s
+    * ann_index_search bench entry is ~90% build+write noise, so a
+    * probe-path regression would hide inside it): search a PRE-BUILT
+    * index at `path` — load + search alone in the timed span, the
+    * latency a steady-state deployment actually pays per query batch.
+    * The oracle-gated end-to-end entries ([[annIndexSearch]] /
+    * [[annIndexAdd]]) remain the correctness gates. */
+  def probePrebuilt(spark: SparkSession, dir: String, path: String): DataFrame = {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    search(emb.filter(col("vec_id") < Similarity.NumQueries), load(spark, path))
+  }
 }

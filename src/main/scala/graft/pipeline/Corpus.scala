@@ -1163,6 +1163,95 @@ object Corpus {
     (steps.reduce(_ union _).orderBy(col("step")), words)
   }
 
+  /** BATCHED BPE merge training (round-8 verdict directive #6) — the
+    * compromise that makes the tokenizer-training primitive usable at
+    * REAL merge counts: [[bpeMerges]]' per-iteration shape is right
+    * (vocab-sized work, one pair-keyed shuffle), but one merge per
+    * Spark job means a production 10k-50k-merge run is tens of
+    * thousands of SEQUENTIAL jobs. Here each iteration applies the
+    * top-`batchM` NON-CONFLICTING merges at once: candidates are
+    * taken in (count desc, pair) order, and a pair is kept only if
+    * NEITHER of its symbols was claimed by an earlier-kept pair this
+    * round. Symbol-disjoint merges cannot interact — no text position
+    * belongs to two of them, and collapsing <a><b> elsewhere can
+    * never create or destroy a <c><d> adjacency when {a,b} ∩ {c,d}
+    * = ∅ — so their within-batch counts stay exact and the rewrite is
+    * order-independent (applied as one nested-replace projection, a
+    * single vocab pass). 10k merges become ~10k/M iterations.
+    *
+    * `batchM = 1` reproduces [[bpeMerges]]' sequential merge table
+    * EXACTLY (same top-1 selection, same tie-break, same rewrite) —
+    * spec-asserted (BpeBatchedSpec), which keeps this variant pinned
+    * to the oracle'd path. The candidate pool collect is ≤ 4·M rows
+    * of pair metadata per round (the sanctioned K-row-metadata
+    * collect class — centroids/codebooks); everything corpus-sized
+    * stays distributed.
+    *
+    * Output: (step, iteration, left_sym, right_sym, merged,
+    * pair_count) — step is the global merge ordinal (batch rank
+    * within iteration), pair_count the exact pre-batch count. */
+  def bpeMergesBatched(spark: SparkSession, dir: String,
+      iters: Int = BpeMerges, batchM: Int = 1): DataFrame =
+    bpeMergesBatchedOn(Tables.spread(Tables.documents(spark, dir)), iters, batchM)
+
+  private[pipeline] def bpeMergesBatchedOn(d: DataFrame, iters: Int,
+      batchM: Int): DataFrame = {
+    require(batchM >= 1 && iters >= 1, s"bad BPE batch config ($iters, $batchM)")
+    val sp = d.sparkSession
+    var words = d
+      .select(explode_outer(filter(
+        split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " "),
+        t => length(t) > 0)).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("word"), col("wc"),
+        regexp_replace(col("word"), "(.)", "<$1>").as("enc"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var step = 0
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val pool = words
+        .select(col("wc"),
+          split(regexp_replace(col("enc"), "^<|>$", ""), "><").as("syms"))
+        .withColumn("l", slice(col("syms"), lit(1), size(col("syms")) - 1))
+        .withColumn("r", slice(col("syms"), lit(2), size(col("syms")) - 1))
+        .select(col("wc"), explode(arrays_zip(col("l"), col("r"))).as("p"))
+        .groupBy(col("p.l").as("pa"), col("p.r").as("pb"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(math.max(batchM * 4, 16)) // TakeOrdered, no global sort
+        .collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = pool.iterator
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .filter { case (a, b, _) =>
+          if (used(a) || used(b)) false
+          else { used += a; used += b; true }
+        }
+        .take(batchM).toSeq
+      if (picked.isEmpty) exhausted = true
+      else {
+        val newEnc = picked.foldLeft(col("enc")) { case (e, (a, b, _)) =>
+          replace(e, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+        words = words.select(col("word"), col("wc"), newEnc.as("enc"))
+          .localCheckpoint()
+        merges ++= picked.zipWithIndex.map { case ((a, b, c), i) =>
+          (step + i + 1, it, a, b, a + b, c)
+        }
+        step += picked.size
+        it += 1
+      }
+    }
+    import sp.implicits._
+    merges.toSeq
+      .toDF("step", "iteration", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("step"))
+  }
+
   val BpeVocabTopK = 50
 
   /** The TOKENIZER'S RESULTING VOCABULARY — what [[bpeMerges]]' merge

@@ -1194,7 +1194,12 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("n2"),
         (-col("best.ncid")).as("cell"), angle(col("best.c_cos")).as("theta"))
     val radii = assigned.groupBy(col("cell")).agg(max(col("theta")).as("radius"))
-    val thetaTau = math.acos(RangeTau)
+    // The kept-pair predicate compares the 6-dp HALF_UP-rounded cosine
+    // to τ, which admits TRUE cosines down to τ − 5e-7 — so the
+    // geometric bound must be taken at the low edge of the rounding
+    // band, not at τ itself, or a boundary pair in a tight cell could
+    // be pruned here while the re-score (and the oracle) keeps it.
+    val thetaTau = math.acos(RangeTau - 5e-7)
     val probes = scored.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
         col("cid").as("cell"), angle(col("c_cos")).as("qtheta"))

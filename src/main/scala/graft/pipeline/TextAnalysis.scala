@@ -842,7 +842,12 @@ object TextAnalysis {
     * log argument a small integer (see the expression's bit-stability
     * contract). */
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    // empty docs are filtered on BOTH sides: the oracle's chars CTE
+    // produces no rows for an empty string (the doc silently vanishes)
+    // while CharEntropy.compute would emit (0, 0, 0.0) — an honest
+    // answer with no oracle row to match. Entropy of nothing is not a
+    // quality signal anyway; empty docs are a length-filter concern.
+    docs(spark, dir).filter(length(col("text")) > 0).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_cp"),
       size(array_distinct(split(col("text"), ""))).cast("long").as("n_distinct"),
@@ -852,7 +857,7 @@ object TextAnalysis {
   val charEntropySql: String =
     """WITH chars AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(text)), i -> text[i])) AS ch
-      |  FROM documents),
+      |  FROM documents WHERE len(text) > 0),
       |cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c FROM chars GROUP BY 1, 2),
       |terms AS (
       |  SELECT doc_id, list(c ORDER BY ch) AS cs, CAST(SUM(c) AS DOUBLE) AS n,

@@ -39,6 +39,147 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  /** The repo's single most important scale invariant, turned into a
+    * gate (round-8 verdict directive #1): EVERY forced broadcast hint
+    * in EVERY query must target bounded metadata — a relation whose
+    * cardinality is fixed by constants/configuration, never by the
+    * data volume. A future edit that hints a corpus-sized relation is
+    * a driver OOM at 100 TB; this test makes that edit fail loudly
+    * with the offending query and subtree.
+    *
+    * Whitelist by construction — a hint target is sanctioned iff every
+    * root→leaf path in its subtree passes through a BOUNDING node:
+    *  - a global aggregate (1 row);
+    *  - an aggregate grouped only by bounded-vocabulary columns
+    *    (cell/cid ≤ NumCentroids, m ≤ PqSubspaces, pid ≤ shuffle
+    *    partitions, bin/threshold/probes/bits = sweep literals,
+    *    event_type/source/label/lang/c_mktsegment = few-valued
+    *    metadata, __g = DistributedRanks' constant group) — doc_id /
+    *    vec_id / user_id / digest grouping is NOT in the vocabulary,
+    *    so a doc-grain aggregate can never be hinted;
+    *  - a LIMIT (TakeOrdered top-1 picks);
+    *  - a filter pinning a dense id below a small integer literal
+    *    (vec_id < NumCentroids, query_id < NumQueries) or a window
+    *    row_number pruned to ≤ k (crn/rank — per-group top-k whose
+    *    groups are themselves query/sweep-bounded);
+    *  - a literal LocalRelation (sweep dims built from Seq.toDF);
+    *  - or a leaf scan of a bounded TPC-H dim (nation/region; part/
+    *    supplier only behind their selective filters in q_profit —
+    *    the round-8-audited dims).
+    * Everything else — parquet fact scans, LogicalRDD checkpoints of
+    * corpus-sized frames — fails the walk. */
+  test("every forced broadcast in every query targets bounded metadata") {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    val boundedGroupCols = Set(
+      "cell", "cid", "bin", "threshold", "probes", "bits", "m", "dim", "pid",
+      "event_type", "source", "label", "lang", "c_mktsegment", "__g", "shard",
+      "generation_id",
+      // PQ code ∈ [0, PqCodes) and subspace position ∈ [0, dim/M) —
+      // geometry constants, so (m, code[, pos]) aggregates are
+      // codebook-sized
+      "code", "pos",
+      // DistributedRanks' internal (g, pid) offsets aggregate: ≤
+      // |groups| × shuffle-partitions rows of prefix-sum metadata —
+      // the round-3/4-sanctioned broadcast that replaced hot-key
+      // windows
+      "g",
+      // k-means cluster id ∈ [0, K) — centroid-grain aggregates
+      "cluster_id",
+      // funnel stage ∈ {view→click, click→purchase} — 2-valued
+      "step")
+    val boundedIdFilters = Set("vec_id", "query_id", "cid", "crn", "rank", "rn")
+
+    def smallIntLit(e: Expression): Boolean = e match {
+      case Literal(v: Int, _) => v <= 4096
+      case Literal(v: Long, _) => v <= 4096L
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => smallIntLit(c.child)
+      case _ => false
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: Attribute => Some(a.name)
+      case _ => e.children.headOption.flatMap(attrName)
+    }
+    def boundingFilter(cond: Expression): Boolean = {
+      def hit(c: Expression): Boolean = c match {
+        case LessThan(l, r) if smallIntLit(r) =>
+          attrName(l).exists(boundedIdFilters)
+        case LessThanOrEqual(l, r) if smallIntLit(r) =>
+          attrName(l).exists(boundedIdFilters)
+        case EqualTo(l, r) if smallIntLit(r) =>
+          attrName(l).exists(boundedIdFilters)
+        case EqualTo(l, r) if smallIntLit(l) =>
+          attrName(r).exists(boundedIdFilters)
+        case _ => c.children.exists(hit)
+      }
+      hit(cond)
+    }
+    def dimLeaf(p: LogicalPlan): Boolean = {
+      val names = p.output.map(_.name).toSet
+      Seq("n_nationkey", "r_regionkey", "p_partkey", "s_suppkey")
+        .exists(names.contains) ||
+        // AnnIndex's persisted K-row metadata relations, read back from
+        // parquet: coarse centroids (cid, cv, cn2) ≤ NumCentroids rows,
+        // PQ codebook (m, code, csub) = PqSubspaces × PqCodes rows —
+        // bounded by index geometry, never by corpus size
+        Set("cid", "cv", "cn2").subsetOf(names) ||
+        Set("m", "code", "csub").subsetOf(names)
+    }
+    def bounding(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation | _: OneRowRelation => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case r: Range => r.numElements.isValidLong && r.numElements.toLong <= 4096L
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(_.references.forall(r => boundedGroupCols(r.name)))
+      case f: Filter => boundingFilter(f.condition)
+      case l: LogicalRelation => dimLeaf(l)
+      case _ => false
+    }
+    def covered(p: LogicalPlan): Boolean =
+      bounding(p) || (p.children.nonEmpty && p.children.forall(covered)) ||
+        // subquery-free leaf that isn't a relation (e.g. a checkpointed
+        // K-row metadata frame) is NOT trusted — fail it
+        false
+
+    // teeth check: the walker must REJECT the canonical bad edit — a
+    // forced broadcast of a corpus-sized relation (raw parquet scan,
+    // and a doc-grain aggregate of one)
+    {
+      import org.apache.spark.sql.functions.{broadcast, col, count}
+      val docs = Tables.documents(spark, dir)
+      val badScan = docs.join(broadcast(docs.select(col("doc_id"))), Seq("doc_id"))
+        .queryExecution.analyzed
+      val badAgg = docs.join(
+          broadcast(docs.groupBy(col("doc_id")).agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))),
+          Seq("doc_id"))
+        .queryExecution.analyzed
+      Seq(badScan, badAgg).foreach { plan =>
+        val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h }
+        assert(hinted.nonEmpty && hinted.forall(h => !covered(h.child)),
+          "guard has no teeth: a corpus-sized broadcast target passed the walk")
+      }
+    }
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      // needs the GraftExtensions session (and is hint-free by
+      // construction — the naive inequality join its rewrite rule
+      // linearizes); its plan shape is asserted in RangeJoinRewriteSpec
+      .filterNot(_._1 == "q_range_join_auto")
+      .foreach { case (name, fn) =>
+        val analyzed = fn(spark, dir).queryExecution.analyzed
+        analyzed.foreach {
+          case h: ResolvedHint if h.hints.strategy.isDefined =>
+            assert(covered(h.child),
+              s"$name: forced broadcast of a relation not provably bounded metadata:\n${h.child.treeString}")
+          case _ => ()
+        }
+      }
+  }
+
   test("no oracle query plans an unconditioned cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1)
       // q_range_join_auto needs the GraftExtensions session and

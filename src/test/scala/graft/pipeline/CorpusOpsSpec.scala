@@ -87,6 +87,66 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergesBatched: M=1 ≡ sequential table; M=64 batches disjoint merges that compress") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest low!"),
+      (3L, "Wide, wide new NEW newer: lowest")).toDF("doc_id", "text")
+
+    // M = 1 must reproduce the oracle'd sequential path EXACTLY —
+    // same selection, same tie-breaks, same counts, one merge per
+    // iteration
+    val seqTable = Corpus.bpeMergesOn(d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val m1Rows = Corpus.bpeMergesBatchedOn(d, Corpus.BpeMerges, 1).collect()
+    val m1 = m1Rows
+      .map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getString(4), r.getLong(5)))
+      .toSeq
+    assert(m1 == seqTable)
+    assert(m1Rows.map(_.getInt(1)).toSeq == (1 to Corpus.BpeMerges))
+
+    // M = 64: more than one merge per round, global steps contiguous,
+    // and every iteration's merges symbol-DISJOINT (the rule that
+    // makes the batch order-independent and its counts exact)
+    val iters = 3
+    val b = Corpus.bpeMergesBatchedOn(d, iters, 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(b.map(_._1) == (1 to b.size), "global steps not contiguous")
+    assert(b.size > iters, "batching never applied more than one merge per round")
+    b.groupBy(_._2).foreach { case (it, ms) =>
+      val syms = ms.flatMap(m => Seq(m._3, m._4))
+      assert(syms.distinct.size == syms.size, s"iteration $it merges share a symbol")
+      // within a round, picks follow (count desc, pair) among kept
+      assert(ms.sortBy(_._1).map(_._6).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)),
+        s"iteration $it batch not count-ordered")
+    }
+
+    // plausibility: applying the batched table with the reference
+    // applier strictly compresses the corpus encoding
+    var vocab: Map[Vector[String], Long] = d.collect()
+      .flatMap(_.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+        .split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, o) => w.map(_.toString).toVector -> o.length.toLong }
+    def totalSyms = vocab.map { case (s, wc) => s.length * wc }.sum
+    val before = totalSyms
+    b.sortBy(_._1).foreach { case (_, _, pa, pb, _, _) =>
+      vocab = vocab.map { case (syms, wc) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            out += pa + pb; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toVector -> wc
+      }
+    }
+    assert(totalSyms < before, "batched merges bought no compression")
+  }
+
   test("cleanStats conserves docs across stages and agrees with its component filters") {
     import org.apache.spark.sql.functions._
     val cs = Corpus.cleanStats(spark, dir).collect()

@@ -32,19 +32,33 @@ def table_fingerprint(rel):
     return cols, len(rows), h.hexdigest()
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional: --json <path> writes a driver-CORRECTNESS-style JSON
+    # artifact (per-query rows/schema/hash match), so an off-driver
+    # scale (e.g. sf0.1) can be committed as a checkable sidecar
+    # instead of a session note.
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         got_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not got_files:
             print(f"FAIL {name}: no spark output")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": 0,
+                            "oracle_rows": None, "err": "no spark output"}
             failures += 1
             continue
         got = con.sql(f"SELECT * FROM read_parquet({got_files!r})")
@@ -52,10 +66,16 @@ def main():
             want = con.sql(sql)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"oracle SQL error: {e}"}
             failures += 1
             continue
         gc, gn, gh = table_fingerprint(got)
         wc, wn, wh = table_fingerprint(want)
+        report[name] = {"rows_match": gn == wn, "schema_match": gc == wc,
+                        "hash_match": gh == wh, "spark_rows": gn,
+                        "oracle_rows": wn, "err": None}
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
             failures += 1
@@ -73,6 +93,10 @@ def main():
             failures += 1
         else:
             print(f"OK   {name}: {gn} rows")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} entries)")
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
