@@ -1422,4 +1422,221 @@ object Queries {
       |  UNION ALL
       |  SELECT l_returnflag, l_linestatus, 'count_order', count_order FROM wide)
       |ORDER BY l_returnflag, l_linestatus, metric""".stripMargin
+
+  // ------------------------------------------------------------ #23ab attribution
+
+  /** LAST-TOUCH REVENUE ATTRIBUTION — each purchase credited to the
+    * user's most recent strictly-earlier non-purchase event type (the
+    * marketing-analytics classic; "which behavior precedes money").
+    * The attributing channel is `last(non-purchase type, ignoreNulls)`
+    * over the user's ordered history with a `(-∞, -1)` row frame —
+    * ONE user-keyed exchange, no self-join against a per-user
+    * aggregate, no event×event pairing. A purchase with no prior
+    * event attributes to 'direct' (the empty-frame NULL). Revenue
+    * sums are DECIMAL-exact; the rollup key space is \|event types\|,
+    * so the final aggregate combines map-side.
+    *
+    * Scale: the same plan at any log size — shuffle on
+    * high-cardinality user_id (never a lone hot key), then a few-key
+    * aggregate. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        dec2(col("value")).as("v"), unix_micros(col("ts")).as("t"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v")).cast("double").as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  val qAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v, epoch_us(ts) AS t
+      |  FROM events),
+      |attr AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      |  FROM ev)
+      |SELECT COALESCE(channel, 'direct') AS channel,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(SUM(v) AS DOUBLE) AS attributed_value
+      |FROM attr WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ #23ac new vs returning
+
+  val DayUs: Long = 86400L * 1000000
+
+  /** NEW vs RETURNING daily actives — the growth-accounting split
+    * every activity dashboard leads with: per day, how many active
+    * users are seen for the first time vs coming back. Activity
+    * dedupes to (user, day) grain first (an event-grain count would
+    * conflate volume with reach), each user's first day rides a
+    * user-partition min window, the rollup keys on day.
+    *
+    * Scale: (user, day) distinct + the user window share one
+    * user-prefixed exchange; the day rollup is \|days\| keys with
+    * map-side combine. Nothing is event-grain after the dedupe. */
+  def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .distinct()
+      .withColumn("first_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
+    act.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+      .withColumn("returning_share",
+        round(col("n_returning").cast("double") / col("n_active").cast("double"), 6))
+      .orderBy(col("day"))
+  }
+
+  val qNewVsReturningSql: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |tagged AS (
+       |  SELECT day, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM act)
+       |SELECT day, COUNT(*) AS n_active,
+       |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+       |  round(CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS returning_share
+       |FROM tagged GROUP BY day ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------ #23ad market concentration
+
+  /** MARKET-CONCENTRATION report per nation — Herfindahl–Hirschman
+    * index over supplier revenue shares, the antitrust/vendor-risk
+    * lens ("is this market one supplier deep"). HHI is computed as
+    * Σrev² / (Σrev)² so the only IEEE operations are the final
+    * divides: per-supplier revenue sums through DECIMAL(18,2)·(1−d),
+    * is then narrowed to DECIMAL(18,4) and squared EXACTLY into
+    * (37,8) — never share-by-share double accumulation, whose sum
+    * order differs across engines. effective_suppliers = 1/HHI (the
+    * "equivalent equal-share supplier count" economists quote).
+    *
+    * Scale: supplier/nation broadcast dims, one (nation, supplier)
+    * aggregate with map-side combine, then a \|nations\|-key rollup —
+    * no window, no join after the rollup. */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val bySupp = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast("decimal(18,4)").as("rev"))
+    bySupp.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).cast("double").as("total_revenue"),
+        sum(col("rev") * col("rev")).as("sum_sq"),
+        max(col("rev")).as("max_rev"),
+        sum(col("rev")).as("tot"))
+      .select(col("n_name"), col("n_suppliers"), col("total_revenue"),
+        round(col("sum_sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6).as("hhi"),
+        round((col("tot").cast("double") * col("tot").cast("double")) /
+          col("sum_sq").cast("double"), 6).as("effective_suppliers"),
+        round(col("max_rev").cast("double") / col("tot").cast("double"), 6)
+          .as("top_supplier_share"))
+      .orderBy(col("n_name"))
+  }
+
+  val qHhiSql: String =
+    """WITH by_supp AS (
+      |  SELECT n.n_name, s.s_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |      AS DECIMAL(19,4)) AS rev
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |roll AS (
+      |  SELECT n_name, COUNT(*) AS n_suppliers,
+      |    CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+      |    SUM(rev * rev) AS sum_sq, MAX(rev) AS max_rev, SUM(rev) AS tot
+      |  FROM by_supp GROUP BY 1)
+      |SELECT n_name, n_suppliers, total_revenue,
+      |  round(CAST(sum_sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+      |  round((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(sum_sq AS DOUBLE), 6) AS effective_suppliers,
+      |  round(CAST(max_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top_supplier_share
+      |FROM roll ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------ #23ae revenue Pareto
+
+  /** REVENUE PARETO / LORENZ CURVE — customers ranked by total spend,
+    * bucketed into spend deciles (decile 1 = biggest spenders), each
+    * with its revenue mass and the CUMULATIVE share down the curve —
+    * "do 20% of customers carry 80% of revenue", answered exactly.
+    * Global ranking via [[graft.functions.DistributedRanks]] (a bare
+    * `ntile() over (order by spend)` is the canonical single-partition
+    * window — the whole customer mart through one task); the decile
+    * is the NTILE closed form from (rank, n), and the cumulative
+    * window runs over the 10-row decile relation only. Revenue sums
+    * are DECIMAL end to end; the shares are one IEEE divide each,
+    * rounded.
+    *
+    * The [[qualityDeciles]] shape pointed at money — but where that
+    * reports per-bucket ranges, the deliverable here is the cumulative
+    * concentration curve. */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("spend"))
+      .withColumn("__g", lit(1))
+    val ranked = graft.functions.DistributedRanks
+      .withGroupRanks(spend, "__g", Seq(col("spend").desc, col("o_custkey")))
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN rn <= (n div 10 + 1) * (n % 10)
+          |  THEN (rn - 1) div (n div 10 + 1) + 1
+          |  ELSE n % 10 + (rn - 1 - (n div 10 + 1) * (n % 10)) div (n div 10) + 1
+          |END AS INT)""".stripMargin))
+    val perDecile = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    // 10-row relation: the unpartitioned windows below never see data
+    perDecile
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .withColumn("tot", sum(col("rev")).over(wAll))
+      .select(col("decile"), col("n_customers"),
+        col("rev").cast("double").as("decile_revenue"),
+        round(col("rev").cast("double") / col("tot").cast("double"), 6)
+          .as("revenue_share"),
+        round(col("cum_rev").cast("double") / col("tot").cast("double"), 6)
+          .as("cumulative_share"))
+      .orderBy(col("decile"))
+  }
+
+  val qParetoSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT spend, NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      |  FROM spend),
+      |per_decile AS (
+      |  SELECT decile, COUNT(*) AS n_customers, SUM(spend) AS rev
+      |  FROM ranked GROUP BY 1),
+      |cum AS (
+      |  SELECT *,
+      |    SUM(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+      |    SUM(rev) OVER () AS tot
+      |  FROM per_decile)
+      |SELECT decile, n_customers, CAST(rev AS DOUBLE) AS decile_revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS revenue_share,
+      |  round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cumulative_share
+      |FROM cum ORDER BY decile""".stripMargin
 }
