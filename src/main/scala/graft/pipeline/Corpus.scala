@@ -94,6 +94,78 @@ object Corpus {
        |FROM documents
        |GROUP BY split ORDER BY split""".stripMargin
 
+  // ------------------------------------------------------------ #28c4 split leakage
+
+  /** TRAIN/TEST SPLIT LEAKAGE report — the governance gate on
+    * [[sample]]'s split: per split, how many documents share their
+    * exact content digest with ANY other split (the eval-integrity
+    * question behind every "did the model memorize the test set"
+    * audit; GPT-3's appendix-C decontamination exists because this
+    * report came back non-zero). The hash split assigns by doc_id, so
+    * duplicate TEXTS scatter across splits — exact dedup must run
+    * BEFORE splitting, and this is the report that proves whether it
+    * did.
+    *
+    * Grain: one digest-keyed aggregate (counts per split), then a
+    * 3-way per-digest expansion (split, own, others) rolled up to 3
+    * rows — the corpus shuffles once on digest, everything after is
+    * split-keyed metadata. [[graft.pipeline.Dedup.decontaminate]] is
+    * the n-gram generalization; this is the exact-digest integrity
+    * gate. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(s"((doc_id * $SampleA + $SampleC) div 65536) % 100")
+    val per = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("digest"),
+        when(bucket < TrainPct, "train")
+          .when(bucket < TrainPct + ValPct, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("digest"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    per
+      .select(explode(array(
+        struct(lit("train").as("split"), col("n_train").as("own"),
+          (col("n_val") + col("n_test")).as("others")),
+        struct(lit("val").as("split"), col("n_val").as("own"),
+          (col("n_train") + col("n_test")).as("others")),
+        struct(lit("test").as("split"), col("n_test").as("own"),
+          (col("n_train") + col("n_val")).as("others")))).as("r"))
+      .select(col("r.split").as("split"), col("r.own").as("own"), col("r.others").as("others"))
+      .filter(col("own") > 0)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_digests"),
+        sum(col("own")).as("n_docs"),
+        sum(when(col("others") > 0, col("own")).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_rate",
+        round(col("n_leaked").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy(col("split"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH d AS (
+       |  SELECT md5(text) AS digest,
+       |    CASE WHEN ((doc_id * $SampleA + $SampleC) // 65536) % 100 < $TrainPct THEN 'train'
+       |         WHEN ((doc_id * $SampleA + $SampleC) // 65536) % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |per AS (
+       |  SELECT digest,
+       |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+       |    SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+       |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+       |  FROM d GROUP BY 1),
+       |x AS (
+       |  SELECT 'train' AS split, n_train AS own, n_val + n_test AS others FROM per
+       |  UNION ALL SELECT 'val', n_val, n_train + n_test FROM per
+       |  UNION ALL SELECT 'test', n_test, n_train + n_val FROM per)
+       |SELECT split, COUNT(*) AS n_digests,
+       |  CAST(SUM(own) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN others > 0 THEN own ELSE 0 END) AS BIGINT) AS n_leaked,
+       |  round(CAST(SUM(CASE WHEN others > 0 THEN own ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(own) AS DOUBLE), 6) AS leak_rate
+       |FROM x WHERE own > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Provenance monitoring: per (source, lang) corpus composition —
     * the mix dashboards a training-data pipeline watches per ingest.
     * One shuffle on a tiny key space; DECIMAL-exact char average. */

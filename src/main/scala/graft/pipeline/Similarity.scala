@@ -303,6 +303,69 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------ #30j cell occupancy
+
+  /** IVF INDEX-HEALTH report — per-cell occupancy of the coarse
+    * quantizer (the same deterministic centroids/assignment as
+    * [[annIvf]] and the persisted [[AnnIndex]]): vector count, corpus
+    * share, and the ratio to the perfectly-balanced mean. A skewed
+    * quantizer is the IVF failure mode probe sweeps can't see — one
+    * overfull cell makes every probe that touches it pay n/K × skew,
+    * and it's the re-train trigger (centroids no longer fit the
+    * distribution). EVERY cell is emitted including empties (the
+    * q_histogram rule: a silent hole reads as "balanced"; an EMPTY
+    * cell is wasted codebook capacity and the complementary symptom).
+    *
+    * Scale: the assignment is the map-side-combining broadcast-argmax
+    * aggregate (n-row exchange, [[ivfAssign]]'s shape), the report is
+    * a K-key aggregate joined to the K-row cell dim — nothing after
+    * the assignment is data-sized. */
+  def annCellOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cent = all.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    val (cells, _) = ivfAssign(all, cent)
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val dim = { import spark.implicits._
+      (0L until NumCentroids.toLong).toDF("cell") }
+    val total = occ.agg(sum(col("n_vectors")).as("n_total"))
+    dim.join(broadcast(occ), Seq("cell"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        round(coalesce(col("n_vectors"), lit(0L)).cast("double") /
+          col("n_total").cast("double"), 6).as("share"),
+        round(coalesce(col("n_vectors"), lit(0L)).cast("double") /
+          (col("n_total").cast("double") / lit(NumCentroids.toDouble)), 6)
+          .as("ratio_to_mean"))
+      .orderBy(col("cell"))
+  }
+
+  val annCellOccupancySql: String = {
+    val cCos =
+      """round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.cv[i])), (acc, x) -> acc + x)
+        |    / (sqrt(a.n2) * sqrt(c.cn2)), 6)""".stripMargin
+    s"""$vecsCteSql,
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM vecs WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT a.vec_id, c.cid,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $cCos DESC, c.cid) AS INT) AS crn
+       |  FROM vecs a CROSS JOIN cent c),
+       |occ AS (
+       |  SELECT cid AS cell, COUNT(*) AS n_vectors FROM assigned WHERE crn = 1 GROUP BY 1),
+       |tot AS (SELECT SUM(n_vectors) AS n_total FROM occ),
+       |dim AS (SELECT unnest(generate_series(0, ${NumCentroids - 1})) AS cell)
+       |SELECT CAST(dim.cell AS BIGINT) AS cell,
+       |  CAST(COALESCE(occ.n_vectors, 0) AS BIGINT) AS n_vectors,
+       |  round(CAST(COALESCE(occ.n_vectors, 0) AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6) AS share,
+       |  round(CAST(COALESCE(occ.n_vectors, 0) AS DOUBLE)
+       |    / (CAST(tot.n_total AS DOUBLE) / $NumCentroids.0), 6) AS ratio_to_mean
+       |FROM dim LEFT JOIN occ ON dim.cell = occ.cell CROSS JOIN tot
+       |ORDER BY dim.cell""".stripMargin
+  }
+
   val annLshBucketedSql: String =
     s"""$vecsCteSql,
        |bucketed AS (
