@@ -945,6 +945,104 @@ object TextAnalysis {
           greatest(col("n_bytes"), lit(1L)).cast("double"), 6).as("deflate_ratio"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------ #33r markup strip
+
+  /** Markup patterns — the common Java/RE2 subset (no lookaround, no
+    * dot-all reliance: script bodies match `[^<]*`, never `.`). */
+  val ScriptRe = "<script>[^<]*</script>"
+  val TagRe = "<[^>]+>"
+  val EntityRe = "&[a-z]+;"
+
+  /** HTML BOILERPLATE STRIP — the first pass of every web-crawl
+    * pipeline (jusText/trafilatura's job, reduced to its relational
+    * core): remove script blocks WITH their payload (the classic trap
+    * — stripping only tags leaks `var x = 42;` into training text),
+    * then tags, then decode the common entities, then collapse
+    * whitespace. Per doc: tag/entity counts, raw vs clean length, and
+    * the markup overhead fraction (how much of the crawl is
+    * scaffolding — the bandwidth number a 100 TB ingest plans
+    * around). Map-only: four regex passes fusing into the corpus
+    * scan, no shuffle anywhere.
+    *
+    * The synthetic corpus is markup-free, so the driver-visible entry
+    * first WRAPS it deterministically from doc_id (the [[piiScrub]]
+    * dirtying precedent): every doc gets the html/body/p skeleton,
+    * every 3rd a nav bar, every 5th a script block, every 7th an
+    * entity-bearing paragraph — the oracle rebuilds identical markup.
+    * [[stripMarkupOn]] is the reusable surface for real crawls. */
+  def stripMarkupOn(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("n_raw_chars", length(col(textCol)).cast("long"))
+      .withColumn("n_tags",
+        size(regexp_extract_all(col(textCol), lit(TagRe), lit(0))).cast("long"))
+      .withColumn("n_entities",
+        size(regexp_extract_all(col(textCol), lit(EntityRe), lit(0))).cast("long"))
+      .withColumn("clean_text",
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(col(textCol), ScriptRe, " "),
+                  TagRe, " "),
+                "&amp;", "&"),
+              "&lt;", "<"),
+            "&gt;", ">"),
+          "\\s+", " ")))
+      .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
+      .withColumn("markup_overhead",
+        round(lit(1.0) - col("n_clean_chars").cast("double") /
+          greatest(col("n_raw_chars"), lit(1L)).cast("double"), 6))
+
+  private def markedUp(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("raw_html",
+      concat(
+        when(col("doc_id") % 3 === 0,
+          lit("<nav><a href=\"/home\">Home</a> | <a href=\"/about\">About</a></nav> "))
+          .otherwise(lit("")),
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 7 === 0, lit("<p>Tom &amp; Jerry &lt;3</p>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("<script>var x = 42; track();</script>"))
+          .otherwise(lit("")),
+        lit("</body></html>")))
+
+  def stripMarkup(spark: SparkSession, dir: String): DataFrame =
+    stripMarkupOn(markedUp(spark, dir), "raw_html")
+      .select(col("doc_id"), col("n_raw_chars"), col("n_tags"), col("n_entities"),
+        col("n_clean_chars"), col("markup_overhead"), col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  val stripMarkupSql: String =
+    s"""WITH marked AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '<nav><a href="/home">Home</a> | <a href="/about">About</a></nav> ' ELSE '' END
+       |    || '<html><body><p>' || text || '</p>'
+       |    || CASE WHEN doc_id % 7 = 0 THEN '<p>Tom &amp; Jerry &lt;3</p>' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN '<script>var x = 42; track();</script>' ELSE '' END
+       |    || '</body></html>' AS raw_html
+       |  FROM documents),
+       |stripped AS (
+       |  SELECT doc_id,
+       |    CAST(len(raw_html) AS BIGINT) AS n_raw_chars,
+       |    CAST(len(regexp_extract_all(raw_html, '$TagRe')) AS BIGINT) AS n_tags,
+       |    CAST(len(regexp_extract_all(raw_html, '$EntityRe')) AS BIGINT) AS n_entities,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(
+       |        regexp_replace(
+       |          regexp_replace(raw_html, '$ScriptRe', ' ', 'g'),
+       |          '$TagRe', ' ', 'g'),
+       |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+       |      '\\s+', ' ', 'g')) AS clean_text
+       |  FROM marked)
+       |SELECT doc_id, n_raw_chars, n_tags, n_entities,
+       |  CAST(len(clean_text) AS BIGINT) AS n_clean_chars,
+       |  round(1.0 - CAST(len(clean_text) AS DOUBLE)
+       |    / CAST(greatest(n_raw_chars, 1) AS DOUBLE), 6) AS markup_overhead,
+       |  clean_text
+       |FROM stripped ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ #33n PII scrub
 
   /** PII patterns — the common Java/RE2 regex subset (character
