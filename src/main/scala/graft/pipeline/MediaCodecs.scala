@@ -281,6 +281,73 @@ object MediaCodecs {
     Some(DecodedVideo(width, height, frame, sampled.result(), lumas.result()))
   }
 
+  /** Per-SAMPLED-FRAME 64-bit aHash of a y4m payload — the
+    * [[averageHash]] grid applied to each sampled frame's luma plane
+    * (the fingerprint [[decodeY4m]]'s mean-luma summary can't give):
+    * downsample the W×H luma to 8×8 cell means, bit = cell > grid
+    * mean. Same frame-sampling contract as [[decodeY4m]] — unsampled
+    * frames are skipped by plane arithmetic, never read. None where
+    * the payload isn't decodable y4m. */
+  def y4mFrameHashes(payload: Array[Byte], sampleEvery: Int): Option[Seq[(Int, Long)]] = {
+    val headEnd = payload.indexOf('\n'.toInt)
+    if (headEnd < 9) return None
+    val header = new String(payload, 0, headEnd, "US-ASCII")
+    val parts = header.split(" ")
+    if (parts(0) != "YUV4MPEG2") return None
+    def tag(p: Char): Option[String] =
+      parts.iterator.drop(1).find(_.headOption.contains(p)).map(_.tail)
+    val width = tag('W').map(_.toInt).getOrElse(return None)
+    val height = tag('H').map(_.toInt).getOrElse(return None)
+    if (width <= 0 || height <= 0) return None
+    if (!tag('C').forall(_.startsWith("420"))) return None
+    val lumaLen = width * height
+    val frameLen = lumaLen + 2 * ((width / 2) * (height / 2))
+    val marker = "FRAME".getBytes("US-ASCII")
+    var pos = headEnd + 1
+    var frame = 0
+    val out = Seq.newBuilder[(Int, Long)]
+    while (pos < payload.length) {
+      if (pos + marker.length > payload.length ||
+        !marker.indices.forall(i => payload(pos + i) == marker(i))) return None
+      val nl = payload.indexOf('\n'.toInt, pos)
+      if (nl < 0 || nl + frameLen >= payload.length + 1) return None
+      if (frame % sampleEvery == 0) {
+        val grid = new Array[Double](64)
+        val cnt = new Array[Int](64)
+        var y = 0
+        while (y < height) {
+          val gy = y * 8 / height
+          var x = 0
+          while (x < width) {
+            val gx = x * 8 / width
+            grid(gy * 8 + gx) += (payload(nl + 1 + y * width + x) & 0xff)
+            cnt(gy * 8 + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        var mean = 0.0
+        while (i < 64) {
+          if (cnt(i) > 0) grid(i) /= cnt(i)
+          mean += grid(i)
+          i += 1
+        }
+        mean /= 64
+        var bits = 0L
+        i = 0
+        while (i < 64) {
+          if (cnt(i) > 0 && grid(i) > mean) bits |= (1L << i)
+          i += 1
+        }
+        out += ((frame, bits))
+      }
+      pos = nl + 1 + frameLen
+      frame += 1
+    }
+    Some(out.result())
+  }
+
   /** Encode mono 16-bit PCM as a canonical RIFF/WAVE file: RIFF
     * header, `fmt ` chunk (PCM, mono, 16-bit), `data` chunk with
     * little-endian samples — byte-for-byte the classic 44-byte-header

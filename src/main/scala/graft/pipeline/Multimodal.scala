@@ -319,4 +319,68 @@ object Multimodal {
   /** End-to-end pHash near-dup over the synthesized corpus images. */
   def imagePhashPipeline(spark: SparkSession, dir: String): DataFrame =
     imagePhashDedup(spark, attachMedia(spark, graft.Tables.documents(spark, dir)))
+
+  // ------------------------------------------------------------ video frame near-dup
+
+  case class FrameHash(doc_id: Long, frame_no: Int, fhash: Long)
+
+  /** Per-sampled-frame aHash over a video corpus — one mapPartitions
+    * decode pass ([[MediaCodecs.y4mFrameHashes]]), undecodables
+    * dropped, unsampled frames never read. */
+  def frameHashes(spark: SparkSession, video: Dataset[VideoRow]): Dataset[FrameHash] = {
+    import spark.implicits._
+    video.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.y4mFrameHashes(r.payload, SampleEvery)
+          .getOrElse(Seq.empty)
+          .map { case (f, h) => FrameHash(r.doc_id, f, h) }
+      }
+    }
+  }
+
+  /** VIDEO FRAME NEAR-DUP — duplicate frames ACROSS (and within)
+    * videos at aHash-hamming ≤ [[ImageHammingMax]]: re-uploaded
+    * clips, shared intros/outros, static scenes — the video corpus
+    * dedup signal at frame grain (whole-file hashing misses a clip
+    * embedded in a longer video; this is the multimodal analogue of
+    * dedup_span_coverage's partial-copy rule). Frames are keyed
+    * (doc_id, frame_no); candidates meet by exact match on any of the
+    * four 16-bit hash blocks (the [[imageDedup]] pigeonhole cover —
+    * complete for hamming ≤ 3, so bucketing changes cost, never
+    * results), then the exact hamming refine. `same_video` flags
+    * intra-clip pairs (static-scene detection) vs cross-clip
+    * duplicates (the dedup signal).
+    *
+    * Scale: the GB-sized payload column never shuffles — decode and
+    * hash are map-side, 12 bytes/frame-row shuffle on
+    * (block_idx, block_val); sampling bounds the frame-row count at
+    * n_frames/[[SampleEvery]]. */
+  def frameDedup(spark: SparkSession, video: Dataset[VideoRow]): DataFrame = {
+    val fh = frameHashes(video.sparkSession, video).toDF()
+    val blocks = fh.select(col("doc_id"), col("frame_no"), col("fhash").as("h"),
+        explode(expr("sequence(0, 3)")).as("block_idx"))
+      .withColumn("block_val", expr("shiftright(h, block_idx * 16) & 65535"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.frame_no") < col("b.frame_no"))))
+      .select(col("a.doc_id").as("doc_id_1"), col("a.frame_no").as("frame_1"),
+        col("b.doc_id").as("doc_id_2"), col("b.frame_no").as("frame_2"),
+        col("a.h").as("h1"), col("b.h").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= ImageHammingMax)
+      .select(col("doc_id_1"), col("frame_1"), col("doc_id_2"), col("frame_2"),
+        col("hamming"), (col("doc_id_1") === col("doc_id_2")).as("same_video"))
+      .orderBy(col("doc_id_1"), col("frame_1"), col("doc_id_2"), col("frame_2"))
+  }
+
+  /** End-to-end frame near-dup over the synthesized corpus videos. */
+  def frameDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameDedup(spark, attachVideo(spark, graft.Tables.documents(spark, dir))
+      .repartition(col("format")).as[VideoRow])
+  }
 }
