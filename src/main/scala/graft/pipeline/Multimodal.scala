@@ -243,6 +243,33 @@ object Multimodal {
     * can be missed (same argument as dedup_simhash's 3-block cover). */
   val ImageHammingMax = 3
 
+  /** Hot-hash frequency cap — the [[graft.pipeline.Dedup.MaxShingleDf]]
+    * precedent (ngram_jaccard drops shingles with df > 50 BEFORE
+    * pairing) applied to the media hashes: a hash carried by more than
+    * this many images/frames is excluded from pair generation before
+    * the block self-join. On real corpora degenerate hashes are the
+    * norm, not the exception — black/letterbox/static frames and flat
+    * single-color images all hash IDENTICALLY, and a hash shared by f
+    * rows emits f² output pairs that no join strategy can split (AQE
+    * fixes the shuffle skew, not the output cardinality). Per the
+    * repo's no-silent-caps rule the drop is loud: [[hashCaps]] reports
+    * every capped hash with its frequency, and every pair operator
+    * shares [[capHotHashes]] so the cap can never drift per-family. */
+  val MaxHashDf = 50
+
+  /** Split `hashes` into (kept, hot): rows whose FULL hash value has
+    * corpus frequency > [[MaxHashDf]] go to `hot` (hash, df) and are
+    * excluded from pairing. One count shuffle on the hash value + a
+    * left-anti equi-join — no broadcast hint: `hot`'s cardinality is
+    * data-dependent (≤ |corpus|/df in hashes, but unbounded in rows
+    * joined), so AQE decides the strategy at runtime. */
+  private[pipeline] def capHotHashes(hashes: DataFrame, hcol: String): (DataFrame, DataFrame) = {
+    val hot = hashes.groupBy(col(hcol))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxHashDf)
+    (hashes.join(hot.select(col(hcol)), Seq(hcol), "left_anti"), hot)
+  }
+
   /** aHash per decodable image — one `mapPartitions` batch pass (the
     * codec-init-once shape), undecodables dropped. */
   def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
@@ -262,18 +289,23 @@ object Multimodal {
     *
     * At lakehouse scale the payload column never shuffles: hashes are
     * 8 bytes/row, the block explode is ×4 on (id, hash), and a hot
-    * bucket (e.g. flat single-color images) is an AQE-splittable join
-    * input, with the same df-cap option ngram_jaccard documents if a
-    * degenerate hash dominates a corpus. */
+    * hash (e.g. flat single-color images) is CAPPED before pairing
+    * ([[capHotHashes]], df > [[MaxHashDf]]) — exactly ngram_jaccard's
+    * df-cap, so a degenerate hash shared by f images can never emit
+    * its f² pairs; residual join-input skew is AQE's job. */
   def imageDedup(spark: SparkSession, media: DataFrame): DataFrame =
     hammingPairs(imageHashes(spark, media).toDF(), "ahash")
 
   /** The shared pigeonhole pair generator over a 64-bit hash column:
-    * candidates by exact match on any of four 16-bit blocks (shuffle
-    * on (block_idx, block_value) only), exact hamming filter at
-    * ≤ [[ImageHammingMax]] — complete by the pigeonhole cover. */
+    * hot hashes capped ([[capHotHashes]]), then candidates by exact
+    * match on any of four 16-bit blocks (shuffle on
+    * (block_idx, block_value) only), exact hamming filter at
+    * ≤ [[ImageHammingMax]] — complete by the pigeonhole cover OVER THE
+    * CAPPED HASH SET (pairs touching a hash with df > [[MaxHashDf]]
+    * are dropped by design and reported via [[hashCaps]]). */
   private def hammingPairs(hashes: DataFrame, hcol: String): DataFrame = {
-    val blocks = hashes.select(col("doc_id"), col(hcol).as("h"),
+    val (kept, _) = capHotHashes(hashes, hcol)
+    val blocks = kept.select(col("doc_id"), col(hcol).as("h"),
         explode(expr("sequence(0, 3)")).as("block_idx"))
       .withColumn("block_val", expr("shiftright(h, block_idx * 16) & 65535"))
     blocks.as("a").join(blocks.as("b"),
@@ -354,10 +386,19 @@ object Multimodal {
     * Scale: the GB-sized payload column never shuffles — decode and
     * hash are map-side, 12 bytes/frame-row shuffle on
     * (block_idx, block_val); sampling bounds the frame-row count at
-    * n_frames/[[SampleEvery]]. */
-  def frameDedup(spark: SparkSession, video: Dataset[VideoRow]): DataFrame = {
-    val fh = frameHashes(video.sparkSession, video).toDF()
-    val blocks = fh.select(col("doc_id"), col("frame_no"), col("fhash").as("h"),
+    * n_frames/[[SampleEvery]], and hot hashes (black/static frames —
+    * the frame hash shared by f frames that would emit f² pairs) are
+    * capped at df ≤ [[MaxHashDf]] BEFORE pairing ([[capHotHashes]];
+    * drops reported by [[hashCaps]]). */
+  def frameDedup(spark: SparkSession, video: Dataset[VideoRow]): DataFrame =
+    frameDedupFromHashes(frameHashes(video.sparkSession, video).toDF())
+
+  /** [[frameDedup]] over an already-materialized (doc_id, frame_no,
+    * fhash) frame — the reusable half that lets [[frameRollup]] decode
+    * each video exactly once. */
+  private[pipeline] def frameDedupFromHashes(fh: DataFrame): DataFrame = {
+    val (kept, _) = capHotHashes(fh, "fhash")
+    val blocks = kept.select(col("doc_id"), col("frame_no"), col("fhash").as("h"),
         explode(expr("sequence(0, 3)")).as("block_idx"))
       .withColumn("block_val", expr("shiftright(h, block_idx * 16) & 65535"))
     blocks.as("a").join(blocks.as("b"),
@@ -381,6 +422,71 @@ object Multimodal {
   def frameDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     frameDedup(spark, attachVideo(spark, graft.Tables.documents(spark, dir))
+      .repartition(col("format")).as[VideoRow])
+  }
+
+  // ------------------------------------------------------------ cap report + per-video rollup
+
+  /** THE NO-SILENT-CAPS SIDECAR for the media near-dup family: every
+    * hash the df-cap excluded from pairing, per family
+    * (ahash = [[imageDedup]], phash = [[imagePhashDedup]],
+    * fhash = [[frameDedup]]), with its corpus frequency — exactly the
+    * hashes whose pairs the operators will NOT emit, so an operator
+    * reading the pair relations can see what was dropped and why
+    * (df > [[MaxHashDf]]). `hash_hex` instead of the raw long keeps
+    * the report greppable against ops tooling. Cost: the same
+    * map-side decode+hash passes as the operators plus one count
+    * shuffle per family — no pairing, no payload shuffle. */
+  def hashCaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val media = attachMedia(spark, docs)
+    val video = attachVideo(spark, docs).repartition(col("format")).as[VideoRow]
+    def report(hashes: DataFrame, hcol: String, family: String): DataFrame =
+      capHotHashes(hashes, hcol)._2.select(
+        lit(family).as("family"), lpad(hex(col(hcol)), 16, "0").as("hash_hex"),
+        col("df"))
+    report(imageHashes(spark, media).toDF(), "ahash", "ahash")
+      .unionAll(report(imagePhashes(spark, media).toDF(), "phash", "phash"))
+      .unionAll(report(frameHashes(spark, video).toDF(), "fhash", "fhash"))
+      .orderBy(col("family"), col("hash_hex"))
+  }
+
+  /** PER-VIDEO duplication rollup — the CURATION-DECISION grain over
+    * [[frameDedup]]'s pair relation (the dedup_span_coverage shape at
+    * frame grain): per video, how many frames were sampled, how many
+    * of them appear in at least one CROSS-video duplicate pair, and
+    * the duplicated fraction. A video with dup_fraction near 1.0 is a
+    * re-upload / embedded clip; near 0 is novel footage. Intra-video
+    * pairs (static scenes) are excluded — they say "still camera",
+    * not "duplicate content".
+    *
+    * Each video is decoded ONCE: the frame-hash relation is
+    * checkpointed and feeds both the pair generation and the per-video
+    * frame counts (at lakehouse scale the hash relation is a persisted
+    * artifact, exactly like dedup_keeplist's digest relation). The
+    * rollup itself is two doc_id-keyed aggregates + one left join —
+    * nothing beyond the pair stage's existing shuffles. */
+  def frameRollup(spark: SparkSession, video: Dataset[VideoRow]): DataFrame = {
+    val fh = frameHashes(spark, video).toDF().localCheckpoint()
+    val cross = frameDedupFromHashes(fh).filter(!col("same_video"))
+    val dupFrames = cross
+      .select(col("doc_id_1").as("doc_id"), col("frame_1").as("frame_no"))
+      .unionAll(cross.select(col("doc_id_2").as("doc_id"), col("frame_2").as("frame_no")))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_frames"))
+    fh.groupBy(col("doc_id")).agg(count(lit(1)).as("sampled_frames"))
+      .join(dupFrames, Seq("doc_id"), "left")
+      .withColumn("dup_frames", coalesce(col("dup_frames"), lit(0L)))
+      .withColumn("dup_fraction", round(
+        col("dup_frames").cast("double") / col("sampled_frames").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end per-video rollup over the synthesized corpus videos. */
+  def frameRollupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameRollup(spark, attachVideo(spark, graft.Tables.documents(spark, dir))
       .repartition(col("format")).as[VideoRow])
   }
 }

@@ -12,7 +12,7 @@ class SparkEntrySpec extends SparkSpec {
   private val rowsOnly =
     Set("q_percentiles_approx", "corpus_topk_tokens_approx", "q_approx_distinct",
       "mm_binary_pipeline", "mm_audio_pipeline", "mm_video_pipeline", "mm_image_dedup",
-      "mm_image_phash", "mm_frame_dedup",
+      "mm_image_phash", "mm_frame_dedup", "mm_frame_rollup", "mm_hash_caps",
       // zlib byte accounting has no SQL equivalent; TextCompressionSpec
       // holds correctness (local Deflater recompute + ordering)
       "text_compression")

@@ -68,6 +68,82 @@ class FrameDedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._3 == 4L))
   }
 
+  test("1000 identical frames: hot hash capped, output bounded, cap reported") {
+    import spark.implicits._
+    // one clip of 1000 IDENTICAL frames (a static scene / black-frame
+    // stand-in): 334 sampled frames share one hash, so uncapped
+    // pairing would emit C(334,2) = 55,611 intra-clip pairs — the f²
+    // blow-up the df-cap exists to stop. Two small clips sharing a
+    // DISTINCT frame (df = 2) must still pair.
+    val vids = Seq(
+      clip(1L, 16, 16, Seq.fill(1000)(5)),
+      clip(100L, 16, 16, Seq(33)),
+      clip(101L, 16, 16, Seq(33)))
+    val ds = spark.createDataset(vids)
+
+    val hotHash = MediaCodecs.y4mFrameHashes(vids.head.payload, Multimodal.SampleEvery)
+      .get.head._2
+    val out = Multimodal.frameDedup(spark, ds).collect()
+    // every pair involving the hot hash is dropped: nothing from doc 1
+    assert(!out.exists(r => r.getAs[Long]("doc_id_1") == 1L ||
+      r.getAs[Long]("doc_id_2") == 1L),
+      s"hot-hash frames leaked ${out.length} pairs")
+    // the non-hot duplicate survives the cap
+    assert(out.map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+      r.getAs[Int]("hamming"))).toSet == Set((100L, 101L, 0)))
+    // and the drop is LOUD: the capped hash is reported with its df
+    val (_, hot) = Multimodal.capHotHashes(
+      Multimodal.frameHashes(spark, ds).toDF(), "fhash")
+    val report = hot.collect().map(r => (r.getAs[Long]("fhash"), r.getAs[Long]("df")))
+    assert(report.toSeq == Seq((hotHash, 334L)), s"cap report wrong: ${report.toSeq}")
+  }
+
+  test("per-video rollup ties to the capped pair set; intra-video dups excluded") {
+    import spark.implicits._
+    // video 1: 7 frames, sampled 0/3/6; video 2's single frame matches
+    // video 1's frame 0 exactly; video 3 unrelated; video 4 undecodable
+    val vids = Seq(
+      clip(1L, 16, 16, Seq(0, 1, 2, 80, 4, 5, 160)),
+      clip(2L, 16, 16, Seq(0)),
+      // structurally unrelated pattern (the image tests' far-away case)
+      Multimodal.VideoRow(3L, MediaCodecs.encodeY4m(16, 16,
+        Seq.fill(4)((x: Int, y: Int) => ((x ^ y) * 37) % 256)), "y4m"),
+      Multimodal.VideoRow(4L, "mp4 garbage".getBytes, "mp4"))
+    val ds = spark.createDataset(vids)
+
+    // brute-force expectation: sampled counts PRE-cap, dup frames from
+    // the CROSS-video pairs of the capped hash set at hamming <= 3
+    val fh = vids.flatMap { v =>
+      MediaCodecs.y4mFrameHashes(v.payload, Multimodal.SampleEvery)
+        .getOrElse(Seq.empty).map { case (f, h) => ((v.doc_id, f), h) }
+    }
+    val hot = fh.groupBy(_._2).collect { case (h, g) if g.size > Multimodal.MaxHashDf => h }.toSet
+    val kept = fh.filterNot(p => hot(p._2)).toMap
+    val keys = kept.keys.toSeq.sorted
+    val dupFrames = (for {
+      a <- keys; b <- keys
+      if a._1 != b._1 && java.lang.Long.bitCount(kept(a) ^ kept(b)) <= Multimodal.ImageHammingMax
+      k <- Seq(a, b)
+    } yield k).toSet
+    val expected = fh.groupBy(_._1._1).map { case (doc, frames) =>
+      val dups = frames.count(p => dupFrames(p._1))
+      doc -> (frames.size.toLong, dups.toLong,
+        BigDecimal(dups.toDouble / frames.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+
+    val got = Multimodal.frameRollup(spark, ds).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("sampled_frames"),
+        r.getAs[Long]("dup_frames"), r.getAs[Double]("dup_fraction")))).toMap
+    assert(got == expected, s"rollup $got != brute force $expected")
+    // the known shape: video 2 is fully duplicated, video 3 not at all
+    assert(got(2L) == ((1L, 1L, 1.0)))
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    // intra-video exclusion: video 1 has 3 sampled frames but only its
+    // frame 0 (matched by video 2) counts as duplicated
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(!got.contains(4L))
+  }
+
   test("pipeline: runs over the corpus, threshold respected, mp4 docs silent") {
     val out = Multimodal.frameDedupPipeline(spark, "/root/testdata/sf0.001").collect()
     assert(out.forall(_.getAs[Int]("hamming") <= Multimodal.ImageHammingMax))

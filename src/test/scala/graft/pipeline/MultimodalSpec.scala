@@ -164,6 +164,30 @@ class MultimodalSpec extends SparkSpec {
     assert(e2e.forall(_.getAs[Int]("hamming") <= Multimodal.ImageHammingMax))
   }
 
+  test("hot image hash capped: flat-image flood emits zero pairs, cap is loud") {
+    import spark.implicits._
+    // 60 byte-identical flat images (the real-corpus hot case: solid
+    // color / letterbox fills) — one shared aHash with df = 60 >
+    // MaxHashDf, so uncapped pairing would emit C(60,2) = 1,770 pairs.
+    // One genuine near-dup pair on a DISTINCT hash must survive.
+    def grad(x: Int, y: Int): Int = (x * 16 + y * 2) % 256
+    val flood = (1L to 60L).map(i =>
+      Multimodal.MediaRow(i, MediaCodecs.encodePgm(16, 16, (_, _) => 7), 16, 16, "pgm"))
+    val media = (flood ++ Seq(
+      Multimodal.MediaRow(100L, MediaCodecs.encodePgm(16, 16, grad), 16, 16, "pgm"),
+      Multimodal.MediaRow(101L, MediaCodecs.encodePgm(16, 16, grad), 16, 16, "pgm"))).toDF()
+
+    val got = Multimodal.imageDedup(spark, media).collect()
+      .map(r => (r.getAs[Long]("doc_id_1"), r.getAs[Long]("doc_id_2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == Set((100L, 101L, 0)), s"flood leaked pairs: $got")
+    // the drop is reported, not silent
+    val (kept, hot) = Multimodal.capHotHashes(
+      Multimodal.imageHashes(spark, media).toDF(), "ahash")
+    assert(hot.collect().map(_.getAs[Long]("df")).toSeq == Seq(60L))
+    assert(kept.count() == 2L)
+  }
+
   test("pHash: encoding/contrast invariant, noise-robust, bucketed pairs = brute force") {
     import spark.implicits._
     def grad(x: Int, y: Int): Int = (x * 8 + y * 4) % 200
