@@ -1241,15 +1241,22 @@ object Corpus {
     * (vocab-sized work, one pair-keyed shuffle), but one merge per
     * Spark job means a production 10k-50k-merge run is tens of
     * thousands of SEQUENTIAL jobs. Here each iteration applies the
-    * top-`batchM` NON-CONFLICTING merges at once: candidates are
-    * taken in (count desc, pair) order, and a pair is kept only if
-    * NEITHER of its symbols was claimed by an earlier-kept pair this
-    * round. Symbol-disjoint merges cannot interact — no text position
-    * belongs to two of them, and collapsing <a><b> elsewhere can
-    * never create or destroy a <c><d> adjacency when {a,b} ∩ {c,d}
-    * = ∅ — so their within-batch counts stay exact and the rewrite is
-    * order-independent (applied as one nested-replace projection, a
-    * single vocab pass). 10k merges become ~10k/M iterations.
+    * top-`batchM` NON-CONFLICTING merges at once
+    * ([[pickDisjointMerges]]): candidates are taken in
+    * (count desc, pair) order, and a pair (a, b) is kept only if none
+    * of a, b NOR ITS MERGED SYMBOL a+b was claimed — as constituent
+    * or as merged output — by an earlier-kept pair this round. The
+    * merged-symbol claim matters: keeping (ab, cd) and (abcd, e)
+    * together would let the first replace CREATE <abcd> adjacencies
+    * mid-batch that the second then merges (or misses, depending on
+    * order), breaking order-independence. With the full three-symbol
+    * claim sets pairwise disjoint, merges cannot interact — no text
+    * position belongs to two of them, collapsing <a><b> elsewhere can
+    * never create or destroy a <c><d> adjacency, and no replace's
+    * OUTPUT token is another's INPUT token — so their within-batch
+    * counts stay exact and the rewrite is order-independent (applied
+    * as one nested-replace projection, a single vocab pass). 10k
+    * merges become ~10k/M iterations.
     *
     * `batchM = 1` reproduces [[bpeMerges]]' sequential merge table
     * EXACTLY (same top-1 selection, same tie-break, same rewrite) —
@@ -1296,14 +1303,9 @@ object Corpus {
         .orderBy(col("cnt").desc, col("pa"), col("pb"))
         .limit(math.max(batchM * 4, 16)) // TakeOrdered, no global sort
         .collect()
-      val used = scala.collection.mutable.Set.empty[String]
-      val picked = pool.iterator
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        .filter { case (a, b, _) =>
-          if (used(a) || used(b)) false
-          else { used += a; used += b; true }
-        }
-        .take(batchM).toSeq
+      val picked = pickDisjointMerges(
+        pool.iterator.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq,
+        batchM)
       if (picked.isEmpty) exhausted = true
       else {
         val newEnc = picked.foldLeft(col("enc")) { case (e, (a, b, _)) =>
@@ -1322,6 +1324,30 @@ object Corpus {
     merges.toSeq
       .toDF("step", "iteration", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy(col("step"))
+  }
+
+  /** Greedy batch selection for [[bpeMergesBatchedOn]]: walk `pool` in
+    * its (count desc, pair) order and keep a candidate (a, b) only if
+    * its FULL claim set {a, b, a+b} is disjoint from every
+    * previously-kept pair's claim set. Claiming the merged symbol a+b
+    * (not just the constituents) is what makes the batch truly
+    * non-interacting: a kept pair's OUTPUT token can otherwise equal a
+    * later pair's INPUT token — e.g. keeping (ab, cd) then (abcd, e)
+    * when 'abcd' is a pre-existing symbol — and the sequential replace
+    * fold would merge adjacencies created mid-batch, violating the
+    * order-independence and exact pre-batch pair_count contract.
+    * (Symbols are delimited <...> tokens in the encoding, so equality
+    * is the only collision mode — substrings cannot interact.) */
+  private[pipeline] def pickDisjointMerges(pool: Seq[(String, String, Long)],
+      batchM: Int): Seq[(String, String, Long)] = {
+    val claimed = scala.collection.mutable.Set.empty[String]
+    pool.iterator
+      .filter { case (a, b, _) =>
+        val m = a + b
+        if (claimed(a) || claimed(b) || claimed(m)) false
+        else { claimed += a; claimed += b; claimed += m; true }
+      }
+      .take(batchM).toSeq
   }
 
   val BpeVocabTopK = 50

@@ -55,6 +55,17 @@ import CdcStreamConsumer.{Change, Delivered}
 final case class CdcGeneration(generationId: Int, startUs: Long,
     endUs: Option[Long], streams: Seq[Long])
 
+/** Thrown — and NEVER retried — when the DRIVER-CALLBACK delivery path
+  * meets a micro-batch bigger than the configured row bound. The
+  * callback path collects each micro-batch to the driver (the
+  * reference's single-JVM RawChangeConsumer contract); wiring it to a
+  * high-volume stream would OOM the driver silently. This failure is
+  * the loud alternative: switch to `withPartitionConsumer` (executor-
+  * side, per-partition delivery — the 100 TB path) or raise
+  * `withDriverCallbackRowLimit` deliberately. */
+final class CallbackBatchTooLargeException(msg: String)
+  extends IllegalStateException(msg)
+
 final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var sources: Vector[(String, Dataset[Change])] = Vector.empty
   private var consumer: Delivered => Unit = _ => ()
@@ -70,6 +81,7 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
   private var workersCount: Option[Int] = None
   private var backoff: RetryBackoff = new ExponentialRetryBackoffWithJitter(10, 30000, 0.25)
   private var maxRetryAttempts: Int = Int.MaxValue // reference: retry indefinitely
+  private var callbackRowLimit: Long = 1000000L
   private var checkpointLocation: Option[String] = None
   private var stateStore: Option[CdcStateStore] = None
   private var queryName: String = s"graft-cdc-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -129,6 +141,19 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
     * query fails — divergence from the reference only when set. */
   def withMaxRetryAttempts(n: Int): this.type = {
     require(n > 0, "maxRetryAttempts must be positive"); maxRetryAttempts = n; this
+  }
+
+  /** Row bound for the DRIVER-CALLBACK compatibility path (default
+    * 1,000,000): a micro-batch above it fails the query with
+    * [[CallbackBatchTooLargeException]] INSTEAD of collecting — a
+    * mis-wired 100 TB stream dies loudly at the first oversized batch
+    * rather than OOMing the driver. The reference contract this
+    * guards is per-task delivery, never whole-log
+    * (CDCConsumer.java:97-237); `withPartitionConsumer` is the
+    * executor-side path with no such bound. */
+  def withDriverCallbackRowLimit(n: Long): this.type = {
+    require(n > 0, "driverCallbackRowLimit must be positive")
+    callbackRowLimit = n; this
   }
   /** Generation-aware consumption — the reference master's
     * fetch/switch loop (GenerationBasedCDCMetadataModel.runMasterLoop,
@@ -267,7 +292,8 @@ final class GraftCdcConsumerBuilder private[streaming] (spark: SparkSession) {
       require(sources.exists(_._1 == t), s"withTableGenerations names unknown source: $t")
     }
     new GraftCdcConsumer(spark, sources, consumer, partitionConsumer, effectiveTriggerMs,
-      confidenceMs, workersCount, backoff, maxRetryAttempts, checkpointLocation,
+      confidenceMs, workersCount, backoff, maxRetryAttempts, callbackRowLimit,
+      checkpointLocation,
       stateStore, queryName, generations, generationListener,
       tableGenerations, tableGenerationListener,
       generationsSupplier, pacing, sleeper, validatedTimeline)
@@ -286,6 +312,7 @@ final class GraftCdcConsumer private[streaming] (
     workersCount: Option[Int],
     backoff: RetryBackoff,
     maxRetryAttempts: Int,
+    callbackRowLimit: Long,
     checkpointLocation: Option[String],
     stateStore: Option[CdcStateStore],
     queryName: String,
@@ -456,7 +483,18 @@ final class GraftCdcConsumer private[streaming] (
             // checkpoint dir, so a new query resuming against a
             // populated external store would silently drop every
             // change whose restarted seqNo is below the stored one.
-            val rows = batch.orderBy(col("streamId"), col("seqNo")).collect()
+            // loud row-bound guard (round-9 verdict directive #5):
+            // TakeOrdered(limit+1) instead of a full collect, so the
+            // oversized case reads bound+1 rows and fails fast
+            val lim = math.min(callbackRowLimit, Int.MaxValue - 2L).toInt
+            val rows = batch.orderBy(col("streamId"), col("seqNo")).limit(lim + 1).collect()
+            if (rows.length > lim)
+              throw new CallbackBatchTooLargeException(
+                s"driver-callback micro-batch for source '$sourceName' exceeds " +
+                  s"$lim rows: the withConsumer path collects every batch to the " +
+                  "driver and is for reference-compatibility volumes only — use " +
+                  "withPartitionConsumer (executor-side delivery) for this stream, " +
+                  "or raise withDriverCallbackRowLimit deliberately")
             val fresh = stateStore match {
               case Some(s) => rows.filter(d => s.get(d.streamId).forall(p =>
                 d.timeUs > p.lastTimeUs ||
@@ -492,7 +530,9 @@ final class GraftCdcConsumer private[streaming] (
         stateStore.foreach(s => CdcCheckpoints.record(batch, s))
         done = true
       } catch {
-        case e: Throwable if scala.util.control.NonFatal(e) && attempt < maxRetryAttempts =>
+        case e: Throwable if scala.util.control.NonFatal(e) &&
+            !e.isInstanceOf[CallbackBatchTooLargeException] &&
+            attempt < maxRetryAttempts =>
           Thread.sleep(backoff.getRetryBackoffTimeMs(attempt).toLong)
           attempt += 1
       }

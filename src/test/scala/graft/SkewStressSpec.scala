@@ -41,10 +41,14 @@ class SkewStressSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try { action } finally {
       // listener delivery is async and the bus has no public flush:
-      // poll until the observed task counts go quiet
+      // poll until the observed task counts go quiet for FOUR
+      // consecutive 200 ms samples (a loaded VM's listener bus can lag
+      // well past one), bounded by a generous 30 s deadline so a wedged
+      // bus fails the stage-count assertion below instead of hanging
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var last = -1
       var same = 0
-      while (same < 2) {
+      while (same < 4 && System.nanoTime() < deadline) {
         val now = l.byStage.values.map(_.size).sum
         if (now == last) same += 1 else { same = 0; last = now }
         Thread.sleep(200)

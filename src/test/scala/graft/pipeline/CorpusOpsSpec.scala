@@ -117,7 +117,9 @@ class CorpusOpsSpec extends SparkSpec {
     assert(b.map(_._1) == (1 to b.size), "global steps not contiguous")
     assert(b.size > iters, "batching never applied more than one merge per round")
     b.groupBy(_._2).foreach { case (it, ms) =>
-      val syms = ms.flatMap(m => Seq(m._3, m._4))
+      // FULL claim sets {a, b, a+b} pairwise disjoint — merged symbols
+      // included, so no replace's output token is another's input token
+      val syms = ms.flatMap(m => Seq(m._3, m._4, m._3 + m._4))
       assert(syms.distinct.size == syms.size, s"iteration $it merges share a symbol")
       // within a round, picks follow (count desc, pair) among kept
       assert(ms.sortBy(_._1).map(_._6).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)),
@@ -145,6 +147,29 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
     assert(totalSyms < before, "batched merges bought no compression")
+  }
+
+  test("pickDisjointMerges claims merged symbols: output tokens never feed a later merge") {
+    // The tiny-corpus path can't reach this case, so pin the picker
+    // directly: a kept pair's MERGED symbol must block any later
+    // candidate using it as a constituent, and a claimed constituent
+    // must block any later candidate whose merged symbol equals it.
+    val pool = Seq(
+      ("ab", "cd", 100L),  // kept; claims {ab, cd, abcd}
+      ("abcd", "e", 90L),  // REJECTED: constituent 'abcd' = kept merged output
+      ("x", "y", 80L),     // kept; claims {x, y, xy}
+      ("w", "xy", 70L),    // REJECTED: constituent 'xy' = kept merged output
+      ("a", "bcd", 60L),   // REJECTED: merged 'abcd' already claimed
+      ("q", "r", 50L))     // kept
+    assert(Corpus.pickDisjointMerges(pool, 10) ==
+      Seq(("ab", "cd", 100L), ("x", "y", 80L), ("q", "r", 50L)))
+    // batchM still caps the batch after filtering
+    assert(Corpus.pickDisjointMerges(pool, 2) ==
+      Seq(("ab", "cd", 100L), ("x", "y", 80L)))
+    // merged-equals-constituent in the OTHER direction: candidate whose
+    // merged symbol collides with an already-claimed constituent
+    assert(Corpus.pickDisjointMerges(Seq(("ab", "cd", 9L), ("a", "b", 8L)), 10) ==
+      Seq(("ab", "cd", 9L)))
   }
 
   test("cleanStats conserves docs across stages and agrees with its component filters") {

@@ -50,6 +50,56 @@ class GraftCdcConsumerSpec extends SparkSpec {
     intercept[IllegalArgumentException](b.build())
   }
 
+  test("driver-callback row bound: oversized micro-batch fails loudly, never retries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    intercept[IllegalArgumentException](
+      GraftCdcConsumer.builder(spark).withDriverCallbackRowLimit(0))
+
+    val input = MemoryStream[Change]
+    val received = new ConcurrentLinkedQueue[Delivered]()
+    val c = GraftCdcConsumer.builder(spark)
+      .withSource(input.toDS())
+      .withConsumer(d => received.add(d))
+      .withDriverCallbackRowLimit(5)
+      .withQueryTimeWindowSizeMs(100)
+      .withQueryName(s"spec_rowbound_${System.nanoTime()}")
+      .build()
+    val err = try {
+      c.start()
+      // 3 matured changes — under the bound, must deliver normally
+      input.addData((1 to 3).map(i => Change(1, ms(i), i.toLong, 2, 0.0)))
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(100000), 50, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(200000), 51, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      assert(received.asScala.count(_.streamId == 1) == 3,
+        "under-bound batch must deliver")
+      // 10 changes maturing in ONE micro-batch: 10 > 5 → the query
+      // must FAIL (not truncate, not OOM, not retry forever)
+      input.addData((1 to 10).map(i => Change(2, ms(500000 + i), i.toLong, 2, 0.0)))
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(900000), 52, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      input.addData(Seq(Change(9, ms(1000000), 53, 2, 0.0))) // nudge
+      c.processAllAvailable()
+      fail("oversized driver-callback micro-batch did not fail the query")
+    } catch {
+      case e: org.scalatest.exceptions.TestFailedException => throw e
+      case e: Throwable => e
+    } finally c.stop()
+    // the guard exception is in the failure chain with the remedy named
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val guard = chain(err).find(_.isInstanceOf[CallbackBatchTooLargeException])
+    assert(guard.isDefined, s"expected CallbackBatchTooLargeException in: $err")
+    assert(guard.get.getMessage.contains("withPartitionConsumer"))
+    assert(guard.get.getMessage.contains("exceeds 5 rows"))
+    // the retry loop must NOT have re-delivered the under-bound rows
+    assert(received.asScala.count(_.streamId == 1) == 3)
+  }
+
   test("a fresh query against a populated external store dedupes on ChangeId, not seqNo") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

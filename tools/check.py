@@ -40,8 +40,13 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check.py <sfDir> <verifyOutDir> [--json <path>] [query ...]"
+                     " (--json requires a path argument)")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit("usage: check.py <sfDir> <verifyOutDir> [--json <path>] [query ...]")
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
