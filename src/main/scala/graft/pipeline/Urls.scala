@@ -1,0 +1,334 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation layer (SURVEY.md §2c #36) — the first pass
+  * every web-crawl corpus build runs (RefinedWeb / CCNet shape):
+  * per-registrable-domain mass accounting for source weighting and
+  * blocklists, and canonical-URL exact dedup (the same page fetched
+  * under scheme-case, `www.`, default-port, trailing-slash and
+  * tracking-parameter variants is ONE document).
+  *
+  * Both operators are map-only parses feeding one hash aggregate
+  * (domain-keyed / canonical-URL-keyed) — no joins, no windows over
+  * raw rows, nothing that grows with anything but the key count, so
+  * the formulation runs unchanged at crawl scale. Every string rule
+  * stays inside the Java↔RE2-safe regex subset (char classes, anchors,
+  * no lookaround) so Spark and the DuckDB oracle parse identical
+  * spans — the text_strip_markup precedent.
+  *
+  * The synthetic corpus has no url column, so the driver-visible
+  * entries first ATTACH one deterministically from doc_id
+  * ([[withUrl]], the strip_markup/piiScrub dirtying precedent): 120
+  * canonical pages spread over 7 hosts / 4 registrable domains, each
+  * re-fetched under every decoration the canonicalizer must undo —
+  * the oracle rebuilds identical URLs. [[canonicalizeUrl]] /
+  * [[parsedUrls]] are the reusable surfaces for real crawls. */
+object Urls {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+
+  /** Canonical-page count for the synthetic URL attachment: doc_ids
+    * congruent mod [[UrlPages]] are fetches of the SAME page under
+    * different decorations (variant index v = doc_id div UrlPages). */
+  val UrlPages = 120
+
+  /** Attach a deterministic synthetic `url` column: page identity g =
+    * doc_id % [[UrlPages]] fixes everything canonical (host choice,
+    * path, a real ?id= param on every 5th page, a genuine :8080
+    * non-default port on every 13th); the variant index v = doc_id div
+    * [[UrlPages]] drives only what canonicalization must remove —
+    * scheme/host case, a `www.` prefix, the default :443 port, a
+    * trailing slash, and utm_* tracking params. */
+  private[pipeline] def withUrl(d: DataFrame): DataFrame = {
+    val g = col("doc_id") % UrlPages
+    val v = expr(s"doc_id div $UrlPages")
+    val gs = g.cast("string")
+    val dom = when(g % 7 === 0, lit("example.com"))
+      .when(g % 7 === 1, lit("news.example.com"))
+      .when(g % 7 === 2, lit("blog.sample.org"))
+      .when(g % 7 === 3, lit("data.sample.org"))
+      .when(g % 7 === 4, lit("archive.test-site.net"))
+      .when(g % 7 === 5, lit("cdn.test-site.net"))
+      .otherwise(lit("wiki.demo.io"))
+    val host0 = concat(when(v % 2 === 1, lit("www.")).otherwise(lit("")), dom)
+    val url = concat(
+      when(v % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+      when(v % 3 === 0, upper(host0)).otherwise(host0),
+      when(g % 13 === 0, lit(":8080")).when(v % 4 === 2, lit(":443")).otherwise(lit("")),
+      lit("/articles/"), gs,
+      when(v % 3 === 1, lit("/")).otherwise(lit("")),
+      when(g % 5 === 0 && v % 2 === 0, concat(lit("?id="), gs, lit("&utm_source=feed")))
+        .when(g % 5 === 0, concat(lit("?id="), gs))
+        .when(v % 2 === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .otherwise(lit("")))
+    d.withColumn("url", url)
+  }
+
+  /** The shared SQL rendering of [[withUrl]] (oracle side). */
+  private def withUrlSql: String =
+    s"""base AS (
+       |  SELECT doc_id, text, doc_id % $UrlPages AS g, doc_id // $UrlPages AS v
+       |  FROM documents),
+       |hosts AS (
+       |  SELECT doc_id, text, g, v,
+       |    (CASE WHEN v % 2 = 1 THEN 'www.' ELSE '' END) ||
+       |    (CASE g % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.com'
+       |       WHEN 2 THEN 'blog.sample.org' WHEN 3 THEN 'data.sample.org'
+       |       WHEN 4 THEN 'archive.test-site.net' WHEN 5 THEN 'cdn.test-site.net'
+       |       ELSE 'wiki.demo.io' END) AS host0
+       |  FROM base),
+       |urls AS (
+       |  SELECT doc_id, text,
+       |    (CASE WHEN v % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+       |    (CASE WHEN v % 3 = 0 THEN upper(host0) ELSE host0 END) ||
+       |    (CASE WHEN g % 13 = 0 THEN ':8080' WHEN v % 4 = 2 THEN ':443' ELSE '' END) ||
+       |    '/articles/' || CAST(g AS VARCHAR) ||
+       |    (CASE WHEN v % 3 = 1 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN g % 5 = 0 AND v % 2 = 0 THEN '?id=' || CAST(g AS VARCHAR) || '&utm_source=feed'
+       |         WHEN g % 5 = 0 THEN '?id=' || CAST(g AS VARCHAR)
+       |         WHEN v % 2 = 0 THEN '?utm_source=feed&utm_campaign=x'
+       |         ELSE '' END) AS url
+       |  FROM hosts)""".stripMargin
+
+  /** Lower-cased scheme of a url column ('' when unparseable). */
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+
+  /** Canonical host: authority without port, lower-cased, leading
+    * `www.` stripped. */
+  private def hostOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_replace(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1),
+        ":[0-9]+$", "")),
+      "^www\\.", "")
+
+  /** CANONICAL URL of any url column — the dedup key. Rules (each one
+    * a variant the same page is crawled under):
+    *  - scheme and host lower-cased; leading `www.` dropped;
+    *  - default port for the scheme dropped (https:443 / http:80),
+    *    any other port kept;
+    *  - trailing slashes stripped from the path;
+    *  - query params whose name starts `utm_` dropped (tracking), the
+    *    rest kept in original order; an emptied query loses its `?`;
+    *  - fragments never reach the server — everything from `#` on is
+    *    dropped by construction of the extracts. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keptPort = when(port === "", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val q = array_join(
+      filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+        p => length(p) > 0 && substring(p, 1, 4) =!= "utm_"),
+      "&")
+    concat(scheme, lit("://"), hostOf(url), keptPort, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** The canonicalization CTE chain shared by both oracles — the SQL
+    * twin of [[canonicalizeUrl]]/[[hostOf]], rule for rule. */
+  private def canonSql: String =
+    """parts AS (
+      |  SELECT doc_id, text,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+      |    COALESCE(array_to_string(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      p -> len(p) > 0 AND substr(p, 1, 4) <> 'utm_'), '&'), '') AS q
+      |  FROM urls),
+      |canon AS (
+      |  SELECT doc_id, text, scheme,
+      |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path, q
+      |  FROM parts),
+      |curl AS (
+      |  SELECT doc_id, text, host,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port = '' THEN ''
+      |         WHEN scheme = 'https' AND port = '443' THEN ''
+      |         WHEN scheme = 'http' AND port = '80' THEN ''
+      |         ELSE ':' || port END) ||
+      |    path ||
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      |  FROM canon)""".stripMargin
+
+  /** Parse + canonicalize a frame carrying a `url` column: adds
+    * `host` (canonical), `domain` (registrable: last two labels — the
+    * public-suffix-list-free approximation every first-pass crawl
+    * audit starts with) and `canonical_url`. Map-only; reusable over
+    * any real crawl frame. */
+  def parsedUrls(d: DataFrame): DataFrame = {
+    val url = col("url")
+    d.withColumn("host", hostOf(url))
+      .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("canonical_url", canonicalizeUrl(url))
+  }
+
+  // ------------------------------------------------------------ #36 corpus_url_stats
+
+  /** PER-REGISTRABLE-DOMAIN corpus mass — the crawl-curation first
+    * pass: docs, distinct canonical hosts, whitespace-token mass and
+    * its corpus share per domain. The share is what a source-weighting
+    * / blocklist decision reads (a domain carrying 40% of the tokens
+    * dominates training); n_hosts separates a single hot host from a
+    * broad subdomain farm. One map-side parse + one domain-keyed
+    * aggregate; the share's global total comes from an unpartitioned
+    * window OVER THE DOMAIN-GRAIN AGGREGATE (bounded by the domain
+    * count), never over raw rows. */
+  def urlStats(spark: SparkSession, dir: String): DataFrame =
+    parsedUrls(withUrl(docs(spark, dir)))
+      .withColumn("n_toks",
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("long"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("n_toks")).as("n_tokens"))
+      .withColumn("token_share", round(
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+            .cast("double"), 6))
+      .select(col("domain"), col("n_docs"), col("n_hosts"), col("n_tokens"),
+        col("token_share"))
+      .orderBy(col("domain"))
+
+  val urlStatsSql: String =
+    s"""WITH $withUrlSql,
+       |$canonSql,
+       |toks AS (
+       |  SELECT doc_id, host,
+       |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS BIGINT) AS n_toks
+       |  FROM curl),
+       |agg AS (
+       |  SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM toks GROUP BY domain)
+       |SELECT domain, n_docs, n_hosts, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+       |FROM agg ORDER BY domain""".stripMargin
+
+  // ------------------------------------------------------------ #36b dedup_url_canonical
+
+  /** CANONICAL-URL EXACT DEDUP — [[Dedup.exact]]'s shape keyed on
+    * [[canonicalizeUrl]] instead of a content digest: every
+    * canonical page with its fetch count and keeper (min doc_id).
+    * Catches the re-crawl duplicates content hashing only finds
+    * AFTER paying to fetch and store the body; at crawl scale this
+    * runs on the URL frontier BEFORE fetching. One map-side
+    * canonicalization + one canonical-url-keyed aggregate (map-side
+    * partial combine collapses variants before the exchange). */
+  def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame =
+    parsedUrls(withUrl(docs(spark, dir)))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy(col("canonical_doc_id"))
+
+  val urlCanonicalDedupSql: String =
+    s"""WITH $withUrlSql,
+       |$canonSql
+       |SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+       |FROM curl GROUP BY canonical_url ORDER BY canonical_doc_id""".stripMargin
+
+  /** The `dom AS (...)` CTE both doc-grain operators below share:
+    * (doc_id, registrable domain) off the canonical host. */
+  private def domSql: String =
+    s"""dom AS (
+       |  SELECT doc_id, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+       |  FROM curl)""".stripMargin
+
+  // ------------------------------------------------------------ #36c corpus_url_blocklist
+
+  /** Registrable domains dropped by the blocklist filter. A real
+    * deployment feeds a 10k-entry list; the mechanics are identical —
+    * a literal relation, broadcast-anti-joined. */
+  val BlockedDomains = Seq("sample.org", "demo.io")
+
+  /** DOMAIN-BLOCKLIST FILTER — the crawl-curation kill switch: docs
+    * whose registrable domain is on the blocklist are dropped, the
+    * rest pass with their domain attached. The blocklist is a literal
+    * LocalRelation (bounded by construction, so its forced broadcast
+    * is sanctioned by the plan guard's walk) anti-joined against the
+    * map-side-parsed domain — no shuffle of the corpus at all: the
+    * broadcast anti-join fuses into the scan. */
+  def urlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocked = BlockedDomains.toDF("domain")
+    parsedUrls(withUrl(docs(spark, dir)))
+      .select(col("doc_id"), col("host"), col("domain"))
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+      .select(col("doc_id"), col("domain"), col("host"))
+      .orderBy(col("doc_id"))
+  }
+
+  val urlBlocklistSql: String =
+    s"""WITH $withUrlSql,
+       |$canonSql,
+       |$domSql
+       |SELECT d.doc_id, d.domain, c.host
+       |FROM dom d JOIN curl c ON d.doc_id = c.doc_id
+       |WHERE d.domain NOT IN (${BlockedDomains.map(b => s"'$b'").mkString(", ")})
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ #36d corpus_domain_cap
+
+  /** Per-domain doc cap. */
+  val DomainCapK = 40
+
+  /** PER-DOMAIN DOC CAP — the C4/RefinedWeb anti-monoculture rule:
+    * keep at most [[DomainCapK]] docs per registrable domain (first
+    * [[DomainCapK]] by doc_id — deterministic; a production run ranks
+    * by a quality score, same plan). Output carries the in-domain
+    * rank and the domain's total so the drop rate is visible (no
+    * silent caps).
+    *
+    * Plan: the round-3 TWO-STAGE top-N — (1) rank within
+    * (domain, input-partition) and prune to ≤ K per slice (bounded
+    * window partitions; only a slice's top-K can be in the global
+    * top-K), (2) rank the ≤ K·P survivors per domain (a lone-domain
+    * window is legitimate HERE: it sits above the stage-1 reducer,
+    * never over raw docs — a viral domain contributes K rows per
+    * slice, not its whole corpus), (3) equi-join the domain totals
+    * (domain-keyed aggregate; no broadcast hint — the domain universe
+    * is DATA-sized on a real crawl, so AQE must decide). NOT
+    * DistributedRanks: its offsets broadcast is (groups × partitions)
+    * rows — bounded metadata for few-valued keys (source, label),
+    * corpus-sized for crawl domains. */
+  def urlDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parsed = parsedUrls(withUrl(docs(spark, dir)))
+      .select(col("doc_id"), col("domain"))
+    val counts = parsed.groupBy(col("domain")).agg(count(lit(1)).as("domain_docs"))
+    val wLocal = Window.partitionBy(col("domain"), col("pid")).orderBy(col("doc_id"))
+    val wDomain = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    parsed.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLocal))
+      .filter(col("lrn") <= DomainCapK)
+      .withColumn("domain_rank", row_number().over(wDomain))
+      .filter(col("domain_rank") <= DomainCapK)
+      .join(counts, Seq("domain"))
+      .select(col("doc_id"), col("domain"),
+        col("domain_rank").cast("long").as("domain_rank"), col("domain_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val urlDomainCapSql: String =
+    s"""WITH $withUrlSql,
+       |$canonSql,
+       |$domSql,
+       |ranked AS (
+       |  SELECT doc_id, domain,
+       |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS domain_rank,
+       |    COUNT(*) OVER (PARTITION BY domain) AS domain_docs
+       |  FROM dom)
+       |SELECT doc_id, domain, domain_rank, domain_docs
+       |FROM ranked WHERE domain_rank <= $DomainCapK ORDER BY doc_id""".stripMargin
+}

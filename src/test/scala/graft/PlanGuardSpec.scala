@@ -230,7 +230,11 @@ class PlanGuardSpec extends SparkSpec {
       // the RFM quintile ranks run three constant-group
       // DistributedRanks passes — the "__g" windows may only ever see
       // the (group × pid) offsets aggregate
-      "q_rfm" -> "__g")
+      "q_rfm" -> "__g",
+      // round-10 addition: the per-domain cap ranks by a few-valued
+      // hot key (a viral domain is THE skew case) — must stay on
+      // DistributedRanks, never Window.partitionBy(domain) over docs
+      "corpus_domain_cap" -> "domain")
     def reduced(p: LogicalPlan): Boolean = p.collectFirst {
       case a: Aggregate if a.groupingExpressions.size >= 2 => ()
       case f: Filter if f.child.collectFirst {
