@@ -20,8 +20,10 @@ import CdcStreamConsumer.{Change, Delivered}
   *    one task group per table under one master)
   *  - withConsumer(RawChangeConsumer) → withConsumer(Delivered => Unit),
   *    invoked per change, per stream, in ChangeId order (driver-side
-  *    compatibility path) — or withPartitionConsumer for the
-  *    executor-side scale path
+  *    compatibility path, row-bounded by withDriverCallbackRowLimit —
+  *    an oversized micro-batch fails loudly instead of OOMing the
+  *    driver) — or withPartitionConsumer for the executor-side scale
+  *    path
   *  - withQueryTimeWindowSizeMs       → micro-batch trigger interval
   *    (the worker's bounded read window)
   *  - withConfidenceWindowSizeMs      → event-time watermark delay

@@ -37,6 +37,31 @@ object StreamingCorpus {
       .dropDuplicatesWithinWatermark("digest")
       .select(col("docId").as("doc_id"), col("digest"), col("timeUs").as("time_us"))
 
+  /** One incoming fetch on a crawl frontier stream. */
+  final case class IncomingUrl(docId: Long, url: String, timeUs: Long)
+
+  /** STREAMING URL-FRONTIER ADMISSION — the live twin of
+    * dedup_url_canonical ([[graft.pipeline.Urls.urlCanonicalDedup]]):
+    * only the FIRST fetch of each CANONICAL URL passes; later
+    * decorated variants (scheme/host case, `www.`, default ports,
+    * trailing slashes, utm_* params) inside the watermark are dropped
+    * by canonical-keyed state. At crawl scale this runs on the
+    * frontier BEFORE fetching, so a duplicate costs a state lookup
+    * instead of a page download. State is O(canonical URLs inside the
+    * confidence window) — the watermark evicts it, and re-crawls
+    * farther apart than the window are the batch backfill's job (the
+    * same division of labor [[dedupExact]] documents). The
+    * canonicalization itself is the batch operator's codegen'd
+    * expression — one rule set, two runtimes. */
+  def admitUrls(urls: Dataset[IncomingUrl], confidenceMs: Long): DataFrame =
+    urls
+      .withColumn("event_time", timestamp_micros(col("timeUs")))
+      .withWatermark("event_time", s"$confidenceMs milliseconds")
+      .withColumn("canonical_url", graft.pipeline.Urls.canonicalizeUrl(col("url")))
+      .dropDuplicatesWithinWatermark("canonical_url")
+      .select(col("docId").as("doc_id"), col("canonical_url"),
+        col("timeUs").as("time_us"))
+
   /** [[admitIncremental]]'s per-doc verdict. */
   final case class AdmitVerdict(doc_id: Long, time_us: Long, reason: String, keep: Boolean)
 

@@ -30,6 +30,35 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("admitUrls passes only the first fetch of each canonical URL, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingCorpus.IncomingUrl]
+    val name = s"surls_${System.nanoTime()}"
+    val query = StreamingCorpus.admitUrls(input.toDS(), confidenceMs = 60000)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        StreamingCorpus.IncomingUrl(1, "https://example.com/a?id=1", 1000),
+        // same page under every decoration, same batch → dropped
+        StreamingCorpus.IncomingUrl(2, "HTTPS://WWW.Example.COM:443/a/?id=1&utm_source=x", 2000),
+        StreamingCorpus.IncomingUrl(3, "https://example.com/b", 3000)))
+      query.processAllAvailable()
+      input.addData(Seq(
+        // canonical dup of 1 in a LATER batch → state drops it
+        StreamingCorpus.IncomingUrl(4, "https://example.com/a?utm_b=y&id=1", 4000),
+        // genuinely new page (different kept param) → admitted
+        StreamingCorpus.IncomingUrl(5, "https://example.com/a?id=2", 5000)))
+      query.processAllAvailable()
+      val rows = spark.table(name).collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L))
+      // the admitted rows carry the canonical form, not the raw fetch
+      val canon = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("canonical_url")).toMap
+      assert(canon(1L) == "https://example.com/a?id=1")
+      assert(canon(5L) == "https://example.com/a?id=2")
+    } finally query.stop()
+  }
+
   test("admitIncremental: MemoryStream verdicts match the batch stored-index admission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
