@@ -1043,6 +1043,140 @@ object TextAnalysis {
        |  clean_text
        |FROM stripped ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ #33s line-level dedup
+
+  /** Words per synthetic line (the corpus has no newlines, so the
+    * driver entry chunks the text deterministically — the strip_markup
+    * dirtying precedent; a real crawl splits on '\n'). */
+  val LineWords = 8
+
+  /** A line carried by more than this many DISTINCT docs is
+    * boilerplate and is removed from every doc. */
+  val MaxLineDf = 10
+
+  private val BoilerplateA = "subscribe to our newsletter today"
+  private val BoilerplateB = "all rights reserved"
+
+  /** The corpus exploded to (doc_id, pos, line): 8-word chunks plus
+    * injected boilerplate (every doc ends with a newsletter plea,
+    * every even doc also a rights notice) — the repeated-line material
+    * line dedup exists to remove. */
+  private def linedDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("words", filter(split(col("text"), " "), w => length(w) > 0))
+      .withColumn("nl", greatest(ceil(size(col("words")) / lit(8.0)).cast("int"), lit(1)))
+      .withColumn("lines0", expr(
+        s"transform(sequence(0, nl - 1), i -> array_join(slice(words, i * $LineWords + 1, $LineWords), ' '))"))
+      .withColumn("lines", concat(col("lines0"),
+        when(col("doc_id") % 2 === 0, array(lit(BoilerplateA), lit(BoilerplateB)))
+          .otherwise(array(lit(BoilerplateA)))))
+      .select(col("doc_id"), posexplode_outer(col("lines")).as(Seq("pos", "line")))
+
+  /** LINE-LEVEL BOILERPLATE DEDUP — the C4/CCNet/RefinedWeb pass that
+    * content-grain dedup cannot replace: nav bars, cookie banners,
+    * "all rights reserved" footers repeat across MILLIONS of pages
+    * whose bodies are all distinct, so no document-level rule fires.
+    * Lines whose document frequency exceeds [[MaxLineDf]] (counted
+    * DISTINCT per doc) are removed from every document; per doc the
+    * report carries total lines, removed lines, and the reassembled
+    * clean text in original line order.
+    *
+    * Scale: a line-grain inverted index — one shuffle keyed by the
+    * line, a df filter, one doc-keyed reassembly aggregate. No
+    * pairing anywhere, so cost is linear in total lines regardless of
+    * how viral a boilerplate line is (the df threshold REMOVES hot
+    * lines rather than pairing them — the opposite failure mode of
+    * near-dup's f² blow-up, needing no cap). The exploded relation is
+    * checkpointed so the chunking HOF runs once, feeding both the df
+    * count and the reassembly. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lined = linedDocs(spark, dir).localCheckpoint()
+    // no broadcast hint: the hot-line relation is data-dependent
+    // (bounded by |lines|/df only) — AQE decides the join strategy
+    val hot = lined.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > MaxLineDf)
+      .select(col("line"), lit(true).as("is_hot"))
+    lined.join(hot, Seq("line"), "left")
+      .withColumn("is_hot", coalesce(col("is_hot"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_hot"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("is_hot"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS words
+       |  FROM documents),
+       |nl AS (
+       |  SELECT doc_id, words, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1) AS n FROM w),
+       |built AS (
+       |  SELECT doc_id,
+       |    list_concat(
+       |      list_transform(range(0, n), i -> array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')),
+       |      CASE WHEN doc_id % 2 = 0 THEN ['$BoilerplateA', '$BoilerplateB']
+       |           ELSE ['$BoilerplateA'] END) AS lines
+       |  FROM nl),
+       |lined AS (
+       |  SELECT doc_id, g.idx AS pos, lines[g.idx] AS line
+       |  FROM built, LATERAL unnest(generate_series(1, len(lines))) AS g(idx)),
+       |hot AS (
+       |  SELECT line FROM lined GROUP BY line HAVING COUNT(DISTINCT doc_id) > $MaxLineDf),
+       |flagged AS (
+       |  SELECT l.doc_id, l.pos, l.line, (h.line IS NOT NULL) AS is_hot
+       |  FROM lined l LEFT JOIN hot h ON l.line = h.line)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_hot), chr(10)), '') AS clean_text
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Ranked boilerplate report cap. */
+  val HotLinesTopK = 50
+
+  /** THE BOILERPLATE LEADERBOARD — [[lineDedup]]'s visibility twin
+    * (the mm_hash_caps posture: what a threshold removes must be
+    * inspectable): the top-[[HotLinesTopK]] removed lines by document
+    * frequency, with df and total occurrence count. An operator reads
+    * this to tune [[MaxLineDf]] and to catch a content line going
+    * "viral" enough to be eaten by the filter. One line-keyed
+    * aggregate + TakeOrdered (df desc, line) — never a global sort. */
+  def hotLines(spark: SparkSession, dir: String): DataFrame =
+    linedDocs(spark, dir)
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("df") > MaxLineDf)
+      .orderBy(col("df").desc, col("line"))
+      .limit(HotLinesTopK)
+
+  val hotLinesSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS words
+       |  FROM documents),
+       |nl AS (
+       |  SELECT doc_id, words, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1) AS n FROM w),
+       |built AS (
+       |  SELECT doc_id,
+       |    list_concat(
+       |      list_transform(range(0, n), i -> array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')),
+       |      CASE WHEN doc_id % 2 = 0 THEN ['$BoilerplateA', '$BoilerplateB']
+       |           ELSE ['$BoilerplateA'] END) AS lines
+       |  FROM nl),
+       |lined AS (
+       |  SELECT doc_id, g.idx AS pos, lines[g.idx] AS line
+       |  FROM built, LATERAL unnest(generate_series(1, len(lines))) AS g(idx))
+       |SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |FROM lined GROUP BY line HAVING COUNT(DISTINCT doc_id) > $MaxLineDf
+       |ORDER BY df DESC, line LIMIT $HotLinesTopK""".stripMargin
+
   // ------------------------------------------------------------ #33n PII scrub
 
   /** PII patterns — the common Java/RE2 regex subset (character
