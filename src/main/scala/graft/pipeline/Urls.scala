@@ -130,15 +130,19 @@ object Urls {
       filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
         p => length(p) > 0 && substring(p, 1, 4) =!= "utm_"),
       "&")
-    concat(scheme, lit("://"), hostOf(url), keptPort, path,
-      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+    // unparseable input (no scheme://authority — relative links, junk
+    // frontier entries) falls back to the trimmed original: exact
+    // duplicates still collapse, nothing is silently rewritten
+    when(scheme === "", trim(url)).otherwise(
+      concat(scheme, lit("://"), hostOf(url), keptPort, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
   /** The canonicalization CTE chain shared by both oracles — the SQL
     * twin of [[canonicalizeUrl]]/[[hostOf]], rule for rule. */
   private def canonSql: String =
     """parts AS (
-      |  SELECT doc_id, text,
+      |  SELECT doc_id, text, url,
       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
       |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
       |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
@@ -146,19 +150,20 @@ object Urls {
       |      p -> len(p) > 0 AND substr(p, 1, 4) <> 'utm_'), '&'), '') AS q
       |  FROM urls),
       |canon AS (
-      |  SELECT doc_id, text, scheme,
+      |  SELECT doc_id, text, url, scheme,
       |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
       |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path, q
       |  FROM parts),
       |curl AS (
       |  SELECT doc_id, text, host,
+      |    CASE WHEN scheme = '' THEN trim(url) ELSE
       |    scheme || '://' || host ||
       |    (CASE WHEN port = '' THEN ''
       |         WHEN scheme = 'https' AND port = '443' THEN ''
       |         WHEN scheme = 'http' AND port = '80' THEN ''
       |         ELSE ':' || port END) ||
       |    path ||
-      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS canonical_url
       |  FROM canon)""".stripMargin
 
   /** Parse + canonicalize a frame carrying a `url` column: adds

@@ -29,7 +29,9 @@ class UrlsSpec extends SparkSpec {
       "https://example.com/a?utm_source=x&id=7&utm_b=y", // utm strip keeps order
       "https://example.com/a?utm_source=x",// emptied query loses '?'
       "https://example.com/a?id=7#frag",   // fragment drop
-      "https://example.com/a#frag"         // fragment drop, no query
+      "https://example.com/a#frag",        // fragment drop, no query
+      "  /relative/link  ",                // unparseable → trimmed as-is
+      "not a url at all"                   // unparseable → unchanged
     ) == Seq(
       "https://example.com/a",
       "https://example.com/a",
@@ -42,7 +44,9 @@ class UrlsSpec extends SparkSpec {
       "https://example.com/a?id=7",
       "https://example.com/a",
       "https://example.com/a?id=7",
-      "https://example.com/a"))
+      "https://example.com/a",
+      "/relative/link",
+      "not a url at all"))
   }
 
   test("url stats: registrable domains, shares sum to 1, host counts") {
