@@ -1089,7 +1089,13 @@ object TextAnalysis {
     * near-dup's f² blow-up, needing no cap). The exploded relation is
     * checkpointed so the chunking HOF runs once, feeding both the df
     * count and the reassembly. */
-  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    cleanedDocs(spark, dir).orderBy(col("doc_id"))
+
+  /** [[lineDedup]] without the presentation sort — the reusable
+    * (doc_id, n_lines, n_removed, clean_text) relation downstream
+    * composition (corpus_web_funnel) builds on. */
+  private[pipeline] def cleanedDocs(spark: SparkSession, dir: String): DataFrame = {
     val lined = linedDocs(spark, dir).localCheckpoint()
     // no broadcast hint: the hot-line relation is data-dependent
     // (bounded by |lines|/df only) — AQE decides the join strategy
@@ -1107,11 +1113,14 @@ object TextAnalysis {
             array_sort(collect_list(when(!col("is_hot"), struct(col("pos"), col("line"))))),
             s => s.getField("line")),
           "\n").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
-  val lineDedupSql: String =
-    s"""WITH w AS (
+  /** The line-dedup CTE chain (w/nl/built/lined/hot/flagged/cleaned),
+    * shared by the lineDedup/hotLines oracles and the web-funnel
+    * composition oracle. Ends with `cleaned(doc_id, n_lines,
+    * n_removed, clean_text)`. */
+  private[pipeline] def lineCtesSql: String =
+    s"""w AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS words
        |  FROM documents),
        |nl AS (
@@ -1130,12 +1139,18 @@ object TextAnalysis {
        |  SELECT line FROM lined GROUP BY line HAVING COUNT(DISTINCT doc_id) > $MaxLineDf),
        |flagged AS (
        |  SELECT l.doc_id, l.pos, l.line, (h.line IS NOT NULL) AS is_hot
-       |  FROM lined l LEFT JOIN hot h ON l.line = h.line)
-       |SELECT doc_id,
-       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
-       |  CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-       |  COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_hot), chr(10)), '') AS clean_text
-       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM lined l LEFT JOIN hot h ON l.line = h.line),
+       |cleaned AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    COALESCE(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_hot), chr(10)), '') AS clean_text
+       |  FROM flagged GROUP BY doc_id)""".stripMargin
+
+  val lineDedupSql: String =
+    s"""WITH $lineCtesSql
+       |SELECT doc_id, n_lines, n_removed, clean_text
+       |FROM cleaned ORDER BY doc_id""".stripMargin
 
   /** Ranked boilerplate report cap. */
   val HotLinesTopK = 50
@@ -1157,21 +1172,7 @@ object TextAnalysis {
       .limit(HotLinesTopK)
 
   val hotLinesSql: String =
-    s"""WITH w AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS words
-       |  FROM documents),
-       |nl AS (
-       |  SELECT doc_id, words, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1) AS n FROM w),
-       |built AS (
-       |  SELECT doc_id,
-       |    list_concat(
-       |      list_transform(range(0, n), i -> array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')),
-       |      CASE WHEN doc_id % 2 = 0 THEN ['$BoilerplateA', '$BoilerplateB']
-       |           ELSE ['$BoilerplateA'] END) AS lines
-       |  FROM nl),
-       |lined AS (
-       |  SELECT doc_id, g.idx AS pos, lines[g.idx] AS line
-       |  FROM built, LATERAL unnest(generate_series(1, len(lines))) AS g(idx))
+    s"""WITH $lineCtesSql
        |SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
        |FROM lined GROUP BY line HAVING COUNT(DISTINCT doc_id) > $MaxLineDf

@@ -336,4 +336,107 @@ object Urls {
        |  FROM dom)
        |SELECT doc_id, domain, domain_rank, domain_docs
        |FROM ranked WHERE domain_rank <= $DomainCapK ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ #36e corpus_web_funnel
+
+  /** THE WEB-CURATION FUNNEL — the round's operators composed in the
+    * order a RefinedWeb/CCNet-style build runs them, with the
+    * per-stage mass accounting every curation report leads with
+    * (docs and token mass surviving each stage):
+    *
+    *  1. `all`         — the fetched corpus;
+    *  2. `blocklist`   — registrable domain not on the blocklist
+    *                     (broadcast anti-join, corpus never shuffles);
+    *  3. `domain_cap`  — at most [[DomainCapK]] docs per domain
+    *                     (two-stage top-N over the SURVIVORS — the cap
+    *                     ranks what the blocklist kept);
+    *  4. `line_dedup`  — docs retaining at least one line after
+    *                     corpus-level boilerplate removal
+    *                     ([[TextAnalysis.cleanedDocs]]; the hot-line
+    *                     relation is computed over the FULL corpus —
+    *                     boilerplate is a corpus property, not a
+    *                     survivor property);
+    *  5. `exact_dedup` — one doc per md5 of the CLEANED text (min
+    *                     doc_id keeper) — dedup after cleaning, so
+    *                     docs differing only in boilerplate collapse.
+    *
+    * Each stage is the already-audited plan of its standalone
+    * operator; the funnel adds only 1-row global aggregates and
+    * doc-keyed equi-joins. The two frames that feed both a stage
+    * count and the next stage's input are checkpointed so the window
+    * stages run once. */
+  def webFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parsed = parsedUrls(withUrl(docs(spark, dir)))
+      .withColumn("n_toks",
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("long"))
+      .select(col("doc_id"), col("domain"), col("n_toks"))
+    val s1 = parsed.join(broadcast(BlockedDomains.toDF("domain")), Seq("domain"), "left_anti")
+    val wLocal = Window.partitionBy(col("domain"), col("pid")).orderBy(col("doc_id"))
+    val wDomain = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+    val s2 = s1.withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= DomainCapK)
+      .withColumn("drn", row_number().over(wDomain)).filter(col("drn") <= DomainCapK)
+      .select(col("doc_id"), col("domain"), col("n_toks"))
+      .localCheckpoint()
+    val s3 = s2.join(
+        TextAnalysis.cleanedDocs(spark, dir)
+          .filter(col("n_lines") > col("n_removed"))
+          .select(col("doc_id"), col("clean_text")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    val keepers = s3.select(col("doc_id"), md5(col("clean_text")).as("dg"))
+      .groupBy(col("dg")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s4 = s3.join(keepers, Seq("doc_id"))
+    def stage(no: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(1, "all", parsed)
+      .unionAll(stage(2, "blocklist", s1))
+      .unionAll(stage(3, "domain_cap", s2))
+      .unionAll(stage(4, "line_dedup", s3))
+      .unionAll(stage(5, "exact_dedup", s4))
+      .orderBy(col("stage_no"))
+  }
+
+  val webFunnelSql: String =
+    s"""WITH $withUrlSql,
+       |$canonSql,
+       |$domSql,
+       |${TextAnalysis.lineCtesSql},
+       |tokc AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT d.doc_id, d.domain, t.n_toks FROM dom d JOIN tokc t USING (doc_id)),
+       |s1 AS (
+       |  SELECT * FROM p
+       |  WHERE domain NOT IN (${BlockedDomains.map(b => s"'$b'").mkString(", ")})),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn FROM s1),
+       |s2 AS (SELECT doc_id, domain, n_toks FROM r WHERE rn <= $DomainCapK),
+       |s3 AS (
+       |  SELECT s2.doc_id, s2.n_toks, c.clean_text
+       |  FROM s2 JOIN cleaned c USING (doc_id) WHERE c.n_lines > c.n_removed),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(clean_text) AS dg FROM s3) GROUP BY dg),
+       |s4 AS (SELECT s3.* FROM s3 JOIN keepers USING (doc_id))
+       |SELECT * FROM (
+       |  SELECT 1 AS stage_no, 'all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM p
+       |  UNION ALL SELECT 2, 'blocklist', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s1
+       |  UNION ALL SELECT 3, 'domain_cap', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s2
+       |  UNION ALL SELECT 4, 'line_dedup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s3
+       |  UNION ALL SELECT 5, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s4)
+       |ORDER BY stage_no""".stripMargin
 }

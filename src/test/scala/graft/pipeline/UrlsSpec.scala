@@ -95,6 +95,29 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("web funnel: stages agree with the standalone operators and only ever shrink") {
+    val f = Urls.webFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(f.keySet == Set("all", "blocklist", "domain_cap", "line_dedup", "exact_dedup"))
+    assert(f("all")._1 == 500L)
+    // stage 2 matches the standalone blocklist operator; stage 3 caps
+    // the SURVIVORS (the funnel order), so its expectation comes from
+    // the per-domain masses of the non-blocked domains
+    assert(f("blocklist")._1 == Urls.urlBlocklist(spark, dir).count())
+    val survivorCap = Urls.urlStats(spark, dir).collect()
+      .filterNot(r => Urls.BlockedDomains.contains(r.getAs[String]("domain")))
+      .map(r => math.min(Urls.DomainCapK.toLong, r.getAs[Long]("n_docs"))).sum
+    assert(f("domain_cap")._1 == survivorCap)
+    // monotone: a funnel never grows, in docs or tokens
+    val order = Seq("all", "blocklist", "domain_cap", "line_dedup", "exact_dedup")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(f(b)._1 <= f(a)._1, s"$b docs grew over $a")
+      assert(f(b)._2 <= f(a)._2, s"$b tokens grew over $a")
+    }
+    assert(f("exact_dedup")._1 > 0L)
+  }
+
   test("canonical dedup: every synthetic variant collapses; members congruent mod UrlPages") {
     val d = Urls.urlCanonicalDedup(spark, dir).collect()
     // 500 docs over 120 pages → every page a group, every doc in one
