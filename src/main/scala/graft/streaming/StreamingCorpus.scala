@@ -416,4 +416,28 @@ object StreamingCorpus {
       .filter(col("rank") <= k)
       .orderBy(col("window_start"), col("rank"))
   }
+
+  /** STREAMING MODEL-SCORED ADMISSION — the live twin of
+    * [[graft.pipeline.Classifier.score]]: every arriving document is
+    * scored against a PERSISTED classifier model
+    * ([[graft.pipeline.Classifier.writeModel]] /
+    * [[graft.pipeline.Classifier.loadModel]] — trained once on the
+    * reference snapshot, never recomputed on the hot path) and only
+    * docs at or above the keep threshold are admitted. The model is
+    * [[graft.pipeline.Classifier.ModelSize]]-bounded and ships INSIDE
+    * the plan as a map literal ([[graft.pipeline.Classifier.scoreExpr]]),
+    * so admission is a pure per-row projection + filter: no join, no
+    * shuffle, NO STATE — the one streaming operator here that needs
+    * neither watermark nor state store, because a quality verdict
+    * depends only on the document itself. Arithmetic is bit-equal to
+    * the batch scorer, so batch backfill and live ingest admit the
+    * same documents. */
+  def admitScored(docs: Dataset[IncomingDoc],
+      model: Seq[(String, java.math.BigDecimal)], threshold: Double): DataFrame =
+    docs.toDF()
+      .withColumn("score",
+        graft.pipeline.Classifier.scoreExpr(model, col("text")))
+      .filter(col("score") >= threshold)
+      .select(col("docId").as("doc_id"), col("score"),
+        col("timeUs").as("time_us"))
 }

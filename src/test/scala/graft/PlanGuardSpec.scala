@@ -103,6 +103,9 @@ class PlanGuardSpec extends SparkSpec {
       "g",
       // k-means cluster id ∈ [0, K) — centroid-grain aggregates
       "cluster_id",
+      // DSIR hashed-feature bucket = polyHash % DsirBuckets ∈ [0, 4096)
+      // — the fixed model size is the published design's point
+      "bucket",
       // funnel stage ∈ {view→click, click→purchase} — 2-valued
       "step")
     val boundedIdFilters = Set("vec_id", "query_id", "cid", "crn", "rank", "rn")

@@ -30,6 +30,37 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("admitScored admits exactly the docs the batch scorer would keep — stateless, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // A persisted model trained elsewhere: ref-ish vocabulary weighted
+    // high, crawl-ish low (scale-9 decimals, as writeModel produces).
+    def d(s: String) = new java.math.BigDecimal(s)
+    val model = Seq(
+      "refa" -> d("0.993000000"), "refb" -> d("0.991000000"),
+      "rawa" -> d("0.020000000"), "rawb" -> d("0.025000000"))
+    val input = MemoryStream[IncomingDoc]
+    val name = s"sclf_${System.nanoTime()}"
+    val query = StreamingCorpus.admitScored(input.toDS(), model, threshold = 0.5)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        IncomingDoc(1, "refa refb common", 1000),   // (0.993+0.991+0.5)/3 ≈ 0.828 → admit
+        IncomingDoc(2, "rawa rawb common", 2000),   // ≈ 0.182 → drop
+        IncomingDoc(3, "unseen tokens only", 3000)))// all-unknown → exactly 0.5 → admit
+      query.processAllAvailable()
+      input.addData(Seq(
+        IncomingDoc(4, "rawa rawa rawa", 4000),     // 0.02 → drop
+        IncomingDoc(5, "refa", 5000)))              // 0.993 → admit
+      query.processAllAvailable()
+      val admitted = spark.table(name).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      assert(admitted.keySet == Set(1L, 3L, 5L), s"got $admitted")
+      assert(admitted(3L) == 0.5, "all-unknown docs sit exactly on the prior")
+      assert(admitted(1L) == 0.828 && admitted(5L) == 0.993)
+    } finally query.stop()
+  }
+
   test("admitUrls passes only the first fetch of each canonical URL, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
