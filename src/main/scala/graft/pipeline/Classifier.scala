@@ -233,6 +233,18 @@ object Classifier {
     round(wsum.cast("double") / greatest(size(toks), lit(1)).cast("double"), 6)
   }
 
+  /** Deployed-path scoring over a PERSISTED model — the bench-only
+    * probe entry's body (the ann_index_probe precedent): loads the
+    * ≤ [[ModelSize]]-row artifact and scores the corpus with the
+    * map-literal expression, so the bench isolates the steady-state
+    * production scoring cost from [[score]]'s train-included
+    * end-to-end timing. */
+  def scorePrebuilt(spark: SparkSession, dir: String, modelPath: String): DataFrame = {
+    val model = loadModel(spark, modelPath)
+    docs(spark, dir).select(col("doc_id"), col("source"),
+      scoreExpr(model, col("text")).as("score"))
+  }
+
   // ------------------------------------------------------- #37c sweep
 
   /** THRESHOLD SWEEP — the keep-rate / precision / recall curve over
@@ -282,6 +294,40 @@ object Classifier {
        |  round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
        |FROM conf ORDER BY threshold""".stripMargin
   }
+
+  // ----------------------------------------------- #37c2 source report
+
+  /** PER-SOURCE classifier dashboard — [[score]] rolled up by
+    * provenance: each feed's doc count, how many clear the ½
+    * threshold, and the mean score (exact-DECIMAL sum of the rounded
+    * per-doc scores, so the mean is partitioning-stable). The
+    * dedup_rate_by_source shape on the quality axis: the go/no-go
+    * report read before onboarding a crawl or vendor drop. One
+    * ~|sources|-key aggregate over the already-scored doc frame. */
+  def classifierBySource(spark: SparkSession, dir: String): DataFrame =
+    score(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted_ref"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("score").cast("decimal(16,6)")).as("ssum"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6))
+      .withColumn("mean_score",
+        round(col("ssum").cast("double") / col("n_docs").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        col("keep_rate"), col("mean_score"))
+      .orderBy(col("source"))
+
+  val classifierBySourceSql: String =
+    s"""WITH $scoredCte
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  round(CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+       |  round(CAST(SUM(CAST(score AS DECIMAL(16,6))) AS DOUBLE) /
+       |        CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------- #37d DSIR
 

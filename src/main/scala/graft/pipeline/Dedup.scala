@@ -458,9 +458,13 @@ object Dedup {
     * new crawl or vendor drop). One doc-keyed join of two doc-grain
     * frames, then a ~|sources|-key aggregate with map-side combine —
     * deliberately an aggregation, not a source-partitioned window. */
-  def rateBySource(spark: SparkSession, dir: String): DataFrame = {
+  def rateBySource(spark: SparkSession, dir: String): DataFrame =
+    rateRollup(keeplistFrame(spark, dir), spark, dir)
+
+  /** The shared source rollup over any doc-grain verdict frame. */
+  private def rateRollup(verdicts: DataFrame, spark: SparkSession, dir: String): DataFrame = {
     val src = docs(spark, dir).select(col("doc_id"), col("source"))
-    keeplistFrame(spark, dir).join(src, Seq("doc_id"))
+    verdicts.join(src, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("reason") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dups"),
@@ -471,6 +475,24 @@ object Dedup {
           / col("n_docs").cast("double"), 6))
       .orderBy(col("source"))
   }
+
+  /** Persist [[keeplist]]'s doc-grain verdicts as a parquet artifact.
+    * At production scale the keeplist is computed ONCE per corpus
+    * snapshot and every downstream report reads the artifact — the
+    * full dedup pipeline (LSH + clustering) must not re-run per
+    * dashboard refresh (the DedupIndex / classifier-model
+    * standing-state rule). Doc-grain rows, written partitioned-free:
+    * downstream consumers join it on doc_id, so Spark's default
+    * split planning is the right layout. */
+  def writeKeeplist(spark: SparkSession, dir: String, path: String): Unit =
+    keeplistFrame(spark, dir).write.mode("overwrite").parquet(path)
+
+  /** [[rateBySource]] over a PERSISTED keeplist artifact — the
+    * production report path: one scan of the doc-grain artifact
+    * joined to provenance + the ~|sources|-key rollup; the dedup
+    * pipeline itself never re-runs. */
+  def rateBySourceFrom(spark: SparkSession, dir: String, keeplistPath: String): DataFrame =
+    rateRollup(spark.read.parquet(keeplistPath), spark, dir)
 
   lazy val rateBySourceSql: String =
     s"""WITH kl AS ($keeplistSql),

@@ -70,6 +70,19 @@ class ClassifierSpec extends SparkSpec {
     assert(mid.getAs[Double]("precision") == 1.0 && mid.getAs[Double]("recall") == 1.0)
   }
 
+  test("by-source report: keep rates split cleanly along the class boundary") {
+    val rows = Classifier.classifierBySource(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+          r.getAs[Double]("keep_rate"), r.getAs[Double]("mean_score"))).toMap
+    assert(rows.keySet == Set("src0", "src9"))
+    val (refDocs, refKeep, refRate, refMean) = rows("src0")
+    val (rawDocs, rawKeep, rawRate, rawMean) = rows("src9")
+    assert(refDocs == NRef && refKeep == NRef && refRate == 1.0)
+    assert(rawDocs == NRaw && rawKeep == 0L && rawRate == 0.0)
+    assert(refMean > 0.5 && rawMean < 0.5)
+  }
+
   test("deployed model: write → load → scoreExpr is bit-equal to the inline scorer") {
     import org.apache.spark.sql.functions._
     val modelPath = java.nio.file.Files.createTempDirectory("clfmodel").toString + "/model"

@@ -230,4 +230,16 @@ class DedupSpec extends SparkSpec {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("persisted keeplist: rateBySourceFrom over the artifact equals the inline report") {
+    val path = java.nio.file.Files.createTempDirectory("keeplist").toString + "/keeplist"
+    Dedup.writeKeeplist(spark, dir, path)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_exact_dups"),
+        r.getAs[Long]("n_near_dups"), r.getAs[Long]("n_kept"), r.getAs[Double]("dup_rate"))
+    val fromArtifact = Dedup.rateBySourceFrom(spark, dir, path).collect().map(key).toSeq
+    val inline = Dedup.rateBySource(spark, dir).collect().map(key).toSeq
+    assert(fromArtifact == inline,
+      "the artifact path must reproduce the inline report exactly")
+  }
 }
