@@ -90,8 +90,13 @@ object Classifier {
     * making a ½-centered keep threshold meaningless. With balanced
     * priors an uninformative token sits at exactly ½ and |w − ½|
     * ranks discriminativeness. One IEEE division of exact BIGINT
-    * products; ships the [[ModelSize]] most discriminative tokens.
-    * ONE distinct-token explode + token-keyed aggregate (map-side
+    * products. Overflow headroom: df·n stays inside int64 up to ~10⁹
+    * docs per class; a corpus beyond that computes the two smoothed
+    * rates as separate exact divisions and takes their double ratio —
+    * same ordering, ±1 ulp on the 9th decimal (the exact-product form
+    * exists for bit-level oracle parity, not as a scale requirement).
+    * Ships the [[ModelSize]] most discriminative tokens. ONE
+    * distinct-token explode + token-keyed aggregate (map-side
     * combine) + a broadcast 1-row class-size frame. */
   def train(spark: SparkSession, dir: String): DataFrame = {
     val sizes = docs(spark, dir)
@@ -214,9 +219,10 @@ object Classifier {
     * that fuses into whatever scan it sits on (no join, no shuffle, no
     * state) and runs identically in batch and Structured Streaming.
     * Arithmetic is bit-equal to [[score]]: per-token weights (scale-9
-    * DECIMALs) accumulate in an exact DECIMAL(38,9) fold, cast to
-    * DOUBLE once, one division, one round. A token outside the model
-    * contributes the ½ prior; an empty document scores 0. */
+    * DECIMALs) accumulate in an exact DECIMAL(30,9) fold — [[score]]'s
+    * sum type — cast to DOUBLE once, one division, one round. A token
+    * outside the model contributes the ½ prior; an empty document
+    * scores 0. */
   def scoreExpr(model: Seq[(String, java.math.BigDecimal)], text: Column): Column = {
     require(model.size <= ModelSize, s"model must be bounded by ModelSize=$ModelSize")
     val m = map(model.flatMap { case (t, w) =>
@@ -394,7 +400,11 @@ object Classifier {
     * highest (importance-weighted resampling's deterministic top-k
     * variant). The bucket model is ≤ [[DsirBuckets]] rows — broadcast
     * — so the corpus path is explode → map-side hash → broadcast join
-    * → one doc_id aggregate → TakeOrdered. */
+    * → one doc_id aggregate → TakeOrdered. The occurrence frame is
+    * deliberately RE-DERIVED for the scoring pass rather than
+    * checkpointed out of [[dsirBucketStats]]: it is occurrence-grain
+    * (wider than the corpus scan it comes from), so a second fused
+    * map-only scan is cheaper than materializing it. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val ratios = dsirBucketStats(spark, dir)
       .select(col("bucket"), col("ratio").cast("decimal(20,9)").as("r"))
