@@ -1639,4 +1639,93 @@ object Queries {
       |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS revenue_share,
       |  round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cumulative_share
       |FROM cum ORDER BY decile""".stripMargin
+
+  // --------------------------------------------------- Z-order layout
+
+  /** Buckets per dimension for [[qZorderLayout]] (2⁵ = 32). */
+  val ZorderBits = 5
+  /** Files the layout audit packs the table into. */
+  val ZorderFiles = 32
+
+  /** Z-ORDER LAYOUT AUDIT — the multi-dimensional file-clustering
+    * decision (Delta/Iceberg `OPTIMIZE ZORDER BY`, made relational):
+    * events are queried by BOTH user and time, but a file layout can
+    * only be sorted one way. This report packs the table into
+    * [[ZorderFiles]] equal files under two layouts — the as-ingested
+    * event_id order and the Morton (Z-curve) order of the
+    * (user-bucket, time-bucket) pair — and measures, per layout, how
+    * many files an equality query on each dimension must open (the
+    * min/max-pruning cost a lakehouse scan planner pays). Ingest
+    * order is perfect for time pruning and catastrophic for user
+    * pruning (every file contains every user bucket); the Z-curve
+    * bounds the WORST dimension — the whole point of interleaving.
+    *
+    * Everything is integer-exact: bit-interleaved Morton keys, file
+    * assignment by exact global rank via [[graft.functions.
+    * DistributedRanks]] (range-partitioned — no single-task sort),
+    * pruning cost as COUNT(DISTINCT file·64 + bucket). At 100 TB the
+    * layout itself is `repartitionByRange(zkey)` before the write —
+    * this operator is the audit that justifies it, at the same plan
+    * shape: two ranked passes + one two-key aggregate. */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val b = 1 << ZorderBits
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("time_us"))
+    val bounds = ev.agg(min(col("time_us")).as("t0"), max(col("time_us")).as("t1"))
+    val bucketed = ev.crossJoin(broadcast(bounds))
+      .withColumn("ub", col("user_id") % b)
+      .withColumn("tb", expr(s"((time_us - t0) * $b) div (t1 - t0 + 1)"))
+      .withColumn("zkey", (0 until ZorderBits).map(i =>
+        shiftleft(shiftright(col("ub"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("tb"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .reduce(_ + _))
+    def layout(name: String, sort: Seq[Column]): DataFrame =
+      graft.functions.DistributedRanks.withGroupRanks(
+          bucketed.withColumn("__g", lit(1)), "__g", sort)
+        .select(lit(name).as("layout"),
+          expr(s"(rn - 1) * $ZorderFiles div n").as("file"),
+          col("ub"), col("tb"))
+    layout("id_order", Seq(col("event_id")))
+      .unionAll(layout("z_order", Seq(col("zkey"), col("event_id"))))
+      .groupBy(col("layout"))
+      .agg(countDistinct(col("file")).as("n_files"),
+        countDistinct(col("file") * 64 + col("ub")).as("fu"),
+        countDistinct(col("file") * 64 + col("tb")).as("ft"))
+      .select(col("layout"), col("n_files"),
+        round(col("fu").cast("double") / b, 6).as("avg_files_user"),
+        round(col("ft").cast("double") / b, 6).as("avg_files_time"),
+        round(greatest(col("fu"), col("ft")).cast("double") / b, 6)
+          .as("worst_dim_files"))
+      .orderBy(col("layout"))
+  }
+
+  val qZorderLayoutSql: String = {
+    val b = 1 << ZorderBits
+    val zSql = (0 until ZorderBits).map(i =>
+      s"((ub >> $i) & 1) * ${1L << (2 * i)} + ((tb >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS time_us FROM events),
+       |b AS (SELECT MIN(time_us) AS t0, MAX(time_us) AS t1 FROM ev),
+       |bk AS (
+       |  SELECT event_id, user_id % $b AS ub,
+       |    ((time_us - t0) * $b) // (t1 - t0 + 1) AS tb
+       |  FROM ev CROSS JOIN b),
+       |z AS (SELECT event_id, ub, tb, $zSql AS zkey FROM bk),
+       |r AS (SELECT ub, tb,
+       |    ROW_NUMBER() OVER (ORDER BY event_id) AS rn_id,
+       |    ROW_NUMBER() OVER (ORDER BY zkey, event_id) AS rn_z,
+       |    COUNT(*) OVER () AS n
+       |  FROM z),
+       |f AS (
+       |  SELECT 'id_order' AS layout, (rn_id - 1) * $ZorderFiles // n AS file, ub, tb FROM r
+       |  UNION ALL
+       |  SELECT 'z_order' AS layout, (rn_z - 1) * $ZorderFiles // n AS file, ub, tb FROM r)
+       |SELECT layout,
+       |  CAST(COUNT(DISTINCT file) AS BIGINT) AS n_files,
+       |  round(CAST(COUNT(DISTINCT file * 64 + ub) AS DOUBLE) / $b.0, 6) AS avg_files_user,
+       |  round(CAST(COUNT(DISTINCT file * 64 + tb) AS DOUBLE) / $b.0, 6) AS avg_files_time,
+       |  round(CAST(greatest(COUNT(DISTINCT file * 64 + ub),
+       |                      COUNT(DISTINCT file * 64 + tb)) AS DOUBLE) / $b.0, 6) AS worst_dim_files
+       |FROM f GROUP BY layout ORDER BY layout""".stripMargin
+  }
 }

@@ -92,4 +92,22 @@ class QueriesSpec extends SparkSpec {
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(rows.map(r => (r._1, r._2) -> r._3).toMap == expected)
   }
+
+  test("z-order layout bounds the worst pruning dimension; ingest order does not") {
+    val rows = Queries.qZorderLayout(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Double]("avg_files_user"),
+          r.getAs[Double]("avg_files_time"), r.getAs[Double]("worst_dim_files"))).toMap
+    assert(rows.keySet == Set("id_order", "z_order"))
+    val (idFiles, idU, idT, idWorst) = rows("id_order")
+    val (zFiles, zU, zT, zWorst) = rows("z_order")
+    assert(idFiles == Queries.ZorderFiles && zFiles == Queries.ZorderFiles)
+    // ingest order is lopsided: great on the dimension it happens to
+    // correlate with (time), poor on the other
+    assert(idWorst > idT * 2, s"ingest order should be lopsided: $rows")
+    // the Z-curve must at least halve the worst dimension, and stay
+    // bounded on BOTH dims (neither dim degrades to a full scan)
+    assert(zWorst <= idWorst / 2, s"z-order worst dim $zWorst vs ingest $idWorst")
+    assert(zU < Queries.ZorderFiles && zT < Queries.ZorderFiles)
+  }
 }
