@@ -157,20 +157,28 @@ object Classifier {
 
   /** SCORE — every document's reference-likeness: the exact-DECIMAL
     * mean of its token occurrences' model weights (tokens outside the
-    * model contribute the uninformative prior ½). The model side is
+    * model contribute the uninformative prior ½; a ZERO-token document
+    * keeps its row and scores 0, exactly as the deployed [[scoreExpr]]
+    * does — the doc-meta left join below is what preserves it, since
+    * an explode emits nothing for an empty array). The model side is
     * [[ModelSize]]-bounded, hence broadcast; the only corpus shuffle
     * is the doc_id aggregate. */
   def score(spark: SparkSession, dir: String): DataFrame = {
     val model = train(spark, dir)
       .select(col("token"), col("weight").cast("decimal(20,9)").as("w"))
-    occurrences(spark, dir)
+    val perDoc = occurrences(spark, dir)
       .join(broadcast(model), Seq("token"), "left")
-      .groupBy(col("doc_id"), col("source"), col("is_ref"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n_known"),
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tok_cnt"),
+        sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("known_cnt"),
         sum(coalesce(col("w"), lit("0.5").cast("decimal(20,9)"))).as("wsum"))
+    docs(spark, dir).select(col("doc_id"), col("source"), isRef.as("is_ref"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("tok_cnt"), lit(0L)))
+      .withColumn("n_known", coalesce(col("known_cnt"), lit(0L)))
       .withColumn("score",
-        round(col("wsum").cast("double") / col("n_tokens").cast("double"), 6))
+        coalesce(round(col("wsum").cast("double") / col("tok_cnt").cast("double"), 6),
+          lit(0.0)))
       .select(col("doc_id"), col("source"), col("is_ref"), col("n_tokens"),
         col("n_known"), col("score"), (col("score") >= 0.5).as("predicted_ref"))
       .orderBy(col("doc_id"))
@@ -179,15 +187,21 @@ object Classifier {
   private val scoredCte: String =
     s"""$modelCte,
        |$occurrencesSql,
-       |scored AS (
-       |  SELECT doc_id, source, is_ref,
-       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |    CAST(SUM(CASE WHEN m.weight IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS tok_cnt,
+       |    CAST(SUM(CASE WHEN m.weight IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS known_cnt,
        |    round(CAST(SUM(COALESCE(CAST(m.weight AS DECIMAL(20,9)),
        |                            CAST(0.5 AS DECIMAL(20,9)))) AS DOUBLE) /
-       |          CAST(COUNT(*) AS DOUBLE), 6) AS score
+       |          CAST(COUNT(*) AS DOUBLE), 6) AS doc_score
        |  FROM occ LEFT JOIN model m USING (token)
-       |  GROUP BY doc_id, source, is_ref)""".stripMargin
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, $isRefSql AS is_ref,
+       |    COALESCE(p.tok_cnt, 0) AS n_tokens,
+       |    COALESCE(p.known_cnt, 0) AS n_known,
+       |    COALESCE(p.doc_score, 0.0) AS score
+       |  FROM documents d LEFT JOIN per_doc p USING (doc_id))""".stripMargin
 
   val scoreSql: String =
     s"""WITH $scoredCte

@@ -455,29 +455,46 @@ object Multimodal {
   /** PER-VIDEO duplication rollup — the CURATION-DECISION grain over
     * [[frameDedup]]'s pair relation (the dedup_span_coverage shape at
     * frame grain): per video, how many frames were sampled, how many
-    * of them appear in at least one CROSS-video duplicate pair, and
-    * the duplicated fraction. A video with dup_fraction near 1.0 is a
-    * re-upload / embedded clip; near 0 is novel footage. Intra-video
+    * of them appear in at least one CROSS-video duplicate pair, how
+    * many carried a CAPPED hash (excluded from pairing by the
+    * [[MaxHashDf]] rule), and the duplicated fraction. Intra-video
     * pairs (static scenes) are excluded — they say "still camera",
     * not "duplicate content".
     *
+    * READ dup_fraction TOGETHER WITH capped_frames: a video whose
+    * frames all hash into capped (corpus-hot) values — a black or
+    * fully static re-upload — emits NO pairs by construction, so its
+    * dup_fraction is 0 while its content is maximally common. The
+    * capped_frames column is the per-video face of the mm_hash_caps
+    * sidecar: dup_fraction near 1 means re-upload, near 0 WITH
+    * capped_frames near 0 means novel footage, and near 0 with high
+    * capped_frames means "indeterminate — content too common to
+    * pair", which must route to the hash-grain report, never be read
+    * as novelty.
+    *
     * Each video is decoded ONCE: the frame-hash relation is
-    * checkpointed and feeds both the pair generation and the per-video
-    * frame counts (at lakehouse scale the hash relation is a persisted
-    * artifact, exactly like dedup_keeplist's digest relation). The
-    * rollup itself is two doc_id-keyed aggregates + one left join —
-    * nothing beyond the pair stage's existing shuffles. */
+    * checkpointed and feeds the pair generation, the per-video frame
+    * counts AND the capped-frame counts (at lakehouse scale the hash
+    * relation is a persisted artifact, exactly like dedup_keeplist's
+    * digest relation). The rollup is three doc_id/hash-keyed
+    * aggregates + two left joins — nothing beyond the pair stage's
+    * existing shuffles. */
   def frameRollup(spark: SparkSession, video: Dataset[VideoRow]): DataFrame = {
     val fh = frameHashes(spark, video).toDF().localCheckpoint()
+    val (_, hot) = capHotHashes(fh, "fhash")
     val cross = frameDedupFromHashes(fh).filter(!col("same_video"))
     val dupFrames = cross
       .select(col("doc_id_1").as("doc_id"), col("frame_1").as("frame_no"))
       .unionAll(cross.select(col("doc_id_2").as("doc_id"), col("frame_2").as("frame_no")))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_frames"))
+    val cappedFrames = fh.join(hot.select(col("fhash")), Seq("fhash"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("capped_frames"))
     fh.groupBy(col("doc_id")).agg(count(lit(1)).as("sampled_frames"))
       .join(dupFrames, Seq("doc_id"), "left")
+      .join(cappedFrames, Seq("doc_id"), "left")
       .withColumn("dup_frames", coalesce(col("dup_frames"), lit(0L)))
+      .withColumn("capped_frames", coalesce(col("capped_frames"), lit(0L)))
       .withColumn("dup_fraction", round(
         col("dup_frames").cast("double") / col("sampled_frames").cast("double"), 6))
       .orderBy(col("doc_id"))

@@ -1064,7 +1064,8 @@ object TextAnalysis {
   private def linedDocs(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("words", filter(split(col("text"), " "), w => length(w) > 0))
-      .withColumn("nl", greatest(ceil(size(col("words")) / lit(8.0)).cast("int"), lit(1)))
+      .withColumn("nl",
+        greatest(ceil(size(col("words")) / lit(LineWords.toDouble)).cast("int"), lit(1)))
       .withColumn("lines0", expr(
         s"transform(sequence(0, nl - 1), i -> array_join(slice(words, i * $LineWords + 1, $LineWords), ' '))"))
       .withColumn("lines", concat(col("lines0"),
@@ -1124,7 +1125,7 @@ object TextAnalysis {
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS words
        |  FROM documents),
        |nl AS (
-       |  SELECT doc_id, words, greatest(CAST(ceil(len(words) / 8.0) AS INT), 1) AS n FROM w),
+       |  SELECT doc_id, words, greatest(CAST(ceil(len(words) / $LineWords.0) AS INT), 1) AS n FROM w),
        |built AS (
        |  SELECT doc_id,
        |    list_concat(

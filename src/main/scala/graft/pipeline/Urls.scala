@@ -130,11 +130,14 @@ object Urls {
       filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
         p => length(p) > 0 && substring(p, 1, 4) =!= "utm_"),
       "&")
-    // unparseable input (no scheme://authority — relative links, junk
-    // frontier entries) falls back to the trimmed original: exact
-    // duplicates still collapse, nothing is silently rewritten
-    when(scheme === "", trim(url)).otherwise(
-      concat(scheme, lit("://"), hostOf(url), keptPort, path,
+    // unparseable input (no scheme, OR a scheme with an empty/absent
+    // authority — relative links, 'https:///x', junk frontier entries)
+    // falls back to the trimmed original: exact duplicates still
+    // collapse, nothing is silently rewritten, and distinct junk is
+    // never merged into one bare 'scheme://' key
+    val host = hostOf(url)
+    when(scheme === "" || host === "", trim(url)).otherwise(
+      concat(scheme, lit("://"), host, keptPort, path,
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
@@ -156,7 +159,7 @@ object Urls {
       |  FROM parts),
       |curl AS (
       |  SELECT doc_id, text, host,
-      |    CASE WHEN scheme = '' THEN trim(url) ELSE
+      |    CASE WHEN scheme = '' OR host = '' THEN trim(url) ELSE
       |    scheme || '://' || host ||
       |    (CASE WHEN port = '' THEN ''
       |         WHEN scheme = 'https' AND port = '443' THEN ''
@@ -307,18 +310,30 @@ object Urls {
     * DistributedRanks: its offsets broadcast is (groups × partitions)
     * rows — bounded metadata for few-valued keys (source, label),
     * corpus-sized for crawl domains. */
-  def urlDomainCap(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-stage per-domain top-K prune shared by [[urlDomainCap]]
+    * and [[webFunnel]] — ONE copy so the skew posture can't silently
+    * diverge between the standalone operator and the funnel stage:
+    * rank within (domain, input-partition) and prune to ≤ K per slice
+    * (bounded tasks — a viral domain contributes K rows per slice,
+    * never its whole corpus), then rank the ≤ K·P survivors per
+    * domain. Keeps every input column, adds `domain_rank`. */
+  private def domainCapped(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parsed = parsedUrls(withUrl(docs(spark, dir)))
-      .select(col("doc_id"), col("domain"))
-    val counts = parsed.groupBy(col("domain")).agg(count(lit(1)).as("domain_docs"))
     val wLocal = Window.partitionBy(col("domain"), col("pid")).orderBy(col("doc_id"))
     val wDomain = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
-    parsed.withColumn("pid", spark_partition_id())
+    d.withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(wLocal))
       .filter(col("lrn") <= DomainCapK)
       .withColumn("domain_rank", row_number().over(wDomain))
       .filter(col("domain_rank") <= DomainCapK)
+      .drop("pid", "lrn")
+  }
+
+  def urlDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = parsedUrls(withUrl(docs(spark, dir)))
+      .select(col("doc_id"), col("domain"))
+    val counts = parsed.groupBy(col("domain")).agg(count(lit(1)).as("domain_docs"))
+    domainCapped(parsed)
       .join(counts, Seq("domain"))
       .select(col("doc_id"), col("domain"),
         col("domain_rank").cast("long").as("domain_rank"), col("domain_docs"))
@@ -367,17 +382,16 @@ object Urls {
     * stages run once. */
   def webFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    // checkpointed: this widest map-side pass (URL parse + tokenize)
+    // feeds the stage-1 count, the blocklist survivors' count AND the
+    // cap stage — without the checkpoint it would re-run three times
     val parsed = parsedUrls(withUrl(docs(spark, dir)))
       .withColumn("n_toks",
         size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("long"))
       .select(col("doc_id"), col("domain"), col("n_toks"))
+      .localCheckpoint()
     val s1 = parsed.join(broadcast(BlockedDomains.toDF("domain")), Seq("domain"), "left_anti")
-    val wLocal = Window.partitionBy(col("domain"), col("pid")).orderBy(col("doc_id"))
-    val wDomain = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
-    val s2 = s1.withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(wLocal)).filter(col("lrn") <= DomainCapK)
-      .withColumn("drn", row_number().over(wDomain)).filter(col("drn") <= DomainCapK)
+    val s2 = domainCapped(s1)
       .select(col("doc_id"), col("domain"), col("n_toks"))
       .localCheckpoint()
     val s3 = s2.join(

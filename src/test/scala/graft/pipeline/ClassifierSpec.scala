@@ -17,12 +17,14 @@ class ClassifierSpec extends SparkSpec {
   // shared token that must train to the uninformative midpoint.
   private val NRef = 40
   private val NRaw = 160
+  private val NEmpty = 2 // zero-token docs must keep their rows (score 0)
   private lazy val dir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("clfspec").toString
     import spark.implicits._
     val docs =
       (0L until NRef.toLong).map(i => (i, "refa refb common", "src0")) ++
-        (1000L until (1000L + NRaw)).map(i => (i, "rawa rawb common", "src9"))
+        (1000L until (1000L + NRaw)).map(i => (i, "rawa rawb common", "src9")) ++
+        Seq((2000L, "", "src9"), (2001L, "   ", "src9"))
     docs.toDF("doc_id", "text", "source").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     tmp
@@ -44,11 +46,14 @@ class ClassifierSpec extends SparkSpec {
 
   test("score: classes separate across the ½ threshold; predictions match provenance") {
     val rows = Classifier.score(spark, dir).collect()
-    assert(rows.length == NRef + NRaw)
+    assert(rows.length == NRef + NRaw + NEmpty,
+      "zero-token docs must keep their rows — an explode drops them, the doc-meta join must not")
     rows.foreach { r =>
       val isRef = r.getAs[Boolean]("is_ref")
       val score = r.getAs[Double]("score")
-      assert(if (isRef) score > 0.5 else score < 0.5,
+      if (r.getAs[Long]("n_tokens") == 0L)
+        assert(score == 0.0, s"empty doc must score 0, got $score")
+      else assert(if (isRef) score > 0.5 else score < 0.5,
         s"doc ${r.getAs[Long]("doc_id")} (is_ref=$isRef) scored $score")
       assert(r.getAs[Boolean]("predicted_ref") == isRef)
       assert(r.getAs[Long]("n_known") == r.getAs[Long]("n_tokens"),
@@ -61,10 +66,10 @@ class ClassifierSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("threshold")).toSeq == Classifier.ScoreSweep)
     rows.foreach { r =>
       val total = Seq("tp", "fp", "fn", "tn").map(r.getAs[Long]).sum
-      assert(total == NRef + NRaw, s"confusion must partition the corpus: $r")
+      assert(total == NRef + NRaw + NEmpty, s"confusion must partition the corpus: $r")
     }
     val mid = rows.find(_.getAs[Double]("threshold") == 0.5).get
-    assert(mid.getAs[Long]("tp") == NRef && mid.getAs[Long]("tn") == NRaw &&
+    assert(mid.getAs[Long]("tp") == NRef && mid.getAs[Long]("tn") == NRaw + NEmpty &&
       mid.getAs[Long]("fp") == 0L && mid.getAs[Long]("fn") == 0L,
       s"perfectly separable corpus must score a perfect midpoint confusion: $mid")
     assert(mid.getAs[Double]("precision") == 1.0 && mid.getAs[Double]("recall") == 1.0)
@@ -79,7 +84,7 @@ class ClassifierSpec extends SparkSpec {
     val (refDocs, refKeep, refRate, refMean) = rows("src0")
     val (rawDocs, rawKeep, rawRate, rawMean) = rows("src9")
     assert(refDocs == NRef && refKeep == NRef && refRate == 1.0)
-    assert(rawDocs == NRaw && rawKeep == 0L && rawRate == 0.0)
+    assert(rawDocs == NRaw + NEmpty && rawKeep == 0L && rawRate == 0.0)
     assert(refMean > 0.5 && rawMean < 0.5)
   }
 

@@ -144,6 +144,37 @@ class FrameDedupSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("rollup flags cap-suppressed videos: static re-uploads show capped_frames, not novelty") {
+    import spark.implicits._
+    // two re-uploads of a fully static clip: every sampled frame (30
+    // per clip) carries ONE hash with corpus df = 60 > MaxHashDf, so
+    // the pair stage emits nothing — dup_fraction is 0 BY CONSTRUCTION
+    // and only capped_frames tells the truth. A third, ordinary clip
+    // must show zero capped frames.
+    val static = Seq.fill(90)(7)
+    val vids = Seq(
+      clip(1L, 16, 16, static), clip(2L, 16, 16, static),
+      // structurally unrelated pattern so its aHash cannot collide
+      // with the gradient family (gradient aHashes are shift-invariant
+      // until pixels wrap)
+      Multimodal.VideoRow(3L, MediaCodecs.encodeY4m(16, 16,
+        Seq.fill(3)((x: Int, y: Int) => ((x ^ y) * 37) % 256)), "y4m"))
+    val got = Multimodal.frameRollup(spark, spark.createDataset(vids)).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("sampled_frames"),
+        r.getAs[Long]("dup_frames"), r.getAs[Long]("capped_frames"),
+        r.getAs[Double]("dup_fraction")))).toMap
+    assert(got(1L) == ((30L, 0L, 30L, 0.0)), s"got $got")
+    assert(got(2L) == ((30L, 0L, 30L, 0.0)))
+    // the ordinary clip: no capped hashes — a 0 dup_fraction here IS novelty
+    assert(got(3L)._3 == 0L)
+    // and the cross-video pair output itself stayed bounded (the
+    // df-cap's point: 60 shared-hash frames would otherwise emit
+    // ~900 cross pairs)
+    assert(Multimodal.frameDedupFromHashes(
+      Multimodal.frameHashes(spark, spark.createDataset(vids)).toDF())
+      .filter(!org.apache.spark.sql.functions.col("same_video")).count() == 0L)
+  }
+
   test("pipeline: runs over the corpus, threshold respected, mp4 docs silent") {
     val out = Multimodal.frameDedupPipeline(spark, "/root/testdata/sf0.001").collect()
     assert(out.forall(_.getAs[Int]("hamming") <= Multimodal.ImageHammingMax))

@@ -31,7 +31,11 @@ class UrlsSpec extends SparkSpec {
       "https://example.com/a?id=7#frag",   // fragment drop
       "https://example.com/a#frag",        // fragment drop, no query
       "  /relative/link  ",                // unparseable → trimmed as-is
-      "not a url at all"                   // unparseable → unchanged
+      "not a url at all",                  // unparseable → unchanged
+      "https:///a",                        // scheme but EMPTY authority → as-is
+      "https:///b",                        // ...must NOT collapse with /a
+      "https://?q=1",                      // empty authority, query only
+      "HTTPS://:8080/x"                    // port-only authority → as-is
     ) == Seq(
       "https://example.com/a",
       "https://example.com/a",
@@ -46,7 +50,11 @@ class UrlsSpec extends SparkSpec {
       "https://example.com/a?id=7",
       "https://example.com/a",
       "/relative/link",
-      "not a url at all"))
+      "not a url at all",
+      "https:///a",
+      "https:///b",
+      "https://?q=1",
+      "HTTPS://:8080/x"))
   }
 
   test("url stats: registrable domains, shares sum to 1, host counts") {
