@@ -349,6 +349,88 @@ object Classifier {
        |        CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- #37c3 model drift
+
+  /** Tokens the drift report shows (largest weight shift first). */
+  val DriftTop = 50
+
+  /** MODEL DRIFT — when to retrain the persisted classifier (the
+    * [[graft.pipeline.Similarity]] cell-occupancy question asked of
+    * THIS standing artifact): train the same balanced-prior posterior
+    * independently on the EARLY and LATE halves of the corpus
+    * (doc_id order standing in for ingest time) and report the
+    * [[DriftTop]] tokens whose weights moved most. A stable corpus
+    * shows shifts near 0 and the persisted model stands; a drifting
+    * crawl shows reference-vocabulary churn and the model retrains
+    * BEFORE its keep decisions rot. Tokens absent from a half score
+    * that half's uninformative ½ (they carry no evidence there —
+    * which is itself the strongest drift signal a token can emit).
+    *
+    * Same plan as [[train]] twice over disjoint halves: the halves
+    * come from one scan (a boundary literal from a broadcast 1-row
+    * count), each train is one token-keyed aggregate, and the final
+    * join is token-keyed over two vocab-sized frames. */
+  def classifierDrift(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val halves = docs(spark, dir).crossJoin(broadcast(n))
+      .withColumn("is_late", col("doc_id") * 2 >= col("n_docs"))
+    def halfWeights(late: Boolean, wname: String): DataFrame = {
+      val h = halves.filter(col("is_late") === late)
+      val sizes = h.agg(sum(when(isRef, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(isRef, 0L).otherwise(1L)).as("n_raw"))
+      h.select(col("doc_id"), isRef.as("is_ref"),
+          explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("df_ref"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("df_raw"))
+        .crossJoin(broadcast(sizes))
+        .select(col("token"),
+          round(((col("df_ref") + 1) * (col("n_raw") + 2)).cast("double") /
+            ((col("df_ref") + 1) * (col("n_raw") + 2) +
+              (col("df_raw") + 1) * (col("n_ref") + 2)).cast("double"), 9).as(wname))
+    }
+    halfWeights(late = false, "w_early")
+      .join(halfWeights(late = true, "w_late"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("w_early"), lit(0.5)).as("w_early"),
+        coalesce(col("w_late"), lit(0.5)).as("w_late"))
+      .withColumn("shift", round(col("w_late") - col("w_early"), 9))
+      .orderBy(abs(col("shift")).desc, col("token"))
+      .limit(DriftTop)
+  }
+
+  val classifierDriftSql: String = {
+    def halfCte(pred: String, wname: String): String =
+      s"""(SELECT token,
+         |    round(CAST((df_ref + 1) * (n_raw + 2) AS DOUBLE) /
+         |          CAST((df_ref + 1) * (n_raw + 2) + (df_raw + 1) * (n_ref + 2) AS DOUBLE), 9) AS $wname
+         |  FROM (
+         |    SELECT token,
+         |      CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS df_ref,
+         |      CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS df_raw
+         |    FROM (
+         |      SELECT doc_id, is_ref, unnest(list_distinct(toks)) AS token
+         |      FROM halves WHERE $pred)
+         |    GROUP BY token) CROSS JOIN
+         |    (SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |            CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_raw
+         |     FROM halves WHERE $pred))""".stripMargin
+    s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |halves AS (
+       |  SELECT doc_id, $isRefSql AS is_ref, $tokensSql AS toks,
+       |    (doc_id * 2 >= n_docs) AS is_late
+       |  FROM documents CROSS JOIN n),
+       |e AS ${halfCte("NOT is_late", "w_early")},
+       |l AS ${halfCte("is_late", "w_late")}
+       |SELECT token,
+       |  COALESCE(w_early, 0.5) AS w_early,
+       |  COALESCE(w_late, 0.5) AS w_late,
+       |  round(COALESCE(w_late, 0.5) - COALESCE(w_early, 0.5), 9) AS shift
+       |FROM e FULL OUTER JOIN l USING (token)
+       |ORDER BY abs(round(COALESCE(w_late, 0.5) - COALESCE(w_early, 0.5), 9)) DESC, token
+       |LIMIT $DriftTop""".stripMargin
+  }
+
   // ------------------------------------------------------- #37d DSIR
 
   /** Per-bucket DSIR statistics: hashed-token target/raw occurrence

@@ -103,6 +103,30 @@ class ClassifierSpec extends SparkSpec {
       "the map-literal scorer must reproduce the broadcast-join scorer exactly")
   }
 
+  test("drift: reference-vocabulary churn between halves surfaces at the top, stable tokens near 0") {
+    import spark.implicits._
+    // early half (doc_id < 100): reference vocabulary 'oldref';
+    // late half: the reference slice switched to 'newref' — the churn
+    // a retrain trigger must surface. 'common'/'rawx' are stable.
+    val tmp = java.nio.file.Files.createTempDirectory("clfdrift").toString
+    val rows =
+      (0L until 50L).map(i => (i, "oldref common", "src0")) ++
+        (50L until 100L).map(i => (i, "rawx common", "src9")) ++
+        (100L until 150L).map(i => (i, "newref common", "src0")) ++
+        (150L until 200L).map(i => (i, "rawx common", "src9"))
+    rows.toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val drift = Classifier.classifierDrift(spark, tmp).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Double]("shift"))
+    assert(drift.take(2).map(_._1).toSet == Set("oldref", "newref"),
+      s"the churned reference vocabulary must lead the report: ${drift.toSeq}")
+    val byToken = drift.toMap
+    assert(byToken("oldref") < -0.4 && byToken("newref") > 0.4,
+      s"old vocab falls to the absent-half prior, new vocab rises from it: $byToken")
+    assert(math.abs(byToken("common")) < 0.05 && math.abs(byToken("rawx")) < 0.05,
+      s"stable vocabulary must sit near zero shift: $byToken")
+  }
+
   test("dsir: selection recovers every reference doc, target-tilted buckets rank high") {
     val sel = Classifier.dsirSelect(spark, dir).collect()
     assert(sel.length == Classifier.DsirBudget)
