@@ -75,6 +75,21 @@ object Classifier {
   /** Buckets the DSIR model report shows (most informative first). */
   val DsirModelTop = 50
 
+  /** THE balanced-prior posterior, the one place it is written:
+    *   w = (df_ref+1)(n_raw+2) / [(df_ref+1)(n_raw+2) + (df_raw+1)(n_ref+2)]
+    * ([[train]]'s scaladoc derives it). Every consumer — the model,
+    * the drift report, their SQL twins — calls these two renderings,
+    * so a smoothing change lands everywhere or nowhere. */
+  private def weightExpr(dfRef: Column, dfRaw: Column,
+      nRef: Column, nRaw: Column): Column =
+    round(((dfRef + 1) * (nRaw + 2)).cast("double") /
+      ((dfRef + 1) * (nRaw + 2) + (dfRaw + 1) * (nRef + 2)).cast("double"), 9)
+
+  private def weightSql(dfRef: String, dfRaw: String,
+      nRef: String, nRaw: String): String =
+    s"round(CAST(($dfRef + 1) * ($nRaw + 2) AS DOUBLE) / " +
+      s"CAST(($dfRef + 1) * ($nRaw + 2) + ($dfRaw + 1) * ($nRef + 2) AS DOUBLE), 9)"
+
   // ------------------------------------------------------- #37a train
 
   /** TRAIN — per-token BALANCED-PRIOR Bernoulli class posterior from
@@ -110,9 +125,7 @@ object Classifier {
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("df_raw"))
       .crossJoin(broadcast(sizes))
       .withColumn("weight",
-        round(((col("df_ref") + 1) * (col("n_raw") + 2)).cast("double") /
-          ((col("df_ref") + 1) * (col("n_raw") + 2) +
-            (col("df_raw") + 1) * (col("n_ref") + 2)).cast("double"), 9))
+        weightExpr(col("df_ref"), col("df_raw"), col("n_ref"), col("n_raw")))
       .orderBy(abs(col("weight") - 0.5).desc, col("token"))
       .limit(ModelSize)
       .select(col("token"), col("df_ref"), col("df_raw"), col("weight"))
@@ -125,8 +138,7 @@ object Classifier {
        |  FROM documents),
        |model AS (
        |  SELECT token, df_ref, df_raw,
-       |    round(CAST((df_ref + 1) * (n_raw + 2) AS DOUBLE) /
-       |          CAST((df_ref + 1) * (n_raw + 2) + (df_raw + 1) * (n_ref + 2) AS DOUBLE), 9) AS weight
+       |    ${weightSql("df_ref", "df_raw", "n_ref", "n_raw")} AS weight
        |  FROM (
        |    SELECT token,
        |      CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS df_ref,
@@ -362,74 +374,79 @@ object Classifier {
     * [[DriftTop]] tokens whose weights moved most. A stable corpus
     * shows shifts near 0 and the persisted model stands; a drifting
     * crawl shows reference-vocabulary churn and the model retrains
-    * BEFORE its keep decisions rot. Tokens absent from a half score
-    * that half's uninformative ½ (they carry no evidence there —
-    * which is itself the strongest drift signal a token can emit).
+    * BEFORE its keep decisions rot. A token absent from a half scores
+    * that half's OWN ZERO-COUNT posterior (the weight formula with
+    * df = 0) — NOT a hard-coded ½, which under class imbalance sits
+    * far from the estimator's no-evidence value and would let mere
+    * hapax sampling noise manufacture shifts that outrank genuine
+    * churn. Absence and presence are measured on one scale.
     *
-    * Same plan as [[train]] twice over disjoint halves: the halves
-    * come from one scan (a boundary literal from a broadcast 1-row
-    * count), each train is one token-keyed aggregate, and the final
-    * join is token-keyed over two vocab-sized frames. */
+    * One scan, ONE token-keyed aggregate: both halves' df counts are
+    * conditional sums in the same groupBy (a token missing from a
+    * half simply counts 0 there, which is exactly what the
+    * zero-count posterior needs), the four class sizes are one
+    * broadcast 1-row frame — no second aggregate, no full-outer
+    * join. */
   def classifierDrift(spark: SparkSession, dir: String): DataFrame = {
     val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val halves = docs(spark, dir).crossJoin(broadcast(n))
       .withColumn("is_late", col("doc_id") * 2 >= col("n_docs"))
-    def halfWeights(late: Boolean, wname: String): DataFrame = {
-      val h = halves.filter(col("is_late") === late)
-      val sizes = h.agg(sum(when(isRef, 1L).otherwise(0L)).as("n_ref"),
-        sum(when(isRef, 0L).otherwise(1L)).as("n_raw"))
-      h.select(col("doc_id"), isRef.as("is_ref"),
-          explode(array_distinct(tokens(col("text")))).as("token"))
-        .groupBy(col("token"))
-        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("df_ref"),
-          sum(when(col("is_ref"), 0L).otherwise(1L)).as("df_raw"))
-        .crossJoin(broadcast(sizes))
-        .select(col("token"),
-          round(((col("df_ref") + 1) * (col("n_raw") + 2)).cast("double") /
-            ((col("df_ref") + 1) * (col("n_raw") + 2) +
-              (col("df_raw") + 1) * (col("n_ref") + 2)).cast("double"), 9).as(wname))
-    }
-    halfWeights(late = false, "w_early")
-      .join(halfWeights(late = true, "w_late"), Seq("token"), "full_outer")
-      .select(col("token"),
-        coalesce(col("w_early"), lit(0.5)).as("w_early"),
-        coalesce(col("w_late"), lit(0.5)).as("w_late"))
+    val sizes = halves.agg(
+      sum(when(!col("is_late") && isRef, 1L).otherwise(0L)).as("ne_ref"),
+      sum(when(!col("is_late") && !isRef, 1L).otherwise(0L)).as("ne_raw"),
+      sum(when(col("is_late") && isRef, 1L).otherwise(0L)).as("nl_ref"),
+      sum(when(col("is_late") && !isRef, 1L).otherwise(0L)).as("nl_raw"))
+    halves
+      .select(col("is_late"), isRef.as("is_ref"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        sum(when(!col("is_late") && col("is_ref"), 1L).otherwise(0L)).as("de_ref"),
+        sum(when(!col("is_late") && !col("is_ref"), 1L).otherwise(0L)).as("de_raw"),
+        sum(when(col("is_late") && col("is_ref"), 1L).otherwise(0L)).as("dl_ref"),
+        sum(when(col("is_late") && !col("is_ref"), 1L).otherwise(0L)).as("dl_raw"))
+      .crossJoin(broadcast(sizes))
+      .withColumn("w_early",
+        weightExpr(col("de_ref"), col("de_raw"), col("ne_ref"), col("ne_raw")))
+      .withColumn("w_late",
+        weightExpr(col("dl_ref"), col("dl_raw"), col("nl_ref"), col("nl_raw")))
       .withColumn("shift", round(col("w_late") - col("w_early"), 9))
+      .select(col("token"), col("w_early"), col("w_late"), col("shift"))
       .orderBy(abs(col("shift")).desc, col("token"))
       .limit(DriftTop)
   }
 
-  val classifierDriftSql: String = {
-    def halfCte(pred: String, wname: String): String =
-      s"""(SELECT token,
-         |    round(CAST((df_ref + 1) * (n_raw + 2) AS DOUBLE) /
-         |          CAST((df_ref + 1) * (n_raw + 2) + (df_raw + 1) * (n_ref + 2) AS DOUBLE), 9) AS $wname
-         |  FROM (
-         |    SELECT token,
-         |      CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS df_ref,
-         |      CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS df_raw
-         |    FROM (
-         |      SELECT doc_id, is_ref, unnest(list_distinct(toks)) AS token
-         |      FROM halves WHERE $pred)
-         |    GROUP BY token) CROSS JOIN
-         |    (SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-         |            CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_raw
-         |     FROM halves WHERE $pred))""".stripMargin
+  val classifierDriftSql: String =
     s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |halves AS (
        |  SELECT doc_id, $isRefSql AS is_ref, $tokensSql AS toks,
        |    (doc_id * 2 >= n_docs) AS is_late
        |  FROM documents CROSS JOIN n),
-       |e AS ${halfCte("NOT is_late", "w_early")},
-       |l AS ${halfCte("is_late", "w_late")}
-       |SELECT token,
-       |  COALESCE(w_early, 0.5) AS w_early,
-       |  COALESCE(w_late, 0.5) AS w_late,
-       |  round(COALESCE(w_late, 0.5) - COALESCE(w_early, 0.5), 9) AS shift
-       |FROM e FULL OUTER JOIN l USING (token)
-       |ORDER BY abs(round(COALESCE(w_late, 0.5) - COALESCE(w_early, 0.5), 9)) DESC, token
+       |sizes AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN NOT is_late AND is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ne_ref,
+       |    CAST(SUM(CASE WHEN NOT is_late AND NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ne_raw,
+       |    CAST(SUM(CASE WHEN is_late AND is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nl_ref,
+       |    CAST(SUM(CASE WHEN is_late AND NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nl_raw
+       |  FROM halves),
+       |dfs AS (
+       |  SELECT token,
+       |    CAST(SUM(CASE WHEN NOT is_late AND is_ref THEN 1 ELSE 0 END) AS BIGINT) AS de_ref,
+       |    CAST(SUM(CASE WHEN NOT is_late AND NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS de_raw,
+       |    CAST(SUM(CASE WHEN is_late AND is_ref THEN 1 ELSE 0 END) AS BIGINT) AS dl_ref,
+       |    CAST(SUM(CASE WHEN is_late AND NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS dl_raw
+       |  FROM (
+       |    SELECT is_late, is_ref, unnest(list_distinct(toks)) AS token FROM halves)
+       |  GROUP BY token),
+       |w AS (
+       |  SELECT token,
+       |    ${weightSql("de_ref", "de_raw", "ne_ref", "ne_raw")} AS w_early,
+       |    ${weightSql("dl_ref", "dl_raw", "nl_ref", "nl_raw")} AS w_late
+       |  FROM dfs CROSS JOIN sizes)
+       |SELECT token, w_early, w_late, round(w_late - w_early, 9) AS shift
+       |FROM w
+       |ORDER BY abs(round(w_late - w_early, 9)) DESC, token
        |LIMIT $DriftTop""".stripMargin
-  }
 
   // ------------------------------------------------------- #37d DSIR
 
