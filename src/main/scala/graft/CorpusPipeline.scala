@@ -4,15 +4,18 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus build CLI — the pipeline-family analogue
   * of [[Replicate]]: documents parquet → retention decisions (exact +
-  * near dedup), benchmark decontamination, quality filtering,
-  * split/mixture assignment, sequence packing — one filtered,
-  * annotated corpus plus its composition report, written as parquet.
+  * near dedup), benchmark decontamination, heuristic quality
+  * filtering, model-based classifier filtering, split/mixture
+  * assignment, sequence packing — one filtered, annotated corpus plus
+  * its composition report, written as parquet.
   *
   * Stage order matters and mirrors production pipelines: dedup first
   * (a duplicated benchmark doc must not survive via its copy),
   * decontamination second (drops eval overlap from the kept set),
   * quality rules third (cheap per-doc signals over what remains),
-  * then split/packing over the survivors.
+  * the classifier fourth (the CCNet-style model pass — in production
+  * scored via the persisted model artifact, [[pipeline.Classifier
+  * .scoreExpr]]), then split/packing over the survivors.
   *
   * Usage: `sbt "runMain graft.CorpusPipeline <sfDir> <outDir>"`.
   * At 100 TB the same lines run on a cluster with the parquet paths
@@ -45,8 +48,13 @@ object CorpusPipeline {
     val lowQuality = pipeline.TextAnalysis.qualityFilter(spark, sfDir)
       .filter(!col("keep"))
       .select(col("doc_id"), concat(lit("quality_"), col("reason")).as("drop_reason"))
+    // 3b. model-based quality: docs the classifier scores below the ½
+    // keep threshold (reference-likeness — the CCNet model pass)
+    val lowScore = pipeline.Classifier.score(spark, sfDir)
+      .filter(!col("predicted_ref"))
+      .select(col("doc_id"), lit("classifier_low_score").as("drop_reason"))
     // one reason per dropped doc, fixed priority via min()
-    val drops = contaminated.unionByName(lowQuality)
+    val drops = contaminated.unionByName(lowQuality).unionByName(lowScore)
       .groupBy(col("doc_id")).agg(min(col("drop_reason")).as("drop_reason"))
     // 4. the kept corpus with split + packing coordinates
     val kept = keep.filter(col("keep"))
