@@ -53,8 +53,19 @@ object Bench {
     // straddle two (SPARK_GRAFT_BENCH_PASSES overrides).
     val ordered = SparkEntry.queries.toSeq ++ SparkEntry.benchQueries.toSeq
     val names = ordered.map(_._1)
+    // INTERLEAVE: each pass runs the suite in a different (seeded,
+    // reproducible) permutation. A VM stall spans several adjacent
+    // queries in wall-time; with the same order every pass, the same
+    // neighborhood absorbs it each time and min-of-passes can't shed
+    // it. Shuffling per pass decorrelates adjacency, so a query's
+    // cross-pass min reflects its own plan, and tools/bench_diff.py's
+    // non-overlapping-pass-range test separates real regressions
+    // (slower in EVERY permutation) from noisy neighbors.
     val allPasses: Seq[Map[String, Double]] =
-      (1 to passes).map(_ => ordered.map { case (n, fn) => n -> once(n, fn) }.toMap)
+      (1 to passes).map { p =>
+        val perm = new scala.util.Random(p.toLong).shuffle(ordered)
+        perm.map { case (n, fn) => n -> once(n, fn) }.toMap
+      }
     val results: Map[String, Double] = names.map { n =>
       val ts = allPasses.map(_(n))
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)

@@ -33,6 +33,23 @@ object CorpusPipeline {
     spark.stop()
   }
 
+  /** One reason per dropped doc from the unioned per-stage
+    * `(doc_id, drop_reason)` frames. Precedence is the DOCUMENTED stage
+    * order — decontaminate (1) before heuristic quality (2) before the
+    * classifier (3) — made explicit via min over (priority, reason),
+    * never an alphabetical accident of the reason strings
+    * (`classifier_low_score` sorts before `quality_*`, which would
+    * invert the pipeline order for a doc failing both). */
+  def resolveDropReason(unioned: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stagePriority = when(col("drop_reason") === "benchmark_overlap", 1)
+      .when(col("drop_reason").startsWith("quality_"), 2)
+      .otherwise(3)
+    unioned.groupBy(col("doc_id"))
+      .agg(min(struct(stagePriority.as("p"), col("drop_reason").as("r")))
+        .getField("r").as("drop_reason"))
+  }
+
   /** The pipeline body, session-agnostic (main's CLI shell around it;
     * CorpusPipelineSpec drives it under the shared test session).
     * Returns (packed docs kept, total docs). */
@@ -53,9 +70,8 @@ object CorpusPipeline {
     val lowScore = pipeline.Classifier.score(spark, sfDir)
       .filter(!col("predicted_ref"))
       .select(col("doc_id"), lit("classifier_low_score").as("drop_reason"))
-    // one reason per dropped doc, fixed priority via min()
-    val drops = contaminated.unionByName(lowQuality).unionByName(lowScore)
-      .groupBy(col("doc_id")).agg(min(col("drop_reason")).as("drop_reason"))
+    val drops = resolveDropReason(
+      contaminated.unionByName(lowQuality).unionByName(lowScore))
     // 4. the kept corpus with split + packing coordinates
     val kept = keep.filter(col("keep"))
       .join(drops, Seq("doc_id"), "left_anti")

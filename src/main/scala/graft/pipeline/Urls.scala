@@ -98,13 +98,20 @@ object Urls {
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
 
-  /** Canonical host: authority without port, lower-cased, leading
-    * `www.` stripped. */
-  private def hostOf(url: Column): Column =
+  /** Canonical host: authority without userinfo or port, lower-cased,
+    * leading `www.` stripped. The userinfo strip ('u@example.com' →
+    * 'example.com') keeps credentialed crawl variants collapsing with
+    * the bare page; the port strip is bracket-aware so an IPv6 literal
+    * ('[::1]:443' → '[::1]') survives, and only numeric ports are
+    * stripped (a malformed ':abc' suffix is left as-is, matching the
+    * unparseable-input fallback philosophy below). */
+  private def hostOf(url: Column): Column = {
+    val auth = regexp_replace(
+      regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1), "^[^/?#]*@", "")
     regexp_replace(
-      lower(regexp_replace(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1),
-        ":[0-9]+$", "")),
+      lower(regexp_replace(auth, "^(\\[[^\\]]*\\]|[^:]*?):[0-9]+$", "$1")),
       "^www\\.", "")
+  }
 
   /** CANONICAL URL of any url column — the dedup key. Rules (each one
     * a variant the same page is crawled under):
@@ -115,8 +122,10 @@ object Urls {
     *  - query params whose name starts `utm_` dropped (tracking), the
     *    rest kept in original order; an emptied query loses its `?`;
     *  - fragments never reach the server — everything from `#` on is
-    *    dropped by construction of the extracts. */
+    *    stripped FIRST, so a `?` inside a fragment
+    *    (`https://h/p#sec?x=1`) never becomes a query. */
   def canonicalizeUrl(url: Column): Column = {
+    val preFragment = regexp_replace(url, "#.*$", "")
     val scheme = schemeOf(url)
     val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
@@ -127,7 +136,7 @@ object Urls {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
     val q = array_join(
-      filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      filter(split(regexp_extract(preFragment, "\\?(.*)", 1), "&"),
         p => length(p) > 0 && substring(p, 1, 4) =!= "utm_"),
       "&")
     // unparseable input (no scheme, OR a scheme with an empty/absent
@@ -149,12 +158,12 @@ object Urls {
       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
       |    regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
       |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
-      |    COALESCE(array_to_string(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |    COALESCE(array_to_string(list_filter(string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)', 1), '&'),
       |      p -> len(p) > 0 AND substr(p, 1, 4) <> 'utm_'), '&'), '') AS q
       |  FROM urls),
       |canon AS (
       |  SELECT doc_id, text, url, scheme,
-      |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+      |    regexp_replace(lower(regexp_replace(regexp_replace(hostport, '^[^/?#]*@', ''), '^(\[[^\]]*\]|[^:]*?):[0-9]+$', '\1')), '^www\.', '') AS host,
       |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path, q
       |  FROM parts),
       |curl AS (

@@ -31,4 +31,25 @@ class CorpusPipelineSpec extends SparkSpec {
     val reasons = report.select(col("reason")).distinct().collect().map(_.getString(0)).toSet
     assert(reasons.contains("kept"))
   }
+
+  test("drop-reason precedence follows the documented stage order, not string sort") {
+    import spark.implicits._
+    // doc 1 fails heuristic quality AND the classifier — the report must
+    // attribute the earlier stage (quality_*), even though
+    // 'classifier_low_score' < 'quality_short' lexicographically
+    val unioned = Seq(
+      (1L, "quality_short"), (1L, "classifier_low_score"),
+      (2L, "benchmark_overlap"), (2L, "quality_repetitive"),
+      (2L, "classifier_low_score"),
+      (3L, "classifier_low_score"),
+      (4L, "quality_short"), (4L, "quality_repetitive")
+    ).toDF("doc_id", "drop_reason")
+    val got = CorpusPipeline.resolveDropReason(unioned)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "quality_short")
+    assert(got(2L) == "benchmark_overlap")
+    assert(got(3L) == "classifier_low_score")
+    // ties inside one stage stay deterministic (lexicographic within stage)
+    assert(got(4L) == "quality_repetitive")
+  }
 }

@@ -57,6 +57,29 @@ class UrlsSpec extends SparkSpec {
       "HTTPS://:8080/x"))
   }
 
+  test("canonicalization edge cases: fragment-embedded '?', userinfo, IPv6") {
+    assert(canon(
+      "https://h/p#sec?x=1",                // '?' INSIDE a fragment is not a query
+      "https://h/p?a=1#sec?x=2",            // real query survives, fragment '?' doesn't
+      "https://u@example.com/a",            // userinfo collapses with the bare host
+      "https://u:pw@example.com/a",         // ...including password form
+      "https://example.com/a",              // the bare host those collapse WITH
+      "https://[::1]:8080/a",               // IPv6 literal keeps non-default port
+      "https://[::1]:443/a",                // IPv6 default port drop
+      "https://[2001:db8::1]/a",            // IPv6, no port: colons survive intact
+      "https://example.com:abc/a"           // malformed port → left as-is in host
+    ) == Seq(
+      "https://h/p",
+      "https://h/p?a=1",
+      "https://example.com/a",
+      "https://example.com/a",
+      "https://example.com/a",
+      "https://[::1]:8080/a",
+      "https://[::1]/a",
+      "https://[2001:db8::1]/a",
+      "https://example.com:abc/a"))
+  }
+
   test("url stats: registrable domains, shares sum to 1, host counts") {
     val rows = Urls.urlStats(spark, dir).collect()
     val domains = rows.map(_.getAs[String]("domain")).toSeq
