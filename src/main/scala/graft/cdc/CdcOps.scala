@@ -1342,6 +1342,140 @@ object CdcOps {
        |WHERE b_op IS NULL OR b_op <> 3
        |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ incremental MV maintenance
+
+  /** Value units (in cents of `value`) per materialized-view bucket:
+    * the MV's group key is `floor(value / 50.00)`, computed in exact
+    * integer cents so bucket assignment can never straddle a
+    * floating-point boundary. */
+  val MvBucketCents: Long = 5000L
+
+  /** #14k: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the natural
+    * lift of the replicator posture (the scylla-cdc-replicator
+    * operations package's upsert/delete handlers, which reproduce the
+    * TABLE) to aggregate grain: maintain `SELECT bucket, COUNT(*),
+    * SUM(value) GROUP BY bucket` over the live LWW table by applying
+    * only a (T0, now] log slice against the stored T0 state — never
+    * replaying the log.
+    *
+    * The delta algebra: only keys TOUCHED in the slice can change the
+    * MV. For each touched key, retract its T0 contribution (from the
+    * stored snapshot — the replicator's own output at T0) and insert
+    * its end-of-slice contribution (LWW over the slice; a slice whose
+    * latest op is a delete inserts nothing). An UPDATE that moves a
+    * row across buckets therefore decrements the old bucket and
+    * increments the new one — the preimage-shaped case that makes MV
+    * maintenance harder than row replication — without the log
+    * carrying preimages: the T0 snapshot IS the preimage store.
+    * Cost is O(|slice| + |touched ∩ snapshot| + |MV|), never O(log).
+    *
+    * Action tags are VALUE-defined (created / emptied / updated /
+    * carried by comparing stored vs new bucket aggregates), so a
+    * touched bucket with a net-zero delta reads `carried` —
+    * identical to what a full recompute would conclude. The DuckDB
+    * oracle IS that full recompute, so the gate proves
+    * incremental ≡ replay, action for action.
+    *
+    * TTL interaction: matches [[snapshotMergeFromLog]]'s contract —
+    * a TTL'd write participates like any write (reference semantics:
+    * TTL applies to written cells; expiry is a base-table compaction
+    * concern handled by [[ttlTrim]], not a log-consumer concern).
+    *
+    * Scale shape: two LWW windows partitioned on the table key (ONE
+    * exchange grain — snapshot and slice shuffle on user_id, and the
+    * retract join is user_id-co-partitioned with them), then
+    * bucket-keyed aggregates with map-side combine over row-count-
+    * bounded relations; the final full-outer stitch runs at MV grain
+    * (≤ |buckets| rows). All arithmetic is exact integer cents —
+    * associative, so partial aggregation commutes. */
+  def mvMaintain(spark: SparkSession, dir: String): DataFrame =
+    mvMaintainFromLog(cdcLog(spark, dir), SnapshotCutoffUs)
+
+  /** Same operator over ANY conforming CDC-log relation with an
+    * arbitrary slice start — bring your own log. */
+  def mvMaintainFromLog(log: DataFrame, cutoffUs: Long): DataFrame = {
+    val writes = log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    // stored T0 state (the replicator's output at T0): LWW per key,
+    // deleted keys absent — value carried as exact integer cents
+    val s0 = writes.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), cents.as("cents"))
+    // the slice verdict per touched key: its final op + final cents
+    val batch = writes.filter(col("time_us") > cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("cdc_operation").as("b_op"), cents.as("b_cents"))
+    // retract T0 contributions of touched keys; insert end-of-slice
+    // contributions (none when the slice ends in a tombstone)
+    val oldC = s0.join(batch.select(col("user_id")), Seq("user_id"), "left_semi")
+      .select(expr(s"cents div $MvBucketCents").as("bucket"),
+        lit(-1L).as("d_n"), (-col("cents")).as("d_cents"))
+    val newC = batch.filter(col("b_op") =!= RowDelete)
+      .select(expr(s"b_cents div $MvBucketCents").as("bucket"),
+        lit(1L).as("d_n"), col("b_cents").as("d_cents"))
+    val delta = oldC.unionByName(newC)
+      .groupBy(col("bucket"))
+      .agg(sum(col("d_n")).as("d_n"), sum(col("d_cents")).as("d_cents"))
+    // the stored MV (maintained from the same T0 state)
+    val base = s0
+      .groupBy(expr(s"cents div $MvBucketCents").as("bucket"))
+      .agg(count(lit(1)).as("base_n"), sum(col("cents")).as("base_cents"))
+    base.join(delta, Seq("bucket"), "full_outer")
+      .withColumn("n_rows", coalesce(col("base_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+      .withColumn("new_cents",
+        coalesce(col("base_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+      // a bucket born AND emptied inside the slice never existed in
+      // either MV edition — emit nothing for it
+      .filter(col("n_rows") > 0 || col("base_n").isNotNull)
+      .withColumn("mv_action",
+        when(col("base_n").isNull, "created")
+          .when(col("n_rows") === 0, "emptied")
+          .when(col("n_rows") === col("base_n") && col("new_cents") === col("base_cents"),
+            "carried")
+          .otherwise("updated"))
+      .select(col("bucket"), col("mv_action"), col("n_rows"),
+        (col("new_cents").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle: the FULL-LOG recompute the incremental path must equal —
+    * base MV from the ≤ T0 state, final MV from the whole log's LWW
+    * state, actions by value comparison. */
+  val mvMaintainSql: String = CdcLogAdapter.oracleCte +
+    s""", writes AS (SELECT * FROM cdc WHERE cdc_operation IN (1, 2, 3)),
+       |s0 AS (
+       |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes WHERE time_us <= $SnapshotCutoffUs)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |sf AS (
+       |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |base AS (
+       |  SELECT cents // $MvBucketCents AS bucket, COUNT(*) AS base_n,
+       |    CAST(SUM(cents) AS BIGINT) AS base_cents
+       |  FROM s0 GROUP BY 1),
+       |fin AS (
+       |  SELECT cents // $MvBucketCents AS bucket, COUNT(*) AS n_rows,
+       |    CAST(SUM(cents) AS BIGINT) AS new_cents
+       |  FROM sf GROUP BY 1)
+       |SELECT COALESCE(b.bucket, f.bucket) AS bucket,
+       |  CASE WHEN b.bucket IS NULL THEN 'created'
+       |       WHEN f.bucket IS NULL THEN 'emptied'
+       |       WHEN f.n_rows = b.base_n AND f.new_cents = b.base_cents THEN 'carried'
+       |       ELSE 'updated' END AS mv_action,
+       |  COALESCE(f.n_rows, 0) AS n_rows,
+       |  CAST(COALESCE(f.new_cents, 0) AS DOUBLE) / 100.0 AS sum_value
+       |FROM base b FULL OUTER JOIN fin f ON b.bucket = f.bucket
+       |ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------ dead-letter queue
 
   /** Dead-letter classification — the consumer-side triage a

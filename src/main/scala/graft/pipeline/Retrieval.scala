@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval (SURVEY §2c #33u): fuse a LEXICAL ranking (the
+  * [[TextAnalysis.bm25]] rational-BM25 formula, query-by-example over
+  * an anchor document's distinct tokens) with a DENSE ranking (cosine
+  * over the `embeddings` table, vec_id ≡ doc_id) via Reciprocal Rank
+  * Fusion — the production hybrid-search shape (Cormack et al. 2009:
+  * RRF(d) = Σ_systems 1/(K + rank_s(d)), K = 60).
+  *
+  * Everything is rank arithmetic over exact intermediates, so the
+  * fusion is hash-stable: per-term lexical scores are the bm25
+  * exact-product divisions summed as DECIMAL, ranks are integers, and
+  * each 1/(60+r) term is a correctly-rounded scale-9 DECIMAL — a
+  * half-tie at scale 9 would need the denominator to divide 2·10⁹,
+  * and the only such denominators in [61, 60+depth] are powers of
+  * 2·5 whose decimal expansions terminate before the 9th place, so
+  * rounding never sits on a tie. */
+object Retrieval {
+
+  /** Anchor documents (query-by-example): doc_id < this. */
+  val RrfNumQueries = 10
+  /** The RRF constant K (standard 60). */
+  val RrfK = 60
+  /** Fusion depth: each system contributes its top-D ranking. */
+  val RrfDepth = 20
+  /** Fused results kept per anchor. */
+  val RrfTopK = 10
+  /** Query-by-example term budget (Lucene MoreLikeThis'
+    * max_query_terms posture): an anchor contributes at most this
+    * many distinct tokens — its most characteristic by (tf desc,
+    * token) — so the broadcast query relation is STRUCTURALLY bounded
+    * by anchors × this, whatever a pathological anchor document looks
+    * like. (The synthetic vocabulary is ~40 words, so the cap never
+    * binds at test scale; it exists for the 2 GB-document case.) */
+  val RrfMaxQueryTerms = 64
+
+  def retrievalRrf(spark: SparkSession, dir: String): DataFrame =
+    rrfOn(
+      Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"), col("text")),
+      Tables.spread(Tables.embeddings(spark, dir)))
+
+  /** 1/(K + rank) as an exact scale-9 DECIMAL; an absent rank (the doc
+    * surfaced in only one system's top-D) contributes exactly 0. */
+  private def rr(rank: Column): Column =
+    coalesce(round(lit(1.0) / (lit(RrfK) + rank), 9).cast("decimal(20,9)"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)"))
+
+  private[pipeline] def rrfOn(d: DataFrame, e: DataFrame): DataFrame = {
+    // ---- lexical system: rational BM25, anchor's distinct tokens as query
+    val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df, dl, T, the probe AND the anchor side
+    val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val t = tf.agg(sum(col("tf")).as("t_toks"))
+    // anchors' query terms — tf is already (doc, token)-distinct, and
+    // the MLT-style term budget makes the relation STRUCTURALLY
+    // ≤ anchors × RrfMaxQueryTerms rows (PlanGuard-provable), so it
+    // broadcasts into the probe and the corpus never shuffles for the
+    // query side
+    val wTerms = Window.partitionBy(col("query_id"))
+      .orderBy(col("tf").desc, col("token"))
+    val qt = tf.filter(col("doc_id") < RrfNumQueries)
+      .select(col("doc_id").as("query_id"), col("token"), col("tf"))
+      .withColumn("rank", row_number().over(wTerms))
+      .filter(col("rank") <= RrfMaxQueryTerms)
+      .select(col("query_id"), col("token"))
+    val num = (lit(2) * (col("n_docs") - col("df")) + lit(1)) *
+      lit(22) * col("tf") * col("t_toks")
+    val den = (lit(2) * col("df") + lit(1)) *
+      (lit(10) * col("tf") * col("t_toks") + lit(3) * col("t_toks") +
+        lit(9) * col("dl") * col("n_docs"))
+    val wLex = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
+    val lex = tf.join(broadcast(qt), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dfRel, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(n), lit(true))
+      .join(broadcast(t), lit(true))
+      .withColumn("s",
+        round(num.cast("double") / den.cast("double"), 9).cast("decimal(20,9)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("lex"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // ---- dense system: exact cosine against the anchor vectors
+    val vecs = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
+    val q = vecs.filter(col("vec_id") < RrfNumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val wDense = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val dense = vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(
+        graft.functions.VecDot.dot(col("qv"), col("v")) /
+          (sqrt(col("qn2")) * sqrt(col("n2"))), 6))
+      .withColumn("dense_rank", row_number().over(wDense))
+      .filter(col("dense_rank") <= RrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("dense_rank"))
+    // ---- fusion: both top-D relations are ≤ anchors × depth rows
+    val wFused = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", rr(col("lex_rank")) + rr(col("dense_rank")))
+      .withColumn("rank", row_number().over(wFused))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        col("rrf").cast("double").as("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val retrievalRrfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS t_toks FROM tf),
+       |qt AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT doc_id AS query_id, token,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS trank
+       |    FROM tf WHERE doc_id < $RrfNumQueries)
+       |  WHERE trank <= $RrfMaxQueryTerms),
+       |lexterms AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST((2 * (n_docs - df) + 1) * 22 * tf.tf * t_toks AS DOUBLE) /
+       |      CAST((2 * df + 1) * (10 * tf.tf * t_toks + 3 * t_toks + 9 * dl.dl * n_docs) AS DOUBLE),
+       |      9) AS DECIMAL(20,9)) AS s
+       |  FROM tf
+       |  JOIN qt USING (token) JOIN dfr USING (token)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN n CROSS JOIN t
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lexranked AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY SUM(s) DESC, doc_id) AS INT) AS lex_rank
+       |  FROM lexterms GROUP BY 1, 2),
+       |lextop AS (SELECT * FROM lexranked WHERE lex_rank <= $RrfDepth),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS n2
+       |  FROM e),
+       |denseranked AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])), (acc, x) -> acc + x)
+       |      / (sqrt(q.n2) * sqrt(c.n2)), 6) DESC, c.vec_id) AS INT) AS dense_rank
+       |  FROM vecs q JOIN vecs c ON q.vec_id < $RrfNumQueries AND c.vec_id <> q.vec_id),
+       |densetop AS (SELECT * FROM denseranked WHERE dense_rank <= $RrfDepth),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(l.lex_rank, 0) AS lex_rank,
+       |    COALESCE(d.dense_rank, 0) AS dense_rank,
+       |    COALESCE(CAST(round(1.0 / ($RrfK + l.lex_rank), 9) AS DECIMAL(20,9)),
+       |             CAST(0 AS DECIMAL(20,9)))
+       |    + COALESCE(CAST(round(1.0 / ($RrfK + d.dense_rank), 9) AS DECIMAL(20,9)),
+       |               CAST(0 AS DECIMAL(20,9))) AS rrf
+       |  FROM lextop l FULL OUTER JOIN densetop d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fused)
+       |SELECT query_id, rank, doc_id, lex_rank, dense_rank,
+       |  CAST(rrf AS DOUBLE) AS rrf_score
+       |FROM ranked WHERE rank <= $RrfTopK
+       |ORDER BY query_id, rank""".stripMargin
+}

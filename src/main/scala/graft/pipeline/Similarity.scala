@@ -1241,8 +1241,18 @@ object Similarity {
   }
 
   /** (surviving (query, cell) probes, cell-assigned corpus). Exposed
-    * so RangeSearchSpec can assert the bound actually prunes. */
-  private[pipeline] def rangeProbes(all: DataFrame): (DataFrame, DataFrame) = {
+    * so RangeSearchSpec can assert the bound actually prunes. `tau` is
+    * the LOW cosine edge the pruning must stay lossless for
+    * ([[RangeTau]] for range search, [[HardNegTauLow]] for hard-
+    * negative mining). When the input carries a `label` column it is
+    * threaded through — onto the corpus side as `label`, onto the
+    * probe side as `anchor_label` — so label-aware consumers never
+    * re-scan the source for it. */
+  private[pipeline] def rangeProbes(all: DataFrame, tau: Double = RangeTau)
+      : (DataFrame, DataFrame) = {
+    val hasLabel = all.columns.contains("label")
+    def labelled(c: Seq[Column], l: Seq[Column]): Seq[Column] =
+      if (hasLabel) c ++ l else c
     def angle(cos: Column): Column = acos(least(greatest(cos, lit(-1.0)), lit(1.0)))
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
@@ -1252,27 +1262,33 @@ object Similarity {
       .withColumn("c_cos", dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
     val assigned = scored
       .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("n2")).as("n2"),
-        max(struct(col("c_cos"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("v"), col("n2"),
-        (-col("best.ncid")).as("cell"), angle(col("best.c_cos")).as("theta"))
+      .agg(first(col("v")).as("v"),
+        labelled(Seq(first(col("n2")).as("n2"),
+          max(struct(col("c_cos"), (-col("cid")).as("ncid"))).as("best")),
+          Seq(first(col("label")).as("label"))): _*)
+      .select(labelled(Seq(col("vec_id"), col("v"), col("n2"),
+        (-col("best.ncid")).as("cell"), angle(col("best.c_cos")).as("theta")),
+        Seq(col("label"))): _*)
     val radii = assigned.groupBy(col("cell")).agg(max(col("theta")).as("radius"))
     // The kept-pair predicate compares the 6-dp HALF_UP-rounded cosine
     // to τ, which admits TRUE cosines down to τ − 5e-7 — so the
     // geometric bound must be taken at the low edge of the rounding
     // band, not at τ itself, or a boundary pair in a tight cell could
     // be pruned here while the re-score (and the oracle) keeps it.
-    val thetaTau = math.acos(RangeTau - 5e-7)
+    val thetaTau = math.acos(tau - 5e-7)
     val probes = scored.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"),
-        col("cid").as("cell"), angle(col("c_cos")).as("qtheta"))
+      .select(labelled(Seq(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cid").as("cell"), angle(col("c_cos")).as("qtheta")),
+        Seq(col("label").as("anchor_label"))): _*)
       // radii is K-bounded cell metadata (≤ NumCentroids rows) — the
       // sanctioned broadcast class; unhinted this planned an SMJ with
       // two sort exchanges on a K-row side
       .join(broadcast(radii), Seq("cell"))
       .filter(col("qtheta") - col("radius") <= lit(thetaTau) + lit(1e-9))
-      .select(col("query_id"), col("qv"), col("qn2"), col("cell"))
-    (probes, assigned.select(col("vec_id"), col("v"), col("n2"), col("cell")))
+      .select(labelled(Seq(col("query_id"), col("qv"), col("qn2"), col("cell")),
+        Seq(col("anchor_label"))): _*)
+    (probes, assigned.select(labelled(Seq(col("vec_id"), col("v"), col("n2"),
+      col("cell")), Seq(col("label"))): _*))
   }
 
   val annRangeSearchSql: String =
@@ -1283,4 +1299,227 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim
        |FROM scored WHERE cos_sim >= $RangeTau
        |ORDER BY query_id, neighbor_id""".stripMargin
+
+  // ------------------------------------------------------------ #30k hard-negative mining
+
+  /** Similarity band for hard negatives: near (≥ low) but NOT a
+    * near-duplicate (< high). Contrastive-training convention: too
+    * similar risks false negatives (the "duplicate zone"), too far is
+    * uninformative. */
+  val HardNegTauLow = 0.15
+  val HardNegTauHigh = 0.35
+
+  /** Hard negatives per anchor. */
+  val HardNegK = 5
+
+  /** Hard-negative mining for retrieval/embedding training — per
+    * anchor vector, the top-[[HardNegK]] DIFFERENT-label neighbors
+    * inside the similarity band [[HardNegTauLow]] ≤ cos <
+    * [[HardNegTauHigh]]: near enough to be informative, not so near
+    * they're probable unlabeled positives, never sharing the anchor's
+    * label (those are positives by definition). The standard
+    * contrastive-training feed (e.g. DPR / SimCSE hard-negative
+    * construction).
+    *
+    * EXACT results through the IVF-cell triangle bound
+    * ([[rangeProbes]], the ann_range_search machinery with the bound
+    * taken at the BAND'S LOW EDGE): a (query, cell) probe survives
+    * only if the cell could geometrically hold cos ≥ τ_low, every
+    * surviving candidate is exactly re-scored, and the high edge +
+    * label exclusion are exact post-filters — pruning stays lossless
+    * for any centroid placement. Labels ride the cell-assignment
+    * exchange (no second scan of the source).
+    *
+    * Scale shape: identical to range search — one n-row assignment
+    * exchange, K-row radii broadcast, candidate join shuffled on
+    * `cell` (per-anchor work = occupancy of geometrically-reachable
+    * cells, never n), plus a query-keyed top-k window bounded by the
+    * anchor count. */
+  def embHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(
+      Tables.spread(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v"))))
+
+  private[pipeline] def hardNegativesFrom(all: DataFrame): DataFrame = {
+    val (probes, assigned) = rangeProbes(all, HardNegTauLow)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("label") =!= col("anchor_label"))
+      .withColumn("cos_sim", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+      .filter(col("cos_sim") >= HardNegTauLow && col("cos_sim") < HardNegTauHigh)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("anchor_label"), col("label").as("neighbor_label"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------ #30l triplet construction
+
+  /** Positive-side floor: a positive must be at least non-adversarial
+    * (cos ≥ 0 — same label AND same hemisphere). */
+  val TripletTauPos = 0.0
+  /** Positives per anchor (each pairs with every hard negative). */
+  val TripletP = 2
+
+  /** TRAINING-TRIPLET construction — the (anchor, positive, hard
+    * negative) feed contrastive losses consume: per anchor, the
+    * top-[[TripletP]] SAME-label neighbors with cos ≥
+    * [[TripletTauPos]] crossed with the anchor's [[embHardNegatives]]
+    * set (different label, [[HardNegTauLow]] ≤ cos <
+    * [[HardNegTauHigh]]), with the per-triplet margin
+    * pos_cos − neg_cos the loss would see.
+    *
+    * ONE candidate pass feeds both sides: [[rangeProbes]] runs at the
+    * LOOSER floor (τ_pos = 0) so its lossless bound covers the
+    * negative band too (any cos ≥ τ_low ≥ τ_pos survives a τ_pos
+    * prune), the scored candidate relation is localCheckpointed, and
+    * positives/negatives are filters over it — the assignment
+    * exchange and the cell join run once, not twice. The final
+    * positives × negatives join is per-anchor P×K rows. */
+  def embTriplets(spark: SparkSession, dir: String): DataFrame =
+    tripletsFrom(
+      Tables.spread(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v"))))
+
+  private[pipeline] def tripletsFrom(all: DataFrame): DataFrame = {
+    val (probes, assigned) = rangeProbes(all, TripletTauPos)
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+      .select(col("query_id"), col("anchor_label"), col("vec_id"), col("label"),
+        col("cos_sim"))
+      .localCheckpoint()
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val pos = cand
+      .filter(col("label") === col("anchor_label") && col("cos_sim") >= TripletTauPos)
+      .withColumn("pos_rank", row_number().over(wp))
+      .filter(col("pos_rank") <= TripletP)
+      .select(col("query_id"), col("anchor_label"), col("pos_rank"),
+        col("vec_id").as("pos_id"), col("cos_sim").as("pos_cos"))
+    val neg = cand
+      .filter(col("label") =!= col("anchor_label"))
+      .filter(col("cos_sim") >= HardNegTauLow && col("cos_sim") < HardNegTauHigh)
+      .withColumn("neg_rank", row_number().over(wp))
+      .filter(col("neg_rank") <= HardNegK)
+      .select(col("query_id"), col("neg_rank"), col("vec_id").as("neg_id"),
+        col("cos_sim").as("neg_cos"))
+    pos.join(neg, Seq("query_id"))
+      .select(col("query_id"), col("anchor_label"), col("pos_rank"), col("neg_rank"),
+        col("pos_id"), col("neg_id"), col("pos_cos"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      .orderBy(col("query_id"), col("pos_rank"), col("neg_rank"))
+  }
+
+  val embTripletsSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, label, v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS n2
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS anchor_label,
+       |    c.vec_id AS vid, c.label AS clabel, $cosSql AS cos_sim
+       |  FROM vecs q JOIN vecs c ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |pos AS (
+       |  SELECT query_id, anchor_label, vid AS pos_id, cos_sim AS pos_cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, vid) AS INT) AS pos_rank
+       |  FROM scored WHERE clabel = anchor_label AND cos_sim >= $TripletTauPos),
+       |neg AS (
+       |  SELECT query_id, vid AS neg_id, cos_sim AS neg_cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, vid) AS INT) AS neg_rank
+       |  FROM scored WHERE clabel <> anchor_label
+       |    AND cos_sim >= $HardNegTauLow AND cos_sim < $HardNegTauHigh)
+       |SELECT p.query_id, p.anchor_label, p.pos_rank, n.neg_rank,
+       |  p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+       |  round(p.pos_cos - n.neg_cos, 6) AS margin
+       |FROM pos p JOIN neg n ON p.query_id = n.query_id
+       |WHERE p.pos_rank <= $TripletP AND n.neg_rank <= $HardNegK
+       |ORDER BY p.query_id, p.pos_rank, n.neg_rank""".stripMargin
+
+  // ------------------------------------------------------------ #30m filtered vector search
+
+  /** The metadata predicate of the filtered search: neighbors must
+    * carry this label. */
+  val FilterLabel = 1
+
+  /** FILTERED vector search — top-k under a metadata predicate
+    * (label = [[FilterLabel]]), the filtered-vector-search contract
+    * every production vector store ships (RAG with tenant/language/
+    * source filters). Exact filter-then-search: the predicate reaches
+    * the PARQUET SCAN (PushedFilters, spec-asserted), the surviving
+    * corpus is exactly scored against the broadcast anchors, top-k
+    * per anchor. This is the right plan whenever the filter is
+    * selective — the scan prunes BEFORE any vector math; when the
+    * filter is broad, the IVF variants compose the same way (the
+    * predicate rides the cell-candidate relation, cells over-probed
+    * to cover post-filter attrition). */
+  def annFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val prep = (d: DataFrame) => d
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", graft.functions.VecDot.dot(col("v"), col("v")))
+    val q = prep(e).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    // predicate FIRST — it prunes at the scan, before any vector math
+    val c = prep(e.filter(col("label") === FilterLabel))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosine(dot(col("qv"), col("v")), col("qn2"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annFilteredTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, label, v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS n2
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label, $cosSql AS cos_sim
+       |  FROM vecs q JOIN vecs c
+       |    ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id AND c.label = $FilterLabel),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank FROM scored)
+       |SELECT query_id, rank, neighbor_id, label, cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  val embHardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, label, v,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS n2
+       |  FROM e),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS anchor_label,
+       |    c.vec_id AS neighbor_id, c.label AS neighbor_label, $cosSql AS cos_sim
+       |  FROM vecs q JOIN vecs c
+       |    ON q.vec_id < $NumQueries AND c.vec_id <> q.vec_id AND c.label <> q.label),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored WHERE cos_sim >= $HardNegTauLow AND cos_sim < $HardNegTauHigh)
+       |SELECT query_id, rank, neighbor_id, anchor_label, neighbor_label, cos_sim
+       |FROM ranked WHERE rank <= $HardNegK
+       |ORDER BY query_id, rank""".stripMargin
 }

@@ -18,10 +18,10 @@ object TextAnalysis {
     Tables.spread(Tables.documents(spark, dir))
 
   /** Whitespace tokens, lowercased, empties dropped. */
-  private def tokens(text: Column): Column =
+  private[pipeline] def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
-  private val tokensSql = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+  private[pipeline] val tokensSql = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
 
   // ------------------------------------------------------------ #31 language id
 
@@ -694,6 +694,116 @@ object TextAnalysis {
        |SELECT doc_id, rnk, token, tf, df, round(score, 6) AS score
        |FROM scored WHERE rnk <= $TfidfTopK
        |ORDER BY doc_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------ #33t BM25 retrieval scoring
+
+  /** The retrieval-eval query workload: fixed multi-term queries over
+    * the synthetic vocabulary. A literal relation — at production
+    * scale this is the (tiny) eval-set side of the probe join. */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark window agg",
+    2 -> "hash join merge",
+    3 -> "fast table scan",
+    4 -> "stream batch data",
+    5 -> "slow query filter sort")
+  val Bm25TopK = 10
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones / Okapi) — the
+    * retrieval twin of [[tfidf]]: per (query, doc),
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * k1 = 1.2, b = 0.75, ranked top-[[Bm25TopK]] docs per query.
+    *
+    * Exact-rational arithmetic (the tfidf linear-idf precedent — ln
+    * isn't hash-stable across engines, SURVEY §6): the idf factor is
+    * the RATIONAL inside BM25+'s log, (N − df + ½)/(df + ½) =
+    * (2(N−df)+1)/(2df+1), and with avgdl = T/N the tf-normalization
+    * clears to integers when multiplied through by 10·T:
+    * tfnorm = 22·tf·T / (10·tf·T + 3·T + 9·dl·N). Each per-term score
+    * is therefore ONE correctly-rounded double division of two exact
+    * BIGINT products (both < 2^53 at bench scale — at 100 TB the
+    * products shift to DECIMAL(38,0), same plan), rounded to scale 9
+    * and summed per (query, doc) as exact DECIMAL — associative, so
+    * any partial-aggregation order yields the identical sum, and the
+    * RANK is taken on that exact decimal, never on a double.
+    *
+    * Scale: tf is the [[tfidf]] exchange (one (doc, token)-keyed
+    * groupBy with map-side combine, localCheckpointed — it feeds df,
+    * dl, T and the probe); the query-term relation is literal and
+    * broadcasts into the tf probe (the corpus never shuffles for the
+    * probe); df joins back on token with AQE skew-split available;
+    * N / T re-enter as broadcast 1-row aggregates; the final top-k is
+    * a query-keyed window over the (queries × matched docs) relation,
+    * partition-bounded by the query count. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25On(docs(spark, dir))
+
+  private[pipeline] def bm25On(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val t = tf.agg(sum(col("tf")).as("t_toks"))
+    val qt = Bm25Queries.toDF("query_id", "query")
+      .select(col("query_id"), explode(split(col("query"), " ")).as("token"))
+    val num = (lit(2) * (col("n_docs") - col("df")) + lit(1)) *
+      lit(22) * col("tf") * col("t_toks")
+    val den = (lit(2) * col("df") + lit(1)) *
+      (lit(10) * col("tf") * col("t_toks") + lit(3) * col("t_toks") +
+        lit(9) * col("dl") * col("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sd").desc, col("doc_id"))
+    tf.join(broadcast(qt), Seq("token"))
+      .join(df, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(n), lit(true))
+      .join(broadcast(t), lit(true))
+      .withColumn("s",
+        round(num.cast("double") / den.cast("double"), 9).cast("decimal(20,9)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("s")).as("sd"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms_hit"),
+        round(col("sd").cast("double"), 6).as("bm25"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bm25Sql: String = {
+    val values = Bm25Queries.map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS t_toks FROM tf),
+       |qt AS (
+       |  SELECT query_id, unnest(string_split(query, ' ')) AS token
+       |  FROM (VALUES $values) AS q(query_id, query)),
+       |terms AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      CAST((2 * (n_docs - df) + 1) * 22 * tf.tf * t_toks AS DOUBLE) /
+       |      CAST((2 * df + 1) * (10 * tf.tf * t_toks + 3 * t_toks + 9 * dl.dl * n_docs) AS DOUBLE),
+       |      9) AS DECIMAL(20,9)) AS s
+       |  FROM tf
+       |  JOIN qt USING (token) JOIN df USING (token)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN n CROSS JOIN t),
+       |scored AS (
+       |  SELECT query_id, doc_id, COUNT(*) AS n_terms_hit, SUM(s) AS sd
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sd DESC, doc_id) AS INT) AS rank FROM scored)
+       |SELECT query_id, rank, doc_id, n_terms_hit,
+       |  round(CAST(sd AS DOUBLE), 6) AS bm25
+       |FROM ranked WHERE rank <= $Bm25TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // ------------------------------------------------------------ #33i collocations
 

@@ -1,0 +1,88 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** cdc_mv_maintain contract (SURVEY §2a #14k): the incremental path —
+  * stored T0 snapshot + (T0, now] slice deltas — must produce exactly
+  * what a FULL REPLAY of the log would, including the value-defined
+  * action tags, across the cases that break naive delta maintenance:
+  * delete-then-reinsert inside the slice, a cross-bucket UPDATE (the
+  * preimage-shaped case), a touched-but-net-zero bucket, a bucket
+  * emptied by tombstones, a bucket born and emptied inside the slice,
+  * and a TTL'd write (participates like any write — expiry is
+  * ttlTrim's concern, per the reference's replication semantics). */
+class MvMaintainSpec extends SparkSpec {
+
+  private val T0 = 1000L
+
+  // (user_id, event_id, time_us, cdc_operation, value, cdc_ttl)
+  // ops: 1=update 2=insert 3=delete; buckets are floor(value/50.00)
+  private def log(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      // base state (≤ T0)
+      (1L, 1L, 100L, 2, 10.00, None),          // bucket 0
+      (2L, 2L, 200L, 2, 60.00, None),          // bucket 1
+      (3L, 3L, 300L, 2, 40.00, None),          // bucket 0
+      (5L, 4L, 400L, 2, 160.00, None),         // bucket 3 (sole member)
+      (6L, 5L, 500L, 2, 200.00, None),         // bucket 4 (sole member)
+      // slice (> T0)
+      (2L, 6L, 1100L, 3, 0.00, None),          // delete...
+      (2L, 7L, 1200L, 2, 70.00, None),         // ...then reinsert, new value
+      (3L, 8L, 1300L, 1, 120.00, None),        // cross-bucket update 0 → 2
+      (4L, 9L, 1400L, 2, 55.00, Some(86400L)), // TTL'd insert, bucket 1
+      (5L, 10L, 1500L, 3, 0.00, None),         // tombstone empties bucket 3
+      (6L, 11L, 1600L, 1, 200.00, None),       // net-zero touch → carried
+      (8L, 12L, 1700L, 2, 260.00, None),       // born in slice (bucket 5)...
+      (8L, 13L, 1800L, 3, 0.00, None)          // ...and emptied — never emitted
+    ).toDF("user_id", "event_id", "time_us", "cdc_operation", "value", "cdc_ttl")
+  }
+
+  test("incremental maintenance ≡ full replay, action for action") {
+    val got = CdcOps.mvMaintainFromLog(log(), T0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (0L, "updated", 1L, 10.00),   // lost user 3 to bucket 2
+      (1L, "updated", 2L, 125.00),  // reinserted 70 + TTL'd 55
+      (2L, "created", 1L, 120.00),  // user 3 arrived
+      (3L, "emptied", 0L, 0.00),    // user 5 tombstoned
+      (4L, "carried", 1L, 200.00)   // touched, net zero
+    ), got.mkString("\n"))
+    // bucket 5 (born and emptied inside the slice) must be absent
+    assert(!got.exists(_._1 == 5L))
+  }
+
+  test("incremental result equals an independent local replay at any cutoff") {
+    val rows = log().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    def replayBuckets(upToUs: Long): Map[Long, (Long, Long)] =
+      rows.filter(_._3 <= upToUs)
+        .groupBy(_._1).values
+        .map(_.maxBy(e => (e._3, e._2)))          // LWW per key
+        .filter(_._4 != 3)                        // tombstoned keys absent
+        .map(e => math.round(e._5 * 100) / CdcOps.MvBucketCents ->
+          math.round(e._5 * 100))
+        .groupBy(_._1)
+        .map { case (b, cs) => b -> (cs.size.toLong, cs.map(_._2).sum) }
+    for (cutoff <- Seq(0L, 150L, 450L, T0, 1250L, 1350L, 2000L)) {
+      val fin = replayBuckets(Long.MaxValue)
+      val got = CdcOps.mvMaintainFromLog(log(), cutoff)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), math.round(r.getDouble(3) * 100)))
+      // every emitted bucket with rows matches the replay; emptied
+      // buckets (n_rows = 0) must be absent from the replay state
+      got.foreach { case (b, n, cents) =>
+        if (n > 0L) assert(fin(b) == (n, cents), s"cutoff $cutoff bucket $b")
+        else assert(!fin.contains(b), s"cutoff $cutoff bucket $b should be gone")
+      }
+      // ...and the replay has no bucket the incremental path missed
+      fin.keys.foreach { b =>
+        assert(got.exists(g => g._1 == b && g._2 > 0), s"cutoff $cutoff missing $b")
+      }
+    }
+  }
+}
