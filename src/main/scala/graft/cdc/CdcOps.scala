@@ -1441,6 +1441,121 @@ object CdcOps {
       .orderBy(col("bucket"))
   }
 
+  /** #14l: MIN/MAX MV maintenance — the NON-self-maintainable case
+    * (Gupta & Mumick's distinction): COUNT/SUM maintain by pure
+    * retract+insert deltas ([[mvMaintainFromLog]]), but deleting a
+    * bucket's MIN/MAX needs the runner-up, which no delta stream
+    * carries. The production answer, made relational: recompute ONLY
+    * the touched buckets — survivor rows = (snapshot minus touched
+    * keys) ∪ end-of-slice states, restricted to buckets any touched
+    * key's old or new contribution lands in — and carry every other
+    * bucket's stored row untouched. Cost is
+    * O(slice + rows of touched buckets + |MV|), never O(log); with
+    * the snapshot stored bucket-partitioned (the natural layout for
+    * an MV source), the touched-bucket scan is partition-pruned.
+    *
+    * Action tags stay value-defined (a touched bucket whose
+    * (count, min, max) came out identical reads `carried`), and the
+    * oracle is again the full-log recompute — the gate proves the
+    * touched-bucket shortcut loses nothing, including the
+    * delete-the-max-then-surface-the-runner-up case the spec pins. */
+  def mvMinMax(spark: SparkSession, dir: String): DataFrame =
+    mvMinMaxFromLog(cdcLog(spark, dir), SnapshotCutoffUs)
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log. */
+  def mvMinMaxFromLog(log: DataFrame, cutoffUs: Long): DataFrame = {
+    val writes = log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val s0 = writes.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), cents.as("cents"))
+      .withColumn("bucket", expr(s"cents div $MvBucketCents"))
+    val base = s0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("base_n"), min(col("cents")).as("base_mn"),
+        max(col("cents")).as("base_mx"))
+    val batch = writes.filter(col("time_us") > cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("cdc_operation").as("b_op"), cents.as("b_cents"))
+    val newRows = batch.filter(col("b_op") =!= RowDelete)
+      .select(col("user_id"), col("b_cents").as("cents"),
+        expr(s"b_cents div $MvBucketCents").as("bucket"))
+    // every bucket a touched key's OLD or NEW contribution lands in
+    val touchedBuckets = s0
+      .join(batch.select(col("user_id")), Seq("user_id"), "left_semi")
+      .select(col("bucket"))
+      .unionByName(newRows.select(col("bucket")))
+      .distinct()
+    // recompute exactly those buckets from their surviving rows
+    val keptRows = s0
+      .join(batch.select(col("user_id")), Seq("user_id"), "left_anti")
+      .join(touchedBuckets, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("cents"))
+    val recomputed = keptRows.unionByName(newRows.select(col("bucket"), col("cents")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_n"), min(col("cents")).as("new_mn"),
+        max(col("cents")).as("new_mx"))
+    val untouched = base.join(touchedBuckets, Seq("bucket"), "left_anti")
+      .select(col("bucket"), lit("carried").as("mv_action"),
+        col("base_n").as("n_rows"),
+        (col("base_mn").cast("double") / 100.0).as("min_value"),
+        (col("base_mx").cast("double") / 100.0).as("max_value"))
+    val touched = touchedBuckets
+      .join(base, Seq("bucket"), "left")
+      .join(recomputed, Seq("bucket"), "left")
+      .withColumn("n_rows", coalesce(col("new_n"), lit(0L)))
+      .withColumn("mv_action",
+        when(col("base_n").isNull, "created")
+          .when(col("n_rows") === 0, "emptied")
+          .when(col("n_rows") === col("base_n") && col("new_mn") === col("base_mn")
+            && col("new_mx") === col("base_mx"), "carried")
+          .otherwise("updated"))
+      // a bucket born AND emptied inside the slice never existed
+      .filter(col("n_rows") > 0 || col("base_n").isNotNull)
+      .select(col("bucket"), col("mv_action"), col("n_rows"),
+        (col("new_mn").cast("double") / 100.0).as("min_value"),
+        (col("new_mx").cast("double") / 100.0).as("max_value"))
+    untouched.unionByName(touched).orderBy(col("bucket"))
+  }
+
+  /** Oracle: the full-log recompute, min/max edition. */
+  val mvMinMaxSql: String = CdcLogAdapter.oracleCte +
+    s""", writes AS (SELECT * FROM cdc WHERE cdc_operation IN (1, 2, 3)),
+       |s0 AS (
+       |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes WHERE time_us <= $SnapshotCutoffUs)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |sf AS (
+       |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |base AS (
+       |  SELECT cents // $MvBucketCents AS bucket, COUNT(*) AS base_n,
+       |    MIN(cents) AS base_mn, MAX(cents) AS base_mx
+       |  FROM s0 GROUP BY 1),
+       |fin AS (
+       |  SELECT cents // $MvBucketCents AS bucket, COUNT(*) AS n_rows,
+       |    MIN(cents) AS new_mn, MAX(cents) AS new_mx
+       |  FROM sf GROUP BY 1)
+       |SELECT COALESCE(b.bucket, f.bucket) AS bucket,
+       |  CASE WHEN b.bucket IS NULL THEN 'created'
+       |       WHEN f.bucket IS NULL THEN 'emptied'
+       |       WHEN f.n_rows = b.base_n AND f.new_mn = b.base_mn
+       |         AND f.new_mx = b.base_mx THEN 'carried'
+       |       ELSE 'updated' END AS mv_action,
+       |  COALESCE(f.n_rows, 0) AS n_rows,
+       |  CAST(f.new_mn AS DOUBLE) / 100.0 AS min_value,
+       |  CAST(f.new_mx AS DOUBLE) / 100.0 AS max_value
+       |FROM base b FULL OUTER JOIN fin f ON b.bucket = f.bucket
+       |ORDER BY bucket""".stripMargin
+
   /** Oracle: the FULL-LOG recompute the incremental path must equal —
     * base MV from the ≤ T0 state, final MV from the whole log's LWW
     * state, actions by value comparison. */

@@ -56,6 +56,55 @@ class MvMaintainSpec extends SparkSpec {
     assert(!got.exists(_._1 == 5L))
   }
 
+  test("min/max maintenance: deleting a bucket's max surfaces the runner-up") {
+    import spark.implicits._
+    // bucket 0 holds 10, 30, 45 at T0; the slice deletes the 45 (max)
+    // and updates the 10 to 5 (new min) — both extremes move without
+    // any insert, the case pure delta maintenance cannot handle
+    val log = Seq(
+      (1L, 1L, 100L, 2, 10.00),
+      (2L, 2L, 200L, 2, 30.00),
+      (3L, 3L, 300L, 2, 45.00),
+      (4L, 4L, 400L, 2, 160.00),                 // bucket 3, untouched
+      (3L, 5L, 1100L, 3, 0.00),                  // delete the max
+      (1L, 6L, 1200L, 1, 5.00)                   // lower the min
+    ).toDF("user_id", "event_id", "time_us", "cdc_operation", "value")
+    val got = CdcOps.mvMinMaxFromLog(log, T0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, "updated", 2L, 5.00, 30.00),   // runner-up 30 is the new max
+      (3L, "carried", 1L, 160.00, 160.00)
+    ), got.mkString("\n"))
+  }
+
+  test("min/max incremental ≡ full replay at any cutoff, including emptied buckets") {
+    val rows = log().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    def replay(upToUs: Long): Map[Long, (Long, Long, Long)] =
+      rows.filter(_._3 <= upToUs)
+        .groupBy(_._1).values
+        .map(_.maxBy(e => (e._3, e._2)))
+        .filter(_._4 != 3)
+        .map(e => math.round(e._5 * 100))
+        .groupBy(_ / CdcOps.MvBucketCents)
+        .map { case (b, cs) => b -> (cs.size.toLong, cs.min, cs.max) }
+    for (cutoff <- Seq(0L, 450L, T0, 1350L, 2000L)) {
+      val fin = replay(Long.MaxValue)
+      val got = CdcOps.mvMinMaxFromLog(log(), cutoff).collect()
+        .map(r => (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(3)) -1L else math.round(r.getDouble(3) * 100),
+          if (r.isNullAt(4)) -1L else math.round(r.getDouble(4) * 100)))
+      got.foreach { case (b, n, mn, mx) =>
+        if (n > 0L) assert(fin(b) == (n, mn, mx), s"cutoff $cutoff bucket $b")
+        else assert(!fin.contains(b), s"cutoff $cutoff bucket $b should be gone")
+      }
+      fin.keys.foreach { b =>
+        assert(got.exists(g => g._1 == b && g._2 > 0), s"cutoff $cutoff missing $b")
+      }
+    }
+  }
+
   test("incremental result equals an independent local replay at any cutoff") {
     val rows = log().collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
