@@ -222,6 +222,65 @@ object CdcOps {
       |WHERE rn = 1 AND cdc_operation <> 3
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ replica checksum audit
+
+  /** Key-range width of one checksum bucket (the pt-table-checksum /
+    * repair-chunk posture: coarse enough that comparing two replicas
+    * exchanges \|ranges\| rows, fine enough that a divergence is
+    * localized to a re-syncable slice). */
+  val ChecksumRangeUsers = 10L
+  /** Per-row digests are taken mod this prime BEFORE summing, so the
+    * range sum stays exact BIGINT arithmetic at any row count the
+    * range can hold (rows-per-range × mod < 2⁶³ up to ~9·10⁹ rows per
+    * range — far beyond any sane chunk). */
+  val ChecksumMod = 1000000007L
+
+  /** #14m: REPLICA CHECKSUM AUDIT — the divergence detector a CDC
+    * replication deployment runs after the replicator
+    * (pt-table-checksum / scylla-manager repair-checksum shape): the
+    * materialized LWW table, bucketed into contiguous key ranges,
+    * each range reduced to (row count, ORDER-INDEPENDENT content
+    * digest). Two replicas — or a replica and an independent
+    * recompute — compare by exchanging only the \|ranges\|-row
+    * checksum relations; a mismatched range is the re-sync unit.
+    * The digest is a per-row polynomial over (key, payload cents,
+    * last writer) taken mod a prime and SUMMED — commutative, so the
+    * aggregate is partitioning-invariant and map-side combines; one
+    * range-keyed exchange after the LWW window's key exchange.
+    * ReplicaChecksumSpec proves the two INDEPENDENT materialization
+    * paths in this library (full LWW replay vs incremental
+    * snapshot+slice merge) produce identical checksums, and that a
+    * single tampered row flips exactly its own range's digest. */
+  def replicaChecksum(spark: SparkSession, dir: String): DataFrame =
+    checksumFrame(replicateLwwFromLog(cdcLog(spark, dir)))
+
+  /** Checksum any conforming materialized state: needs `user_id`,
+    * `value`, `last_event_id`. */
+  def checksumFrame(state: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    state
+      .select(col("user_id"), col("last_event_id"), cents.as("cents"))
+      .withColumn("range_id", expr(s"user_id div $ChecksumRangeUsers"))
+      .withColumn("row_digest",
+        expr(s"(user_id * 1000003 + cents * 31 + last_event_id * 7) % $ChecksumMod"))
+      .groupBy(col("range_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_digest")).as("digest"))
+      .orderBy(col("range_id"))
+  }
+
+  val replicaChecksumSql: String = CdcLogAdapter.oracleCte +
+    s""", state AS (
+       |  SELECT user_id, event_id AS last_event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM cdc WHERE cdc_operation IN (1, 2, 3))
+       |  WHERE rn = 1 AND cdc_operation <> 3)
+       |SELECT user_id // $ChecksumRangeUsers AS range_id,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM((user_id * 1000003 + cents * 31 + last_event_id * 7) % $ChecksumMod) AS BIGINT) AS digest
+       |FROM state GROUP BY 1 ORDER BY range_id""".stripMargin
+
   /** [[timeTravel]]'s labeled cutoffs: the two generation switchovers
     * plus the log head — the AS-OF points an operator actually asks
     * about ("what did the table look like when generation N went

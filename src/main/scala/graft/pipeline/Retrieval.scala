@@ -71,11 +71,6 @@ object Retrieval {
       .withColumn("rank", row_number().over(wTerms))
       .filter(col("rank") <= RrfMaxQueryTerms)
       .select(col("query_id"), col("token"))
-    val num = (lit(2) * (col("n_docs") - col("df")) + lit(1)) *
-      lit(22) * col("tf") * col("t_toks")
-    val den = (lit(2) * col("df") + lit(1)) *
-      (lit(10) * col("tf") * col("t_toks") + lit(3) * col("t_toks") +
-        lit(9) * col("dl") * col("n_docs"))
     val wLex = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
     val lex = tf.join(broadcast(qt), Seq("token"))
       .filter(col("doc_id") =!= col("query_id"))
@@ -83,8 +78,8 @@ object Retrieval {
       .join(dl, Seq("doc_id"))
       .join(broadcast(n), lit(true))
       .join(broadcast(t), lit(true))
-      .withColumn("s",
-        round(num.cast("double") / den.cast("double"), 9).cast("decimal(20,9)"))
+      .withColumn("s", TextAnalysis.bm25TermScore(col("tf"), col("df"),
+        col("dl"), col("n_docs"), col("t_toks")))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("lex"))
       .withColumn("lex_rank", row_number().over(wLex))
@@ -133,10 +128,7 @@ object Retrieval {
        |  WHERE trank <= $RrfMaxQueryTerms),
        |lexterms AS (
        |  SELECT qt.query_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST((2 * (n_docs - df) + 1) * 22 * tf.tf * t_toks AS DOUBLE) /
-       |      CAST((2 * df + 1) * (10 * tf.tf * t_toks + 3 * t_toks + 9 * dl.dl * n_docs) AS DOUBLE),
-       |      9) AS DECIMAL(20,9)) AS s
+       |    ${TextAnalysis.bm25TermScoreSql} AS s
        |  FROM tf
        |  JOIN qt USING (token) JOIN dfr USING (token)
        |  JOIN dl ON tf.doc_id = dl.doc_id

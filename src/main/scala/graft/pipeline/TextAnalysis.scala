@@ -708,6 +708,30 @@ object TextAnalysis {
     5 -> "slow query filter sort")
   val Bm25TopK = 10
 
+  /** The exact-rational BM25 per-term score — ONE correctly-rounded
+    * double division of two exact BIGINT products (see [[bm25]] for
+    * the derivation), rounded to scale 9 for exact DECIMAL summation.
+    * Shared by [[bm25]] and [[Retrieval.rrfOn]] so the lexical math
+    * exists in exactly one place. Column args: term frequency in the
+    * doc, document frequency, doc length (tokens), corpus doc count,
+    * corpus token count. */
+  private[pipeline] def bm25TermScore(tf: Column, df: Column, dl: Column,
+      nDocs: Column, tToks: Column): Column = {
+    val num = (lit(2) * (nDocs - df) + lit(1)) * lit(22) * tf * tToks
+    val den = (lit(2) * df + lit(1)) *
+      (lit(10) * tf * tToks + lit(3) * tToks + lit(9) * dl * nDocs)
+    round(num.cast("double") / den.cast("double"), 9).cast("decimal(20,9)")
+  }
+
+  /** The SQL twin of [[bm25TermScore]] over columns named
+    * `tf.tf, df, dl.dl, n_docs, t_toks` (the CTE layout both
+    * consumers share). */
+  private[pipeline] val bm25TermScoreSql: String =
+    """CAST(round(
+      |      CAST((2 * (n_docs - df) + 1) * 22 * tf.tf * t_toks AS DOUBLE) /
+      |      CAST((2 * df + 1) * (10 * tf.tf * t_toks + 3 * t_toks + 9 * dl.dl * n_docs) AS DOUBLE),
+      |      9) AS DECIMAL(20,9))""".stripMargin
+
   /** BM25 retrieval scoring (Robertson–Spärck Jones / Okapi) — the
     * retrieval twin of [[tfidf]]: per (query, doc),
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
@@ -748,11 +772,6 @@ object TextAnalysis {
     val t = tf.agg(sum(col("tf")).as("t_toks"))
     val qt = Bm25Queries.toDF("query_id", "query")
       .select(col("query_id"), explode(split(col("query"), " ")).as("token"))
-    val num = (lit(2) * (col("n_docs") - col("df")) + lit(1)) *
-      lit(22) * col("tf") * col("t_toks")
-    val den = (lit(2) * col("df") + lit(1)) *
-      (lit(10) * col("tf") * col("t_toks") + lit(3) * col("t_toks") +
-        lit(9) * col("dl") * col("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sd").desc, col("doc_id"))
     tf.join(broadcast(qt), Seq("token"))
@@ -760,8 +779,8 @@ object TextAnalysis {
       .join(dl, Seq("doc_id"))
       .join(broadcast(n), lit(true))
       .join(broadcast(t), lit(true))
-      .withColumn("s",
-        round(num.cast("double") / den.cast("double"), 9).cast("decimal(20,9)"))
+      .withColumn("s", bm25TermScore(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("t_toks")))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("s")).as("sd"))
       .withColumn("rank", row_number().over(w))
@@ -785,10 +804,7 @@ object TextAnalysis {
        |  FROM (VALUES $values) AS q(query_id, query)),
        |terms AS (
        |  SELECT qt.query_id, tf.doc_id,
-       |    CAST(round(
-       |      CAST((2 * (n_docs - df) + 1) * 22 * tf.tf * t_toks AS DOUBLE) /
-       |      CAST((2 * df + 1) * (10 * tf.tf * t_toks + 3 * t_toks + 9 * dl.dl * n_docs) AS DOUBLE),
-       |      9) AS DECIMAL(20,9)) AS s
+       |    $bm25TermScoreSql AS s
        |  FROM tf
        |  JOIN qt USING (token) JOIN df USING (token)
        |  JOIN dl ON tf.doc_id = dl.doc_id
