@@ -98,20 +98,35 @@ object Urls {
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
 
-  /** Canonical host: authority without userinfo or port, lower-cased,
-    * leading `www.` stripped. The userinfo strip ('u@example.com' →
-    * 'example.com') keeps credentialed crawl variants collapsing with
-    * the bare page; the port strip is bracket-aware so an IPv6 literal
-    * ('[::1]:443' → '[::1]') survives, and only numeric ports are
-    * stripped (a malformed ':abc' suffix is left as-is, matching the
-    * unparseable-input fallback philosophy below). */
-  private def hostOf(url: Column): Column = {
-    val auth = regexp_replace(
-      regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1), "^[^/?#]*@", "")
+  /** The NORMALIZED AUTHORITY every host/port rule reads: userinfo
+    * stripped ('u@example.com' → 'example.com', so credentialed crawl
+    * variants collapse with the bare page), lower-cased, leading
+    * `www.` stripped — in that order, BEFORE any port logic, so host
+    * and port are always decomposed from the same string. (The
+    * UrlCanonPropertySpec idempotency sweep caught the alternative:
+    * with www-stripping after the port strip, 'www.[::1]:8080'
+    * defeated the bracket-aware strip but still fed the port
+    * extractor, and canonicalization APPENDED a duplicate ':8080' on
+    * every pass.) */
+  private def normAuth(url: Column): Column =
     regexp_replace(
-      lower(regexp_replace(auth, "^(\\[[^\\]]*\\]|[^:]*?):[0-9]+$", "$1")),
+      lower(regexp_replace(
+        regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1), "^[^/?#]*@", "")),
       "^www\\.", "")
-  }
+
+  /** Canonical host: [[normAuth]] minus a clean `:port` suffix. The
+    * strip is bracket-aware (an IPv6 literal '[::1]:443' → '[::1]')
+    * and anchored to a WHOLE host:port form — a malformed remainder
+    * ('host:abc', 'host:1:2') is left untouched, and [[portOf]] uses
+    * the SAME anchored form, so whatever this keeps, that never
+    * extracts: no append-without-strip drift. */
+  private def hostOf(url: Column): Column =
+    regexp_replace(normAuth(url), "^(\\[[^\\]]*\\]|[^:]*?):[0-9]+$", "$1")
+
+  /** Numeric port of a clean host:port authority, '' otherwise —
+    * the extraction twin of [[hostOf]]'s strip. */
+  private def portOf(url: Column): Column =
+    regexp_extract(normAuth(url), "^(?:\\[[^\\]]*\\]|[^:]*?):([0-9]+)$", 1)
 
   /** CANONICAL URL of any url column — the dedup key. Rules (each one
     * a variant the same page is crawled under):
@@ -127,8 +142,7 @@ object Urls {
   def canonicalizeUrl(url: Column): Column = {
     val preFragment = regexp_replace(url, "#.*$", "")
     val scheme = schemeOf(url)
-    val hostport = regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val port = portOf(url)
     val keptPort = when(port === "", lit(""))
       .when(scheme === "https" && port === "443", lit(""))
       .when(scheme === "http" && port === "80", lit(""))
@@ -161,11 +175,14 @@ object Urls {
       |    COALESCE(array_to_string(list_filter(string_split(regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)', 1), '&'),
       |      p -> len(p) > 0 AND substr(p, 1, 4) <> 'utm_'), '&'), '') AS q
       |  FROM urls),
+      |auths AS (
+      |  SELECT *, regexp_replace(lower(regexp_replace(hostport, '^[^/?#]*@', '')), '^www\.', '') AS auth
+      |  FROM parts),
       |canon AS (
       |  SELECT doc_id, text, url, scheme,
-      |    regexp_replace(lower(regexp_replace(regexp_replace(hostport, '^[^/?#]*@', ''), '^(\[[^\]]*\]|[^:]*?):[0-9]+$', '\1')), '^www\.', '') AS host,
-      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path, q
-      |  FROM parts),
+      |    regexp_replace(auth, '^(\[[^\]]*\]|[^:]*?):[0-9]+$', '\1') AS host,
+      |    regexp_extract(auth, '^(?:\[[^\]]*\]|[^:]*?):([0-9]+)$', 1) AS port, path, q
+      |  FROM auths),
       |curl AS (
       |  SELECT doc_id, text, host,
       |    CASE WHEN scheme = '' OR host = '' THEN trim(url) ELSE
