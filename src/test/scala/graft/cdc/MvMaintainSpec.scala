@@ -105,6 +105,47 @@ class MvMaintainSpec extends SparkSpec {
     }
   }
 
+  test("random logs: both maintainers ≡ local replay at random cutoffs (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val ops = (1 to 300).map { i =>
+        val op = rnd.nextInt(10) match {
+          case 0 | 1 => 3            // ~20% deletes
+          case x if x < 6 => 2       // inserts
+          case _ => 1                // updates
+        }
+        // deliberate time collisions (event_id breaks the tie), values
+        // spanning several buckets with exact 2-decimal cents
+        (rnd.nextInt(25).toLong, i.toLong, rnd.nextInt(40).toLong * 10L,
+          op, rnd.nextInt(20000) / 100.0)
+      }
+      val log = ops.toDF("user_id", "event_id", "time_us", "cdc_operation", "value")
+      def state(upToUs: Long): Seq[Long] = ops
+        .filter(_._3 <= upToUs)
+        .groupBy(_._1).values
+        .map(_.maxBy(e => (e._3, e._2)))
+        .filter(_._4 != 3)
+        .map(e => math.round(e._5 * 100)).toSeq
+      val fin = state(Long.MaxValue)
+      val finSum = fin.groupBy(_ / CdcOps.MvBucketCents)
+        .map { case (b, cs) => b -> (cs.size.toLong, cs.sum) }
+      val finMinMax = fin.groupBy(_ / CdcOps.MvBucketCents)
+        .map { case (b, cs) => b -> (cs.size.toLong, cs.min, cs.max) }
+      for (cutoff <- Seq(-1L, rnd.nextInt(400).toLong, 390L)) {
+        val gotSum = CdcOps.mvMaintainFromLog(log, cutoff).collect()
+          .filter(_.getLong(2) > 0)
+          .map(r => r.getLong(0) -> ((r.getLong(2), math.round(r.getDouble(3) * 100)))).toMap
+        assert(gotSum == finSum, s"seed $seed cutoff $cutoff (sum)")
+        val gotMm = CdcOps.mvMinMaxFromLog(log, cutoff).collect()
+          .filter(_.getLong(2) > 0)
+          .map(r => r.getLong(0) -> ((r.getLong(2),
+            math.round(r.getDouble(3) * 100), math.round(r.getDouble(4) * 100)))).toMap
+        assert(gotMm == finMinMax, s"seed $seed cutoff $cutoff (minmax)")
+      }
+    }
+  }
+
   test("incremental result equals an independent local replay at any cutoff") {
     val rows = log().collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** piiScrubOn contract on handcrafted dirty text: per-class counts,
   * span-exact redaction (surrounding text untouched), clean docs pass
@@ -48,5 +49,36 @@ class PiiScrubSpec extends SparkSpec {
       assert(ip == (if (id % 4 == 0) 1L else 0L), s"doc $id ips")
       assert(ph == (if (id % 5 == 0) 1L else 0L), s"doc $id phones")
     }
+  }
+
+  test("no detectable PII survives scrubbing, even on adversarial chained inputs") {
+    import spark.implicits._
+    // the leak shapes a one-pass redactor can get wrong: chained '@'s
+    // (a half-consumed email leaving 'EMAIL@w.com'-style bait — the
+    // replacement token's closing '>' is what breaks local-part
+    // adjacency, so this spec is the guard that keeps the token
+    // bracketed), long dotted-digit runs (leftovers must be caught as
+    // subsequent non-overlapping matches in the SAME pass), PII
+    // touching token boundaries, and seeded random concatenations
+    val rnd = new scala.util.Random(11)
+    val parts = Seq(
+      "x@y.zz@w.com", "zz@a@b.com", "@a@b.com", "a@b.com@",
+      "1.2.3.4.5.6.7.8", "255.255.255.255.255", "1.2.3.4.500",
+      "+1-555-12345", "+1-555-+1-555-1234", "a@1.2.3.4.com",
+      "plain words ", "a@b.com", "10.0.0.1", "+1-555-0000")
+    val nasty = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(5) + 1)(parts(rnd.nextInt(parts.length)))
+        .mkString(rnd.nextInt(3) match { case 0 => "" case 1 => " " case _ => "." }))
+    }
+    val scrubbed = TextAnalysis.piiScrubOn(
+      nasty.toDF("doc_id", "text"), "text")
+      .select(col("doc_id"), col("clean_text"))
+    // re-running detection on the scrubbed text must find NOTHING
+    val leaks = TextAnalysis.piiScrubOn(scrubbed, "clean_text")
+      .filter(col("pii_total") > 0)
+      .select(col("doc_id"), col("clean_text"))
+      .collect()
+    assert(leaks.isEmpty,
+      leaks.take(5).map(r => s"${r.getLong(0)}: <${r.getString(1)}>").mkString("\n"))
   }
 }
