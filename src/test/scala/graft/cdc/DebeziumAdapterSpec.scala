@@ -55,6 +55,35 @@ class DebeziumAdapterSpec extends SparkSpec {
     assert(DebeziumAdapter.fromDebeziumJson(in).count() + rej.length == 7)
   }
 
+  test("streaming topology: envelope stream → adapter → snapshot merge converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production shape: Kafka value strings → from_json adapter →
+    // continuous snapshot maintenance, across out-of-order batches
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val store = new graft.streaming.StreamingSnapshotMerge.InMemorySnapshotStore(spark)
+    val q = graft.streaming.StreamingSnapshotMerge.attach(
+      DebeziumAdapter.fromDebeziumJson(input.toDF()), store, confidenceUs = 1000000000L)
+    try {
+      input.addData(
+        """{"op":"c","ts_ms":10,"after":{"user_id":1,"event_id":1,"value":1.0,"props":"{}"}}""",
+        """{"op":"c","ts_ms":20,"after":{"user_id":2,"event_id":2,"value":2.0,"props":"{}"}}""")
+      q.processAllAvailable()
+      input.addData(
+        """{"op":"u","ts_ms":80,"after":{"user_id":1,"event_id":3,"value":1.5,"props":"{}"}}""",
+        """{"op":"d","ts_ms":50,"before":{"user_id":2,"event_id":4,"value":2.0,"props":"{}"}}""")
+      q.processAllAvailable()
+      // late arrival older than what merged — must not win
+      input.addData(
+        """{"op":"u","ts_ms":40,"after":{"user_id":1,"event_id":5,"value":9.9,"props":"{}"}}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = graft.streaming.StreamingSnapshotMerge.liveView(store.read())
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).toSet
+    assert(live == Set((1L, 1.5)), live.toString)
+    assert(store.read().filter("user_id = 2 AND deleted").count() == 1)
+  }
+
   test("round-trip: a Debezium feed of the native log replicates to the same table") {
     val native = CdcLogAdapter.fromEvents(
       graft.Tables.events(spark, "/root/testdata/sf0.001"))
