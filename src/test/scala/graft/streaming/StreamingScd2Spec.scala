@@ -85,6 +85,49 @@ class StreamingScd2Spec extends SparkSpec {
     assert(u2 == Set((2L, 1, 10L, 100L, Some(260L), false, 9.0)))
   }
 
+  test("random logs in random micro-batches ≡ the batch operator (3 seeds, wide confidence)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // arbitrary interleavings of inserts/updates/deletes across keys,
+    // shuffled into arrival order DECOUPLED from event time, split at
+    // random batch boundaries; the confidence window spans the whole
+    // log so every out-of-order arrival is in-contract — the final
+    // maintained table must equal the batch recompute exactly
+    for (seed <- Seq(2, 9, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val ops = (1 to 150).map { i =>
+        val op = rnd.nextInt(10) match {
+          case 0 | 1 => RowDelete
+          case x if x < 6 => RowInsert
+          case _ => RowUpdate
+        }
+        // distinct event times per key are what SCD2 versions key on;
+        // collisions across keys are fine and frequent here
+        Change(rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(500).toLong * 10 + i % 10,
+          op, rnd.nextInt(1000) / 100.0, "{}")
+      }
+      val arrival = rnd.shuffle(ops)
+      val batches = {
+        var rest = arrival
+        val acc = scala.collection.mutable.Buffer[Seq[Change]]()
+        while (rest.nonEmpty) {
+          val k = math.min(rest.length, rnd.nextInt(40) + 1)
+          acc += rest.take(k); rest = rest.drop(k)
+        }
+        acc.toSeq
+      }
+      val input = MemoryStream[Change]
+      val store = new StreamingScd2.InMemoryScd2Store(spark)
+      val q = StreamingScd2.attach(input.toDF(), store, confidenceUs = 1000000L)
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val got = table(store.read())
+      val want = table(CdcOps.scd2HistoryFromLog(asLog(ops)))
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} versions")
+    }
+  }
+
   test("freeze line advances across batches and the frozen store only ever grows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
