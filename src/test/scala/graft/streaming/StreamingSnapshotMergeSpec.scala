@@ -58,6 +58,48 @@ class StreamingSnapshotMergeSpec extends SparkSpec {
     assert(store.read().filter("user_id = 2 AND deleted").count() == 1)
   }
 
+  test("random logs in random micro-batches converge to the LWW replay (3 seeds)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(4, 13, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val ops = (1 to 150).map { i =>
+        val op = rnd.nextInt(10) match {
+          case 0 | 1 | 2 => RowDelete
+          case x if x < 7 => RowInsert
+          case _ => RowUpdate
+        }
+        Change(rnd.nextInt(10).toLong, i.toLong, rnd.nextInt(300).toLong * 10,
+          op, rnd.nextInt(1000) / 100.0, "{}")
+      }
+      val arrival = rnd.shuffle(ops)
+      val batches = {
+        var rest = arrival
+        val acc = scala.collection.mutable.Buffer[Seq[Change]]()
+        while (rest.nonEmpty) {
+          val k = math.min(rest.length, rnd.nextInt(50) + 1)
+          acc += rest.take(k); rest = rest.drop(k)
+        }
+        acc.toSeq
+      }
+      val input = MemoryStream[Change]
+      val store = new StreamingSnapshotMerge.InMemorySnapshotStore(spark)
+      // wide confidence: no tombstone ages out, so anti-resurrection
+      // holds for arbitrarily late arrivals in this sweep
+      val q = StreamingSnapshotMerge.attach(input.toDF(), store, confidenceUs = 1000000000L)
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val got = StreamingSnapshotMerge.liveView(store.read()).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[Long]("last_write_us"), r.getAs[Double]("value"))).toSet
+      val want = CdcOps.replicateLwwFromLog(asLog(ops)).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[Long]("last_write_us"), r.getAs[Double]("value"))).toSet
+      assert(got == want, s"seed $seed: ${got.size} vs ${want.size} live rows")
+    }
+  }
+
   test("merge is idempotent: re-merging a replayed slice is a no-op") {
     val snapshot = StreamingSnapshotMerge.mergeReduced(
       StreamingSnapshotMerge.emptySnapshot(spark),
