@@ -254,13 +254,25 @@ object CdcOps {
   def replicaChecksum(spark: SparkSession, dir: String): DataFrame =
     checksumFrame(replicateLwwFromLog(cdcLog(spark, dir)))
 
+  /** DuckDB-`//`-compatible FLOOR division as a SQL fragment. Spark's
+    * `div` truncates toward zero, so negative dividends diverge from
+    * the paired oracles' floor semantics (-7 div 10 = 0 vs
+    * -7 // 10 = -1) — invisible on the non-negative testdata but real
+    * on the advertised bring-your-own-log surfaces (r11 ADVICE item).
+    * Exact integer arithmetic for a positive constant divisor; used
+    * everywhere a key or cents value is bucketed ([[checksumFrame]],
+    * [[mvMaintainFromLog]], [[mvMinMaxFromLog]], and the streaming
+    * maintainer's contributions). */
+  private[graft] def floorDivSql(a: String, b: Long): String =
+    s"(($a) div $b - (CASE WHEN ($a) % $b < 0 THEN 1 ELSE 0 END))"
+
   /** Checksum any conforming materialized state: needs `user_id`,
     * `value`, `last_event_id`. */
   def checksumFrame(state: DataFrame): DataFrame = {
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
     state
       .select(col("user_id"), col("last_event_id"), cents.as("cents"))
-      .withColumn("range_id", expr(s"user_id div $ChecksumRangeUsers"))
+      .withColumn("range_id", expr(floorDivSql("user_id", ChecksumRangeUsers)))
       .withColumn("row_digest",
         expr(s"(user_id * 1000003 + cents * 31 + last_event_id * 7) % $ChecksumMod"))
       .groupBy(col("range_id"))
@@ -1470,17 +1482,17 @@ object CdcOps {
     // retract T0 contributions of touched keys; insert end-of-slice
     // contributions (none when the slice ends in a tombstone)
     val oldC = s0.join(batch.select(col("user_id")), Seq("user_id"), "left_semi")
-      .select(expr(s"cents div $MvBucketCents").as("bucket"),
+      .select(expr(floorDivSql("cents", MvBucketCents)).as("bucket"),
         lit(-1L).as("d_n"), (-col("cents")).as("d_cents"))
     val newC = batch.filter(col("b_op") =!= RowDelete)
-      .select(expr(s"b_cents div $MvBucketCents").as("bucket"),
+      .select(expr(floorDivSql("b_cents", MvBucketCents)).as("bucket"),
         lit(1L).as("d_n"), col("b_cents").as("d_cents"))
     val delta = oldC.unionByName(newC)
       .groupBy(col("bucket"))
       .agg(sum(col("d_n")).as("d_n"), sum(col("d_cents")).as("d_cents"))
     // the stored MV (maintained from the same T0 state)
     val base = s0
-      .groupBy(expr(s"cents div $MvBucketCents").as("bucket"))
+      .groupBy(expr(floorDivSql("cents", MvBucketCents)).as("bucket"))
       .agg(count(lit(1)).as("base_n"), sum(col("cents")).as("base_cents"))
     base.join(delta, Seq("bucket"), "full_outer")
       .withColumn("n_rows", coalesce(col("base_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
@@ -1531,7 +1543,7 @@ object CdcOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
       .select(col("user_id"), cents.as("cents"))
-      .withColumn("bucket", expr(s"cents div $MvBucketCents"))
+      .withColumn("bucket", expr(floorDivSql("cents", MvBucketCents)))
     val base = s0.groupBy(col("bucket"))
       .agg(count(lit(1)).as("base_n"), min(col("cents")).as("base_mn"),
         max(col("cents")).as("base_mx"))
@@ -1541,7 +1553,7 @@ object CdcOps {
       .select(col("user_id"), col("cdc_operation").as("b_op"), cents.as("b_cents"))
     val newRows = batch.filter(col("b_op") =!= RowDelete)
       .select(col("user_id"), col("b_cents").as("cents"),
-        expr(s"b_cents div $MvBucketCents").as("bucket"))
+        expr(floorDivSql("b_cents", MvBucketCents)).as("bucket"))
     // every bucket a touched key's OLD or NEW contribution lands in
     val touchedBuckets = s0
       .join(batch.select(col("user_id")), Seq("user_id"), "left_semi")
@@ -1614,6 +1626,113 @@ object CdcOps {
        |  CAST(f.new_mx AS DOUBLE) / 100.0 AS max_value
        |FROM base b FULL OUTER JOIN fin f ON b.bucket = f.bucket
        |ORDER BY bucket""".stripMargin
+
+  /** Loud cap on the touched-bucket literal list [[mvMinMaxFromStored]]
+    * collects: the list is MV-grain metadata (like a centroid set), so
+    * a size beyond this means the caller's bucketing is wrong for an
+    * MV layout and the partition-pruning strategy itself is the bug —
+    * fail loudly rather than ship a 10⁷-element IN list to the scan. */
+  val MvMaxTouchedBuckets = 100000
+
+  /** Persist the T0 snapshot the way an MV source is actually laid
+    * out: rows `(user_id, cents)` PARTITIONED BY `bucket` under
+    * `dir/snapshot`, plus the T0 MV edition `(bucket, base_n,
+    * base_mn, base_mx)` under `dir/mv`. [[mvMinMaxFromStored]] then
+    * maintains against this layout with the touched-bucket scan
+    * partition-pruned — the claim [[mvMinMaxFromLog]]'s scaladoc
+    * makes, as a code path. */
+  def writeMvSnapshot(log: DataFrame, cutoffUs: Long, dir: String): Unit = {
+    val writes = log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val s0 = writes.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), cents.as("cents"))
+      .withColumn("bucket", expr(floorDivSql("cents", MvBucketCents)))
+    s0.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/snapshot")
+    s0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("base_n"), min(col("cents")).as("base_mn"),
+        max(col("cents")).as("base_mx"))
+      .write.mode("overwrite").parquet(s"$dir/mv")
+  }
+
+  /** #14l against the STORED layout ([[writeMvSnapshot]]): maintain
+    * the MIN/MAX MV from a `(T0, now]` slice with the recompute scan
+    * PARTITION-PRUNED — the touched-bucket set (old buckets of
+    * touched keys ∪ new contribution buckets) is collected as an
+    * MV-grain literal list (bounded, loud-capped at
+    * [[MvMaxTouchedBuckets]]) and pushed as a partition filter on the
+    * bucket-partitioned snapshot, so untouched buckets' row data is
+    * never read. MvMinMaxStoredSpec asserts the `PartitionFilters`
+    * on that scan AND result-equality with [[mvMinMaxFromLog]].
+    *
+    * Scan accounting at scale: (a) the old-bucket lookup semi-join
+    * reads only the `(user_id, bucket)` columns — column-pruned,
+    * a small fraction of snapshot bytes (a production deployment
+    * with a key-partitioned second index can prune it further);
+    * (b) the recompute scan reads full rows but ONLY the touched
+    * partitions (this is the scan that carries the bytes, and the
+    * one the partition filter prunes); (c) the base MV is read from
+    * its stored bucket-grain edition — never recomputed. */
+  def mvMinMaxFromStored(spark: SparkSession, dir: String, slice: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val snapshot = spark.read.parquet(s"$dir/snapshot")
+    val base = spark.read.parquet(s"$dir/mv")
+    val batch = slice.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("cdc_operation").as("b_op"), cents.as("b_cents"))
+      .localCheckpoint() // feeds the bucket probe, the key anti-join and the new rows
+    val newRows = batch.filter(col("b_op") =!= RowDelete)
+      .select(col("user_id"), col("b_cents").as("cents"),
+        expr(floorDivSql("b_cents", MvBucketCents)).as("bucket"))
+    // touched buckets → driver literal (MV-grain metadata; loud cap).
+    // The partition column comes back via partition-directory type
+    // inference (int for small buckets) — normalize to long AFTER the
+    // scan so the literal filter below still binds to the raw
+    // partition column and prunes statically.
+    val touched: Array[Long] = snapshot
+      .join(batch.select(col("user_id")), Seq("user_id"), "left_semi")
+      .select(col("bucket").cast("long").as("bucket"))
+      .unionByName(newRows.select(col("bucket")))
+      .distinct().collect().map(_.getLong(0))
+    require(touched.length <= MvMaxTouchedBuckets,
+      s"touched-bucket set ${touched.length} exceeds $MvMaxTouchedBuckets — " +
+        "bucket granularity is not MV-grain; fix the layout, don't widen the cap")
+    // the recompute scan: STATICALLY partition-pruned to touched buckets
+    val keptRows = snapshot
+      .filter(col("bucket").isin(touched.toIndexedSeq: _*))
+      .join(batch.select(col("user_id")), Seq("user_id"), "left_anti")
+      .select(col("bucket").cast("long").as("bucket"), col("cents"))
+    val recomputed = keptRows.unionByName(newRows.select(col("bucket"), col("cents")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_n"), min(col("cents")).as("new_mn"),
+        max(col("cents")).as("new_mx"))
+    val untouched = base.filter(!col("bucket").isin(touched.toIndexedSeq: _*))
+      .select(col("bucket"), lit("carried").as("mv_action"),
+        col("base_n").as("n_rows"),
+        (col("base_mn").cast("double") / 100.0).as("min_value"),
+        (col("base_mx").cast("double") / 100.0).as("max_value"))
+    val touchedDf = spark.createDataset(touched.toIndexedSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("bucket")
+    val touchedOut = touchedDf
+      .join(base, Seq("bucket"), "left")
+      .join(recomputed, Seq("bucket"), "left")
+      .withColumn("n_rows", coalesce(col("new_n"), lit(0L)))
+      .withColumn("mv_action",
+        when(col("base_n").isNull, "created")
+          .when(col("n_rows") === 0, "emptied")
+          .when(col("n_rows") === col("base_n") && col("new_mn") === col("base_mn")
+            && col("new_mx") === col("base_mx"), "carried")
+          .otherwise("updated"))
+      .filter(col("n_rows") > 0 || col("base_n").isNotNull)
+      .select(col("bucket"), col("mv_action"), col("n_rows"),
+        (col("new_mn").cast("double") / 100.0).as("min_value"),
+        (col("new_mx").cast("double") / 100.0).as("max_value"))
+    untouched.unionByName(touchedOut).orderBy(col("bucket"))
+  }
 
   /** Oracle: the FULL-LOG recompute the incremental path must equal —
     * base MV from the ≤ T0 state, final MV from the whole log's LWW

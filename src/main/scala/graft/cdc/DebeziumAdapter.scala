@@ -84,6 +84,153 @@ object DebeziumAdapter {
         lit(false).as("cdc_deleted_value"))
   }
 
+  /** Deterministic Debezium-envelope synthesis from the `events`
+    * table (the piiScrub/multimodal synthesize-from-fields precedent:
+    * the oracle rebuilds the IDENTICAL feed with string concatenation
+    * and re-parses it with DuckDB's JSON functions, so the whole
+    * parse→conform→replicate path is oracle-gated, not just spec'd).
+    *
+    * Mapping: view→`c`, click→`u`, purchase→`d` (image in `before`),
+    * signup→`r`; `ts_ms` = floor(µs/1000); `value` rides as
+    * DECIMAL(18,2) so both engines serialize the same number and
+    * re-read the same double. ERROR rows become five MALFORMED
+    * shapes by `event_id % 5` — one per [[rejects]] reason code
+    * (truncated JSON, unknown op, missing ts, imageless delete,
+    * keyless image) — so the reject lane is exercised by the driver
+    * data itself, not only by literal spec rows. Map-only both ways. */
+  def envelopesFromEvents(events: DataFrame): DataFrame = {
+    val ms = expr("unix_micros(ts) div 1000") // µs ≥ 0 → div ≡ floor
+    val img = struct(col("user_id"), col("event_id"),
+      col("value").cast("decimal(18,2)").as("value"), col("props"))
+    val kind = when(col("event_type") === "view", "c")
+      .when(col("event_type") === "click", "u")
+      .when(col("event_type") === "purchase", "d")
+      .when(col("event_type") === "signup", "r")
+    val well = to_json(struct(
+      kind.as("op"), ms.as("ts_ms"),
+      when(kind === "d", img).as("before"),
+      when(kind =!= "d", img).as("after")))
+    val num = (c: Column) => c.cast("string")
+    val malformed = when(col("event_id") % 5 === 0,
+        concat(lit("{\"op\":\"c\",\"ts_ms\":"), num(ms)))
+      .when(col("event_id") % 5 === 1,
+        concat(lit("{\"op\":\"x\",\"ts_ms\":"), num(ms),
+          lit(",\"after\":{\"user_id\":"), num(col("user_id")),
+          lit(",\"event_id\":"), num(col("event_id")), lit(",\"value\":0.0}}")))
+      .when(col("event_id") % 5 === 2,
+        concat(lit("{\"op\":\"u\",\"after\":{\"user_id\":"), num(col("user_id")),
+          lit(",\"event_id\":"), num(col("event_id")), lit(",\"value\":0.0}}")))
+      .when(col("event_id") % 5 === 3,
+        concat(lit("{\"op\":\"d\",\"ts_ms\":"), num(ms), lit("}")))
+      .otherwise(
+        concat(lit("{\"op\":\"c\",\"ts_ms\":"), num(ms),
+          lit(",\"after\":{\"event_id\":"), num(col("event_id")), lit(",\"value\":0.0}}")))
+    events.select(when(kind.isNotNull, well).otherwise(malformed).as("value"))
+  }
+
+  /** The envelope feed + oracle CTEs shared by the two driver entries:
+    * DuckDB rebuilds the same feed by concatenation and parses it
+    * back with json_valid / json_extract — an independent JSON path,
+    * not a re-statement of the Spark plan. */
+  private val oracleEnvCte: String =
+    """WITH env AS (
+      |  SELECT CASE event_type WHEN 'view' THEN 'c' WHEN 'click' THEN 'u'
+      |           WHEN 'purchase' THEN 'd' WHEN 'signup' THEN 'r' END AS kind,
+      |    epoch_us(ts) // 1000 AS ms, user_id, event_id, value, props
+      |  FROM events),
+      |raw AS (
+      |  SELECT CASE
+      |    WHEN kind IS NOT NULL THEN
+      |      '{"op":"' || kind || '","ts_ms":' || CAST(ms AS VARCHAR) || ',"' ||
+      |      CASE WHEN kind = 'd' THEN 'before' ELSE 'after' END ||
+      |      '":{"user_id":' || CAST(user_id AS VARCHAR) ||
+      |      ',"event_id":' || CAST(event_id AS VARCHAR) ||
+      |      ',"value":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) ||
+      |      ',"props":' || to_json(props) || '}}'
+      |    WHEN event_id % 5 = 0 THEN '{"op":"c","ts_ms":' || CAST(ms AS VARCHAR)
+      |    WHEN event_id % 5 = 1 THEN '{"op":"x","ts_ms":' || CAST(ms AS VARCHAR)
+      |      || ',"after":{"user_id":' || CAST(user_id AS VARCHAR)
+      |      || ',"event_id":' || CAST(event_id AS VARCHAR) || ',"value":0.0}}'
+      |    WHEN event_id % 5 = 2 THEN '{"op":"u","after":{"user_id":'
+      |      || CAST(user_id AS VARCHAR)
+      |      || ',"event_id":' || CAST(event_id AS VARCHAR) || ',"value":0.0}}'
+      |    WHEN event_id % 5 = 3 THEN '{"op":"d","ts_ms":' || CAST(ms AS VARCHAR) || '}'
+      |    ELSE '{"op":"c","ts_ms":' || CAST(ms AS VARCHAR)
+      |      || ',"after":{"event_id":' || CAST(event_id AS VARCHAR) || ',"value":0.0}}'
+      |  END AS raw_json FROM env),
+      |parsed AS (
+      |  SELECT raw_json,
+      |    json_extract_string(vj, '$.op') AS op,
+      |    TRY_CAST(json_extract_string(vj, '$.ts_ms') AS BIGINT) AS ts_ms,
+      |    CASE WHEN json_extract_string(vj, '$.op') = 'd'
+      |         THEN json_extract(vj, '$.before')
+      |         ELSE json_extract(vj, '$.after') END AS img
+      |  FROM (SELECT raw_json,
+      |          CASE WHEN json_valid(raw_json) THEN raw_json END AS vj
+      |        FROM raw)
+      |  WHERE vj IS NOT NULL)
+      |""".stripMargin
+
+  /** #17z3 driver entry: the full Debezium path — synthesize the
+    * envelope feed from `events`, parse with [[fromDebeziumJson]],
+    * LWW-replicate the conforming log ([[CdcOps.replicateLwwFromLog]]).
+    * Same output shape as `cdc_replicate_lww`, so the oracle proves
+    * the second wire format is first-class end to end. */
+  def debeziumReplicate(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    CdcOps.replicateLwwFromLog(
+      fromDebeziumJson(envelopesFromEvents(graft.Tables.events(spark, dir))))
+
+  val debeziumReplicateSql: String = oracleEnvCte +
+    """, log AS (
+      |  SELECT CAST(json_extract_string(img, '$.user_id') AS BIGINT) AS user_id,
+      |    CAST(json_extract_string(img, '$.event_id') AS BIGINT) AS event_id,
+      |    ts_ms * 1000 AS time_us,
+      |    CASE op WHEN 'u' THEN 1 WHEN 'd' THEN 3 ELSE 2 END AS cdc_operation,
+      |    CAST(json_extract_string(img, '$.value') AS DOUBLE) AS value,
+      |    json_extract_string(img, '$.props') AS props
+      |  FROM parsed
+      |  WHERE op IN ('c', 'u', 'd', 'r') AND ts_ms IS NOT NULL AND img IS NOT NULL
+      |    AND json_extract_string(img, '$.user_id') IS NOT NULL
+      |    AND json_extract_string(img, '$.event_id') IS NOT NULL)
+      |SELECT user_id, event_id AS last_event_id, time_us AS last_write_us,
+      |  cdc_operation AS last_op, value, props
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+      |  FROM log)
+      |WHERE rn = 1 AND cdc_operation <> 3
+      |ORDER BY user_id""".stripMargin
+
+  /** #17z4 driver entry: the reject lane over the same feed — count
+    * per first-failing-rule reason. The oracle classifies with
+    * DuckDB's own JSON validator in the same precedence order. */
+  def debeziumRejects(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    rejects(envelopesFromEvents(graft.Tables.events(spark, dir)))
+      .groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n_envelopes"))
+      .orderBy(col("reject_reason"))
+
+  val debeziumRejectsSql: String = oracleEnvCte +
+    """, cls AS (
+      |  SELECT json_valid(raw_json) AS ok,
+      |    CASE WHEN ok THEN json_extract_string(raw_json, '$.op') END AS op,
+      |    CASE WHEN ok THEN TRY_CAST(json_extract_string(raw_json, '$.ts_ms') AS BIGINT) END AS ts_ms,
+      |    CASE WHEN ok THEN (CASE WHEN json_extract_string(raw_json, '$.op') = 'd'
+      |      THEN json_extract(raw_json, '$.before')
+      |      ELSE json_extract(raw_json, '$.after') END) END AS img
+      |  FROM raw)
+      |SELECT reject_reason, COUNT(*) AS n_envelopes FROM (
+      |  SELECT CASE
+      |    WHEN NOT ok THEN 'unparseable_json'
+      |    WHEN op IS NULL OR op NOT IN ('c', 'u', 'd', 'r') THEN 'unknown_op'
+      |    WHEN ts_ms IS NULL THEN 'missing_ts'
+      |    WHEN img IS NULL THEN 'missing_image'
+      |    WHEN json_extract_string(img, '$.user_id') IS NULL
+      |      OR json_extract_string(img, '$.event_id') IS NULL THEN 'missing_key'
+      |    END AS reject_reason
+      |  FROM cls)
+      |WHERE reject_reason IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The complement of [[fromDebeziumJson]]: every input row that
     * failed parsing, with its first failing rule. */
   def rejects(df: DataFrame, valueCol: String = "value"): DataFrame =

@@ -1105,15 +1105,27 @@ object TextAnalysis {
         size(regexp_extract_all(col(textCol), lit(EntityRe), lit(0))).cast("long"))
       .withColumn("clean_text",
         trim(regexp_replace(
+          // SECOND script pass AFTER entity decode (round-12 property
+          // sweep finding): "&lt;script&gt;evil()&lt;/script&gt;"
+          // decodes into a live-looking script block whose payload
+          // would otherwise ride into the clean text. Script blocks
+          // only — decoded "<"/">" TEXT ("1 < 2 > 0", "<3") is what
+          // the page displayed and must survive. Entity decode is
+          // one level per pass (HTML semantics, browsers likewise),
+          // so double-encoded input strips one level per run — the
+          // documented non-idempotent class; everything else is a
+          // fixpoint (StripMarkupPropertySpec).
           regexp_replace(
             regexp_replace(
               regexp_replace(
                 regexp_replace(
-                  regexp_replace(col(textCol), ScriptRe, " "),
-                  TagRe, " "),
-                "&amp;", "&"),
-              "&lt;", "<"),
-            "&gt;", ">"),
+                  regexp_replace(
+                    regexp_replace(col(textCol), ScriptRe, " "),
+                    TagRe, " "),
+                  "&amp;", "&"),
+                "&lt;", "<"),
+              "&gt;", ">"),
+            ScriptRe, " "),
           "\\s+", " ")))
       .withColumn("n_clean_chars", length(col("clean_text")).cast("long"))
       .withColumn("markup_overhead",
@@ -1155,11 +1167,13 @@ object TextAnalysis {
        |    CAST(len(regexp_extract_all(raw_html, '$TagRe')) AS BIGINT) AS n_tags,
        |    CAST(len(regexp_extract_all(raw_html, '$EntityRe')) AS BIGINT) AS n_entities,
        |    trim(regexp_replace(
-       |      replace(replace(replace(
-       |        regexp_replace(
-       |          regexp_replace(raw_html, '$ScriptRe', ' ', 'g'),
-       |          '$TagRe', ' ', 'g'),
-       |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+       |      regexp_replace(
+       |        replace(replace(replace(
+       |          regexp_replace(
+       |            regexp_replace(raw_html, '$ScriptRe', ' ', 'g'),
+       |            '$TagRe', ' ', 'g'),
+       |          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+       |        '$ScriptRe', ' ', 'g'),
        |      '\\s+', ' ', 'g')) AS clean_text
        |  FROM marked)
        |SELECT doc_id, n_raw_chars, n_tags, n_entities,
@@ -1222,8 +1236,17 @@ object TextAnalysis {
   /** [[lineDedup]] without the presentation sort — the reusable
     * (doc_id, n_lines, n_removed, clean_text) relation downstream
     * composition (corpus_web_funnel) builds on. */
-  private[pipeline] def cleanedDocs(spark: SparkSession, dir: String): DataFrame = {
-    val lined = linedDocs(spark, dir).localCheckpoint()
+  private[pipeline] def cleanedDocs(spark: SparkSession, dir: String): DataFrame =
+    dedupLines(linedDocs(spark, dir))
+
+  /** The reusable line-grain pass: ANY (doc_id, pos, line) relation →
+    * (doc_id, n_lines, n_removed, clean_text). Re-running it on its
+    * own reassembled output removes nothing — hot-line removal takes
+    * every occurrence, so survivors' document frequencies are
+    * unchanged and stay under the threshold
+    * (LineDedupPropertySpec's fixpoint sweep). */
+  private[pipeline] def dedupLines(linedIn: DataFrame): DataFrame = {
+    val lined = linedIn.localCheckpoint()
     // no broadcast hint: the hot-line relation is data-dependent
     // (bounded by |lines|/df only) — AQE decides the join strategy
     val hot = lined.groupBy(col("line"))

@@ -39,7 +39,7 @@ object StreamingMvMaintain {
   private def contributions(liveState: DataFrame, sign: Int): DataFrame =
     liveState
       .withColumn("c", (col("value").cast("decimal(18,2)") * 100).cast("long"))
-      .select(expr(s"c div ${graft.cdc.CdcOps.MvBucketCents}").as("bucket"),
+      .select(expr(graft.cdc.CdcOps.floorDivSql("c", graft.cdc.CdcOps.MvBucketCents)).as("bucket"),
         lit(sign.toLong).as("d_n"), (col("c") * sign).as("d_cents"))
 
   /** Apply one batch's worth of deltas: retract the touched keys'

@@ -107,7 +107,12 @@ class PlanGuardSpec extends SparkSpec {
       // — the fixed model size is the published design's point
       "bucket",
       // funnel stage ∈ {view→click, click→purchase} — 2-valued
-      "step")
+      "step",
+      // query/anchor identifier: every query-side relation is itself a
+      // bounded probe set (vec_id < K literal or an MLT rank cap), so
+      // a query_id-grain aggregate is ≤ #anchors rows — same
+      // convention that admits query_id in boundedIdFilters below
+      "query_id")
     val boundedIdFilters = Set("vec_id", "query_id", "cid", "crn", "rank", "rn")
 
     def smallIntLit(e: Expression): Boolean = e match {
