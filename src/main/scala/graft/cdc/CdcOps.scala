@@ -1769,6 +1769,325 @@ object CdcOps {
        |FROM base b FULL OUTER JOIN fin f ON b.bucket = f.bucket
        |ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------ join-MV maintenance
+
+  /** Group width (in cents of the DIMENSION value) for the join MV's
+    * tier key — like [[MvBucketCents]], exact integer cents so group
+    * assignment can never straddle a floating-point boundary. */
+  val MvTierCents: Long = 2000L
+
+  /** #14p: JOIN-VIEW MAINTENANCE — the MV family's genuinely
+    * multi-relation case: maintain `SELECT t, COUNT(*), SUM(cents)
+    * FROM fact JOIN dim USING (segment_id) GROUP BY t` (with
+    * `t = floor(dim.tier_cents / tier width)`) from T0 state + two
+    * (T0, now] log slices, one per relation, by the classic join
+    * delta rules: retract the T0 contributions of every fact row the
+    * slices can affect, insert their end-of-slice contributions
+    * against the UPDATED dimension.
+    *
+    * What makes the join case harder than [[mvMaintainFromLog]] is
+    * the fanout: a single DIMENSION write moves the contribution of
+    * its entire fact COHORT (every fact row in that segment) between
+    * MV groups, without any of those fact rows appearing in either
+    * slice. The affected-row set is therefore
+    * `touched-fact-keys ∪ (fact rows of touched segments)` — the
+    * second term is the irreducible join-MV cost (Gupta & Mumick's
+    * delta rules do not avoid it; they bound it), and with the fact
+    * snapshot stored segment-partitioned it is a partition-pruned
+    * scan exactly like [[mvMinMaxFromStored]]'s touched buckets.
+    * Deleting a dimension row drops its whole cohort from the view
+    * (inner-join semantics) — the case the spec pins.
+    *
+    * Scale shape: each log LWW-collapses with ONE exchange on its own
+    * key; the cohort lookup and both contribution joins are
+    * segment-keyed (dimension-grain, shared exchange); deltas
+    * collapse to tier grain with map-side combine; the stitch runs at
+    * MV grain. Action tags are value-defined, and the DuckDB oracle
+    * is the full two-relation recompute — the gate proves
+    * incremental ≡ replay, action for action. */
+  def mvJoinMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val writes = cdcLog(spark, dir)
+      .filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    // the shared feed split into a fact log (user grain) and a sparse
+    // dimension log (segment grain, ~1/17 of writes): deterministic,
+    // reproduced literally by the oracle
+    val rLog = writes.filter(col("event_id") % 17 =!= 0)
+      .select(col("user_id"), (col("user_id") % 100).as("segment_id"),
+        col("event_id"), col("time_us"), col("cdc_operation"), cents.as("cents"))
+    val sLog = writes.filter(col("event_id") % 17 === 0)
+      .select((col("user_id") % 100).as("segment_id"),
+        col("event_id"), col("time_us"), col("cdc_operation"), cents.as("tier_cents"))
+    mvJoinMaintainFromLogs(rLog, sLog, SnapshotCutoffUs)
+  }
+
+  /** Same operator over ANY conforming pair of logs — bring your own.
+    * `rLog`: (user_id, segment_id, event_id, time_us, cdc_operation,
+    * cents); `sLog`: (segment_id, event_id, time_us, cdc_operation,
+    * tier_cents). LWW per key by (time_us, event_id) within each. */
+  def mvJoinMaintainFromLogs(rLog: DataFrame, sLog: DataFrame, cutoffUs: Long): DataFrame = {
+    val wR = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val wS = Window.partitionBy(col("segment_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    // T0 fact state + the fact slice's per-key verdict
+    val r0 = rLog.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), col("segment_id"), col("cents"))
+    val dR = rLog.filter(col("time_us") > cutoffUs)
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("segment_id"), col("cdc_operation").as("r_op"), col("cents"))
+    // T0 dimension state + the dimension slice's per-key verdict
+    val s0 = sLog.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("segment_id"), col("tier_cents"))
+    val dS = sLog.filter(col("time_us") > cutoffUs)
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === 1)
+      .select(col("segment_id"), col("cdc_operation").as("s_op"), col("tier_cents"))
+    // the updated dimension: untouched segments carry their T0 row
+    val s1 = s0.join(dS.select(col("segment_id")), Seq("segment_id"), "left_anti")
+      .unionByName(dS.filter(col("s_op") =!= RowDelete)
+        .select(col("segment_id"), col("tier_cents")))
+    val touchedUsers = dR.select(col("user_id"))
+    val touchedSegs = dS.select(col("segment_id"))
+    // the COHORT: untouched fact rows whose segment's dimension row
+    // changed — the join-MV-only fanout term
+    val cohort = r0.join(touchedUsers, Seq("user_id"), "left_anti")
+      .join(touchedSegs, Seq("segment_id"), "left_semi")
+    val tierT = expr(floorDivSql("tier_cents", MvTierCents)).as("t")
+    // retract T0 contributions (against the T0 dimension) of every
+    // affected fact row; insert end-of-slice contributions (against
+    // the updated dimension) — a slice ending in a tombstone, or a
+    // segment whose dimension row was deleted, inserts nothing
+    val retract = r0.join(touchedUsers, Seq("user_id"), "left_semi")
+      .unionByName(cohort)
+      .join(s0, Seq("segment_id"))
+      .select(tierT, lit(-1L).as("d_n"), (-col("cents")).as("d_cents"))
+    val insert = dR.filter(col("r_op") =!= RowDelete)
+      .select(col("user_id"), col("segment_id"), col("cents"))
+      .unionByName(cohort)
+      .join(s1, Seq("segment_id"))
+      .select(tierT, lit(1L).as("d_n"), col("cents").as("d_cents"))
+    val delta = retract.unionByName(insert)
+      .groupBy(col("t"))
+      .agg(sum(col("d_n")).as("d_n"), sum(col("d_cents")).as("d_cents"))
+    // the stored MV (the T0 join's aggregate — read, not recomputed,
+    // in a stored deployment)
+    val base = r0.join(s0, Seq("segment_id"))
+      .groupBy(tierT)
+      .agg(count(lit(1)).as("base_n"), sum(col("cents")).as("base_cents"))
+    base.join(delta, Seq("t"), "full_outer")
+      .withColumn("n_rows",
+        coalesce(col("base_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+      .withColumn("new_cents",
+        coalesce(col("base_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+      // a tier group born AND emptied inside the slice never existed
+      .filter(col("n_rows") > 0 || col("base_n").isNotNull)
+      .withColumn("mv_action",
+        when(col("base_n").isNull, "created")
+          .when(col("n_rows") === 0, "emptied")
+          .when(col("n_rows") === col("base_n") && col("new_cents") === col("base_cents"),
+            "carried")
+          .otherwise("updated"))
+      .select(col("t"), col("mv_action"), col("n_rows"),
+        (col("new_cents").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("t"))
+  }
+
+  /** Oracle: the full TWO-RELATION recompute the incremental path must
+    * equal — base MV from the two ≤ T0 LWW states joined, final MV
+    * from the two whole-log LWW states joined, actions by value
+    * comparison. */
+  val mvJoinMaintainSql: String = CdcLogAdapter.oracleCte +
+    s""", writes AS (SELECT * FROM cdc WHERE cdc_operation IN (1, 2, 3)),
+       |rl AS (
+       |  SELECT user_id, user_id % 100 AS segment_id, event_id, time_us, cdc_operation,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM writes WHERE event_id % 17 <> 0),
+       |sl AS (
+       |  SELECT user_id % 100 AS segment_id, event_id, time_us, cdc_operation,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS tier_cents
+       |  FROM writes WHERE event_id % 17 = 0),
+       |r0 AS (
+       |  SELECT user_id, segment_id, cents FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM rl WHERE time_us <= $SnapshotCutoffUs)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |r1 AS (
+       |  SELECT user_id, segment_id, cents FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM rl)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |s0 AS (
+       |  SELECT segment_id, tier_cents FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY segment_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM sl WHERE time_us <= $SnapshotCutoffUs)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |s1 AS (
+       |  SELECT segment_id, tier_cents FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY segment_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM sl)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |base AS (
+       |  SELECT tier_cents // $MvTierCents AS t, COUNT(*) AS base_n,
+       |    CAST(SUM(cents) AS BIGINT) AS base_cents
+       |  FROM r0 JOIN s0 USING (segment_id) GROUP BY 1),
+       |fin AS (
+       |  SELECT tier_cents // $MvTierCents AS t, COUNT(*) AS n_rows,
+       |    CAST(SUM(cents) AS BIGINT) AS new_cents
+       |  FROM r1 JOIN s1 USING (segment_id) GROUP BY 1)
+       |SELECT COALESCE(b.t, f.t) AS t,
+       |  CASE WHEN b.t IS NULL THEN 'created'
+       |       WHEN f.t IS NULL THEN 'emptied'
+       |       WHEN f.n_rows = b.base_n AND f.new_cents = b.base_cents THEN 'carried'
+       |       ELSE 'updated' END AS mv_action,
+       |  COALESCE(f.n_rows, 0) AS n_rows,
+       |  CAST(COALESCE(f.new_cents, 0) AS DOUBLE) / 100.0 AS sum_value
+       |FROM base b FULL OUTER JOIN fin f ON b.t = f.t
+       |ORDER BY t""".stripMargin
+
+  // ------------------------------------------------------------ top-k MV maintenance
+
+  /** Rank depth of the top-k MV. */
+  val MvTopK = 3
+
+  /** #14q: TOP-K MV MAINTENANCE — the bounded-rank generalization of
+    * [[mvMinMaxFromLog]] (MIN/MAX is top-1 from both ends): maintain
+    * `the K largest values per bucket` over the live LWW table from
+    * the T0 state + a (T0, now] slice. Like MIN/MAX it is not
+    * self-maintainable: an insert merges into a K-buffer, but a
+    * delete of a ranked value needs the (K+1)-th — which no delta
+    * stream carries. Same production answer, relational: recompute
+    * ONLY the touched buckets (old buckets of touched keys ∪ new
+    * contribution buckets) from their survivor rows, carry every
+    * other bucket's stored rank rows verbatim. Cost is
+    * O(slice + rows of touched buckets + K·|MV|), never O(log), and
+    * the recompute scan partition-prunes under a bucket-partitioned
+    * stored layout exactly as [[mvMinMaxFromStored]] proves.
+    *
+    * Output grain is (bucket, rk) — one row per NEW rank entry, the
+    * bucket-grain action repeated on each (an emptied bucket emits a
+    * single rk=0 tombstone row). Actions are value-defined by
+    * comparing the stored and recomputed rank lists position-wise —
+    * ties in value cannot flip the comparison because tied values are
+    * equal wherever the (cents DESC, user_id DESC) tiebreak places
+    * them. Oracle = the full-log recompute, rank list for rank list. */
+  def mvTopk(spark: SparkSession, dir: String): DataFrame =
+    mvTopkFromLog(cdcLog(spark, dir), SnapshotCutoffUs)
+
+  /** Same operator over ANY conforming CDC-log relation — bring your
+    * own log. */
+  def mvTopkFromLog(log: DataFrame, cutoffUs: Long): DataFrame = {
+    val writes = log.filter(col("cdc_operation").isin(RowUpdate, RowInsert, RowDelete))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val wTk = Window.partitionBy(col("bucket"))
+      .orderBy(col("cents").desc, col("user_id").desc)
+    val s0 = writes.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), cents.as("cents"))
+      .withColumn("bucket", expr(floorDivSql("cents", MvBucketCents)))
+    // the stored MV edition: T0 top-k rank rows per bucket
+    val baseTk = s0.withColumn("rk", row_number().over(wTk))
+      .filter(col("rk") <= MvTopK)
+      .select(col("bucket"), col("rk"), col("cents"))
+    val batch = writes.filter(col("time_us") > cutoffUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("cdc_operation").as("b_op"), cents.as("b_cents"))
+    val newRows = batch.filter(col("b_op") =!= RowDelete)
+      .select(col("user_id"), col("b_cents").as("cents"),
+        expr(floorDivSql("b_cents", MvBucketCents)).as("bucket"))
+    val touchedBuckets = s0
+      .join(batch.select(col("user_id")), Seq("user_id"), "left_semi")
+      .select(col("bucket"))
+      .unionByName(newRows.select(col("bucket")))
+      .distinct()
+    // recompute the touched buckets' rank lists from survivor rows
+    val newTk = s0
+      .join(batch.select(col("user_id")), Seq("user_id"), "left_anti")
+      .join(touchedBuckets, Seq("bucket"), "left_semi")
+      .select(col("user_id"), col("cents"), col("bucket"))
+      .unionByName(newRows)
+      .withColumn("rk", row_number().over(wTk))
+      .filter(col("rk") <= MvTopK)
+      .select(col("bucket"), col("rk"), col("cents"))
+    // bucket-grain action: position-wise rank-list comparison
+    val act = baseTk.join(touchedBuckets, Seq("bucket"), "left_semi")
+      .withColumnRenamed("cents", "b_cents")
+      .join(newTk.withColumnRenamed("cents", "n_cents"),
+        Seq("bucket", "rk"), "full_outer")
+      .groupBy(col("bucket"))
+      .agg(count(col("b_cents")).as("n_old"), count(col("n_cents")).as("n_new"),
+        sum(when(!(col("b_cents") <=> col("n_cents")), 1L).otherwise(0L)).as("n_diff"))
+      .withColumn("mv_action",
+        when(col("n_old") === 0, "created")
+          .when(col("n_new") === 0, "emptied")
+          .when(col("n_diff") === 0, "carried")
+          .otherwise("updated"))
+      .select(col("bucket"), col("mv_action"))
+    val touchedOut = newTk.join(act, Seq("bucket"))
+      .select(col("bucket"), col("rk").cast("long").as("rk"), col("mv_action"),
+        (col("cents").cast("double") / 100.0).as("value"))
+    val emptiedOut = act.filter(col("mv_action") === "emptied")
+      .select(col("bucket"), lit(0L).as("rk"), col("mv_action"),
+        lit(null).cast("double").as("value"))
+    val untouchedOut = baseTk.join(touchedBuckets, Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("rk").cast("long").as("rk"),
+        lit("carried").as("mv_action"),
+        (col("cents").cast("double") / 100.0).as("value"))
+    touchedOut.unionByName(emptiedOut).unionByName(untouchedOut)
+      .orderBy(col("bucket"), col("rk"))
+  }
+
+  /** Oracle: the full-log recompute, rank-list edition. */
+  val mvTopkSql: String = CdcLogAdapter.oracleCte +
+    s""", writes AS (SELECT * FROM cdc WHERE cdc_operation IN (1, 2, 3)),
+       |s0 AS (
+       |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes WHERE time_us <= $SnapshotCutoffUs)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |sf AS (
+       |  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_us DESC, event_id DESC) AS rn
+       |    FROM writes)
+       |  WHERE rn = 1 AND cdc_operation <> 3),
+       |btk AS (
+       |  SELECT bucket, rk, cents FROM (
+       |    SELECT cents // $MvBucketCents AS bucket, cents,
+       |      ROW_NUMBER() OVER (PARTITION BY cents // $MvBucketCents
+       |        ORDER BY cents DESC, user_id DESC) AS rk
+       |    FROM s0)
+       |  WHERE rk <= $MvTopK),
+       |ftk AS (
+       |  SELECT bucket, rk, cents FROM (
+       |    SELECT cents // $MvBucketCents AS bucket, cents,
+       |      ROW_NUMBER() OVER (PARTITION BY cents // $MvBucketCents
+       |        ORDER BY cents DESC, user_id DESC) AS rk
+       |    FROM sf)
+       |  WHERE rk <= $MvTopK),
+       |act AS (
+       |  SELECT COALESCE(b.bucket, f.bucket) AS bucket,
+       |    CASE WHEN COUNT(b.cents) = 0 THEN 'created'
+       |         WHEN COUNT(f.cents) = 0 THEN 'emptied'
+       |         WHEN COUNT(*) FILTER (WHERE b.cents IS DISTINCT FROM f.cents) = 0
+       |           THEN 'carried'
+       |         ELSE 'updated' END AS mv_action
+       |  FROM btk b FULL OUTER JOIN ftk f ON b.bucket = f.bucket AND b.rk = f.rk
+       |  GROUP BY 1)
+       |SELECT f.bucket, f.rk, a.mv_action, CAST(f.cents AS DOUBLE) / 100.0 AS value
+       |FROM ftk f JOIN act a ON f.bucket = a.bucket
+       |UNION ALL
+       |SELECT bucket, CAST(0 AS BIGINT) AS rk, mv_action, CAST(NULL AS DOUBLE) AS value
+       |FROM act WHERE mv_action = 'emptied'
+       |ORDER BY bucket, rk""".stripMargin
+
   // ------------------------------------------------------------ dead-letter queue
 
   /** Dead-letter classification — the consumer-side triage a
