@@ -493,8 +493,11 @@ object Corpus {
     * task holds a bounded (shard, range-slice), so ANY shard count
     * works, including NumShards ≪ cores. Shards still map to the
     * output-writer pool. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(spark, dir))
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOn(Tables.spread(Tables.documents(spark, dir)))
+
+  private[pipeline] def packSequencesOn(d: DataFrame): DataFrame = {
+    val toks = d
       .select(col("doc_id"),
         size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("bigint").as("n_tokens"))
       .withColumn("shard", (col("doc_id") % NumShards).cast("int"))

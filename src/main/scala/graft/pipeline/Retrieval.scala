@@ -50,9 +50,13 @@ object Retrieval {
     coalesce(round(lit(1.0) / (lit(RrfK) + rank), 9).cast("decimal(20,9)"),
       lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)"))
 
-  /** The two systems' top-[[RrfDepth]] rank relations — shared by
-    * the fusion ([[rrfOn]]) and the evaluation ([[evalOn]]). */
-  private[pipeline] def lexDense(d: DataFrame, e: DataFrame): (DataFrame, DataFrame) = {
+  /** The lexical system's building blocks — shared by the fusion
+    * ([[rrfOn]] via [[lexDense]]), the evaluation ([[evalOn]]) and
+    * the feedback loop ([[prfOn]]). */
+  private[pipeline] final case class LexParts(tf: DataFrame, dfRel: DataFrame,
+      dl: DataFrame, n: DataFrame, t: DataFrame, qt: DataFrame, lex: DataFrame)
+
+  private[pipeline] def lexSystem(d: DataFrame): LexParts = {
     // ---- lexical system: rational BM25, anchor's distinct tokens as query
     val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -87,6 +91,13 @@ object Retrieval {
       .withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= RrfDepth)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    LexParts(tf, dfRel, dl, n, t, qt, lex)
+  }
+
+  /** The two systems' top-[[RrfDepth]] rank relations — shared by
+    * the fusion ([[rrfOn]]) and the evaluation ([[evalOn]]). */
+  private[pipeline] def lexDense(d: DataFrame, e: DataFrame): (DataFrame, DataFrame) = {
+    val lex = lexSystem(d).lex
     // ---- dense system: exact cosine against the anchor vectors
     val vecs = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -187,6 +198,145 @@ object Retrieval {
   val retrievalRrfSql: String = rrfCtes +
     s"""SELECT query_id, rank, doc_id, lex_rank, dense_rank,
        |  CAST(rrf AS DOUBLE) AS rrf_score
+       |FROM ranked WHERE rank <= $RrfTopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------ #33w retrieval_prf
+
+  /** Pseudo-relevant docs fed back per anchor. */
+  val PrfFeedbackDocs = 5
+  /** Expansion terms added per anchor. */
+  val PrfExpansionTerms = 8
+  /** Rocchio-style integer weights: original terms count double,
+    * expansion terms single — integer multipliers on the scale-9
+    * per-term scores keep the expanded sum EXACT (no re-division). */
+  val PrfOrigWeight = 2
+  val PrfExpWeight = 1
+
+  /** #33w: PSEUDO-RELEVANCE FEEDBACK (Rocchio / RM3 shape) — the
+    * query-expansion loop that closes the retrieval family: run the
+    * first-pass lexical ranking, treat its top-[[PrfFeedbackDocs]]
+    * docs as pseudo-relevant, pool their term frequencies, take the
+    * top-[[PrfExpansionTerms]] terms an anchor's own query didn't
+    * already contain, and re-score the corpus with the EXPANDED
+    * weighted query (original terms ×[[PrfOrigWeight]], expansion
+    * terms ×[[PrfExpWeight]]).
+    *
+    * Exactness: per-term scores are the shared
+    * [[TextAnalysis.bm25TermScore]] scale-9 decimals; the Rocchio
+    * weights are INTEGER multipliers applied after that one rounding,
+    * so the expanded score is an exact DECIMAL sum — associative,
+    * rank on the decimal, hash-stable (the [[rrfOn]] argument).
+    *
+    * Scale shape: ONE tf exchange (shared, localCheckpointed) feeds
+    * the first pass, the feedback pool and the second pass. The
+    * feedback pool joins tf to an anchors×[[PrfFeedbackDocs]] bounded
+    * relation; the expanded query stays STRUCTURALLY bounded at
+    * anchors × ([[RrfMaxQueryTerms]] + [[PrfExpansionTerms]]) rows —
+    * both query relations broadcast, the corpus never shuffles for
+    * the query side, and the second pass is the same probe shape as
+    * the first. Two passes is the PRF contract, not a plan defect:
+    * the feedback docs cannot exist before pass one ends. */
+  def retrievalPrf(spark: SparkSession, dir: String): DataFrame =
+    prfOn(Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"), col("text")))
+
+  private[pipeline] def prfOn(d: DataFrame): DataFrame = {
+    val lp = lexSystem(d)
+    // pseudo-relevant set: first-pass top-R per anchor
+    val prel = lp.lex.filter(col("lex_rank") <= PrfFeedbackDocs)
+      .select(col("query_id"), col("doc_id"))
+    // expansion terms: pooled tf over the feedback docs, minus the
+    // anchor's own query terms, top-E per anchor (bounded via the
+    // rank ≤ E filter, the qt convention)
+    val wExp = Window.partitionBy(col("query_id")).orderBy(col("w").desc, col("token"))
+    val expTerms = lp.tf.join(prel, Seq("doc_id"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(sum(col("tf")).as("w"))
+      .join(lp.qt, Seq("query_id", "token"), "left_anti")
+      .withColumn("rank", row_number().over(wExp))
+      .filter(col("rank") <= PrfExpansionTerms)
+      .select(col("query_id"), col("token"))
+    // the expanded weighted query
+    val eq = lp.qt.select(col("query_id"), col("token"), lit(PrfOrigWeight).as("wq"))
+      .unionByName(expTerms.select(col("query_id"), col("token"), lit(PrfExpWeight).as("wq")))
+    val wPrf = Window.partitionBy(col("query_id")).orderBy(col("sd").desc, col("doc_id"))
+    lp.tf.join(broadcast(eq), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(lp.dfRel, Seq("token"))
+      .join(lp.dl, Seq("doc_id"))
+      .join(broadcast(lp.n), lit(true))
+      .join(broadcast(lp.t), lit(true))
+      .withColumn("s", TextAnalysis.bm25TermScore(col("tf"), col("df"),
+        col("dl"), col("n_docs"), col("t_toks")) * col("wq"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("s")).as("sd"))
+      .withColumn("rank", row_number().over(wPrf))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms_hit"),
+        round(col("sd").cast("double"), 6).as("prf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val retrievalPrfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS t_toks FROM tf),
+       |qt AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT doc_id AS query_id, token,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS trank
+       |    FROM tf WHERE doc_id < $RrfNumQueries)
+       |  WHERE trank <= $RrfMaxQueryTerms),
+       |lexterms AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    ${TextAnalysis.bm25TermScoreSql} AS s
+       |  FROM tf
+       |  JOIN qt USING (token) JOIN dfr USING (token)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN n CROSS JOIN t
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lexranked AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY SUM(s) DESC, doc_id) AS INT) AS lex_rank
+       |  FROM lexterms GROUP BY 1, 2),
+       |prel AS (SELECT query_id, doc_id FROM lexranked WHERE lex_rank <= $PrfFeedbackDocs),
+       |expw AS (
+       |  SELECT p.query_id, tf.token, CAST(SUM(tf.tf) AS BIGINT) AS w
+       |  FROM tf JOIN prel p ON tf.doc_id = p.doc_id
+       |  GROUP BY 1, 2),
+       |expt AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT e.query_id, e.token,
+       |      ROW_NUMBER() OVER (PARTITION BY e.query_id ORDER BY e.w DESC, e.token) AS erank
+       |    FROM expw e
+       |    WHERE NOT EXISTS (
+       |      SELECT 1 FROM qt WHERE qt.query_id = e.query_id AND qt.token = e.token))
+       |  WHERE erank <= $PrfExpansionTerms),
+       |eq AS (
+       |  SELECT query_id, token, $PrfOrigWeight AS wq FROM qt
+       |  UNION ALL
+       |  SELECT query_id, token, $PrfExpWeight AS wq FROM expt),
+       |prfterms AS (
+       |  SELECT eq.query_id, tf.doc_id,
+       |    ${TextAnalysis.bm25TermScoreSql} * eq.wq AS s
+       |  FROM tf
+       |  JOIN eq USING (token) JOIN dfr USING (token)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN n CROSS JOIN t
+       |  WHERE tf.doc_id <> eq.query_id),
+       |scored AS (
+       |  SELECT query_id, doc_id, COUNT(*) AS n_terms_hit, SUM(s) AS sd
+       |  FROM prfterms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sd DESC, doc_id) AS INT) AS rank FROM scored)
+       |SELECT query_id, rank, doc_id, n_terms_hit,
+       |  round(CAST(sd AS DOUBLE), 6) AS prf_score
        |FROM ranked WHERE rank <= $RrfTopK
        |ORDER BY query_id, rank""".stripMargin
 

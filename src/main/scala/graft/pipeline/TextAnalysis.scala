@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[pipeline] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
 
   /** Whitespace tokens, lowercased, empties dropped. */
@@ -330,8 +330,10 @@ object TextAnalysis {
     * operator's). The token array is staged once per doc (interpreted
     * HOFs don't CSE — see Hashes scaladoc). */
   def chunk(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    chunkOn(docs(spark, dir))
+
+  private[pipeline] def chunkOn(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), size(col("toks")), lit(ChunkStride))).as("start_tok"))
@@ -761,14 +763,33 @@ object TextAnalysis {
   def bm25(spark: SparkSession, dir: String): DataFrame =
     bm25On(docs(spark, dir))
 
-  private[pipeline] def bm25On(d: DataFrame): DataFrame = {
-    import d.sparkSession.implicits._
-    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+  /** The BM25 sufficient statistic: the `(doc_id, token, tf)` term-
+    * frequency relation, with a `(doc_id, NULL, 0)` row for token-less
+    * docs (explode_outer + non-null count) so corpus doc count N stays
+    * derivable from the relation alone — the property [[Bm25Index]]
+    * persists. ONE (doc, token)-keyed exchange with map-side combine. */
+  private[pipeline] def tfRelation(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(col("token")).as("tf"))
+
+  private[pipeline] def bm25On(d: DataFrame): DataFrame =
+    bm25FromTf(tfRelation(d))
+
+  /** BM25 scoring from the sufficient statistic alone — shared by the
+    * from-text path ([[bm25On]]) and the stored-index path
+    * ([[Bm25Index.search]]), so incremental ≡ batch is structural:
+    * both run the SAME plan over differently-sourced tf relations.
+    * df/dl/N/T all derive from tf; the NULL-token rows contribute to
+    * N only (df excludes them, dl/T sum their tf = 0, the probe join
+    * never matches them). */
+  private[pipeline] def bm25FromTf(tfAll: DataFrame): DataFrame = {
+    import tfAll.sparkSession.implicits._
+    val tf = tfAll.localCheckpoint()
+    val df = tf.filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val n = d.agg(count(lit(1)).as("n_docs"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val t = tf.agg(sum(col("tf")).as("t_toks"))
     val qt = Bm25Queries.toDF("query_id", "query")
       .select(col("query_id"), explode(split(col("query"), " ")).as("token"))
