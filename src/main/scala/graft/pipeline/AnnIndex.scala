@@ -40,8 +40,10 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** The standing index, loaded: coarse centroids, PQ codebook,
-    * per-vector (cell, codes) rows. */
-  final case class Stored(centroids: DataFrame, codebook: DataFrame, codes: DataFrame)
+    * per-vector (cell, codes) rows, plus the tombstone set when any
+    * [[remove]] has run since the last [[compact]]. */
+  final case class Stored(centroids: DataFrame, codebook: DataFrame, codes: DataFrame,
+      tombstones: Option[DataFrame] = None)
 
   private def prepare(emb: DataFrame): DataFrame = emb
     .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -102,6 +104,31 @@ object AnnIndex {
     writeManifest(spark, path, n + emb.count())
   }
 
+  /** ONLINE DELETE — remove vectors from a standing index WITHOUT a
+    * rewrite: the ids append to a `tombstones/` side relation that
+    * [[search]] anti-joins out of candidacy, and [[compact]] later
+    * drops the rows physically and clears the list (the standard
+    * IVF delete posture — Faiss's IDSelector / the lake's
+    * merge-on-read delete vector, made relational). Tombstones are a
+    * SET: a replayed remove appends duplicate ids that change
+    * nothing, so the operation is at-least-once safe by construction
+    * — which is why the manifest is NOT rewritten here (its
+    * `n_vectors` stays "rows ever encoded"; the live count is
+    * re-derived at the next compact, the one place that reads the
+    * whole relation anyway). */
+  def remove(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstonesPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/tombstones")
+
+  private def readTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = tombstonesPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("vec_id")))
+    else None
+  }
+
   /** Compaction report: row/file counts around the rewrite. */
   final case class CompactStats(rowsBefore: Long, rowsAfter: Long,
       filesBefore: Long, filesAfter: Long, nVectors: Long)
@@ -144,7 +171,12 @@ object AnnIndex {
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code"))
     val rowsBefore = codes.count()
-    val deduped = codes.distinct().localCheckpoint()
+    // duplicates (replayed add) and tombstoned vectors (remove) both
+    // leave the relation here — compaction is where deletes become
+    // physical and the tombstone list resets
+    val deduped = readTombstones(spark, path)
+      .foldLeft(codes.distinct()) { (c, tb) => c.join(tb, Seq("vec_id"), "left_anti") }
+      .localCheckpoint()
     val conflicts = deduped.groupBy(col("vec_id"), col("m"))
       .count().filter(col("count") > 1).limit(1).count()
     require(conflicts == 0L,
@@ -166,6 +198,12 @@ object AnnIndex {
       s"compact: failed to delete $codesPath — index is manifest-less, rebuild or retry")
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/codes_compact"), codesPath),
       s"compact: rename failed: $path/codes_compact -> $codesPath — index is manifest-less, rebuild or retry")
+    // deletes are physical now — clear the tombstone list before the
+    // manifest commits (a crash in between leaves a manifest-less
+    // index load() refuses, same recoverable-never-wrong posture)
+    if (fs.exists(tombstonesPath(path)))
+      require(fs.delete(tombstonesPath(path), true),
+        s"compact: failed to clear tombstones at $path — index is manifest-less, rebuild or retry")
     writeManifest(spark, path, nVectors)
     CompactStats(rowsBefore, rowsAfter, filesBefore, countFiles(codesPath), nVectors)
   }
@@ -192,7 +230,8 @@ object AnnIndex {
       // build-side long so the probe equi-join needs no runtime cast,
       // and the build-side column order
       spark.read.parquet(s"$path/codes")
-        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code")))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code")),
+      readTombstones(spark, path))
   }
 
   /** Top-k ANN over the stored index for a `(vec_id, embedding)`
@@ -205,7 +244,11 @@ object AnnIndex {
       topK: Int = Similarity.TopK, numProbes: Int = Similarity.NumProbes): DataFrame = {
     val q = prepare(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    Similarity.ivfPqSearch(q, index.centroids, index.codebook, index.codes,
+    // tombstoned vectors leave candidacy here — one anti-join on the
+    // codes rows, before any distance work
+    val codes = index.tombstones
+      .foldLeft(index.codes) { (c, tb) => c.join(tb, Seq("vec_id"), "left_anti") }
+    Similarity.ivfPqSearch(q, index.centroids, index.codebook, codes,
       residual = true, topK, numProbes)
   }
 
@@ -242,6 +285,31 @@ object AnnIndex {
   }
 
   val annIndexAddSql: String = Similarity.ivfPqSqlTrainedBelow(Some(AddSplit))
+
+  /** Every 7th vector (offset 3) is deleted in [[annIndexRemove]] —
+    * a deterministic, non-empty set at every test scale that leaves
+    * most cells populated. */
+  val RemoveMod = 7L
+  val RemoveRem = 3L
+
+  /** Driver-visible entry (SURVEY §2c): build → [[remove]] a
+    * deterministic id set → REPLAY the remove (tombstones are a set —
+    * at-least-once safe) → search. Oracle: the full IVF-PQ pipeline
+    * with the removed ids excluded from CANDIDACY only — training
+    * still saw them, exactly the tombstone contract (geometry
+    * refreshes at rebuild, not at delete). */
+  def annIndexRemove(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_remove").toString
+    write(emb, path)
+    val ids = emb.filter(col("vec_id") % RemoveMod === RemoveRem).select(col("vec_id"))
+    remove(ids, path)
+    remove(ids, path) // replayed delete: a no-op by construction
+    search(emb.filter(col("vec_id") < Similarity.NumQueries), load(spark, path))
+  }
+
+  val annIndexRemoveSql: String = Similarity.ivfPqSqlTrainedBelow(None,
+    s" AND c.vec_id % $RemoveMod <> $RemoveRem")
 
   /** BENCH-ONLY probe surface (round-8 verdict: the 4.2 s
     * ann_index_search bench entry is ~90% build+write noise, so a

@@ -587,7 +587,8 @@ object Similarity {
     * searched": stale-codebook encoding of the appended vectors is
     * exactly what the online-insert contract promises. `None` = train
     * on everything (the plain [[annIvfPq]] pipeline). */
-  private[pipeline] def ivfPqSqlTrainedBelow(trainLimit: Option[Int]): String = {
+  private[pipeline] def ivfPqSqlTrainedBelow(trainLimit: Option[Int],
+      candExclude: String = ""): String = {
     val trainWhere = trainLimit.map(k => s" WHERE s.vec_id < $k").getOrElse("")
     val dotSql = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -661,7 +662,7 @@ object Similarity {
        |cand AS (
        |  SELECT p.query_id, p.cell, c.vec_id
        |  FROM cells c JOIN probes p ON c.cell = p.cell
-       |  WHERE c.vec_id <> p.query_id),
+       |  WHERE c.vec_id <> p.query_id$candExclude),
        |adc AS (
        |  SELECT cand.query_id, cand.vec_id,
        |    round(CAST(SUM(CAST(q.qd AS DECIMAL(27,12))) AS DOUBLE), 6) AS approx_dist2

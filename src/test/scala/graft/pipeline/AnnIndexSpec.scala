@@ -205,6 +205,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(repaired == cleanSearch)
   }
 
+  test("remove tombstones ids out of candidacy; compact makes the delete physical") {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_rm").toString
+    AnnIndex.write(emb, path)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+    def neighbors() = AnnIndex.search(queries, AnnIndex.load(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val before = neighbors()
+    // delete every neighbor the first query currently sees
+    val victimIds = before.filter(_._1 == before.head._1).map(_._2).toSet
+    import spark.implicits._
+    AnnIndex.remove(victimIds.toSeq.toDF("vec_id"), path)
+    AnnIndex.remove(victimIds.toSeq.toDF("vec_id"), path) // replayed: a set
+    val after = neighbors()
+    assert(after != before)
+    assert(!after.exists(r => victimIds.contains(r._2)),
+      "tombstoned ids must leave candidacy for every query")
+    // compact: rows physically dropped, tombstone list cleared,
+    // search unchanged
+    val n = emb.count()
+    val stats = AnnIndex.compact(spark, path)
+    assert(stats.rowsAfter == (n - victimIds.size) * Similarity.PqSubspaces)
+    assert(stats.nVectors == n - victimIds.size)
+    assert(AnnIndex.load(spark, path).tombstones.isEmpty,
+      "compact must clear the tombstone list")
+    assert(neighbors() == after)
+  }
+
   test("compact refuses conflicting codes for one (vec_id, m)") {
     import spark.implicits._
     val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
