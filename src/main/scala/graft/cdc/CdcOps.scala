@@ -1948,6 +1948,106 @@ object CdcOps {
        |FROM base b FULL OUTER JOIN fin f ON b.t = f.t
        |ORDER BY t""".stripMargin
 
+  /** Persist the join MV's T0 state the way its source is actually
+    * laid out: fact rows `(user_id, cents)` PARTITIONED BY
+    * `segment_id` (the cohort scan's pruning lever), the dimension
+    * `(segment_id, tier_cents)` (dimension-grain, small), and the T0
+    * MV edition `(t, base_n, base_cents)`. [[mvJoinFromStored]]
+    * maintains against this layout with the COHORT scan
+    * partition-pruned — the claim [[mvJoinMaintainFromLogs]]'s
+    * scaladoc makes, as a code path. */
+  def writeMvJoinSnapshot(rLog: DataFrame, sLog: DataFrame, cutoffUs: Long,
+      dir: String): Unit = {
+    val wR = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val wS = Window.partitionBy(col("segment_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val r0 = rLog.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("user_id"), col("cents"), col("segment_id"))
+    val s0 = sLog.filter(col("time_us") <= cutoffUs)
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= RowDelete)
+      .select(col("segment_id"), col("tier_cents"))
+    r0.write.mode("overwrite").partitionBy("segment_id").parquet(s"$dir/fact")
+    s0.write.mode("overwrite").parquet(s"$dir/dim")
+    r0.join(s0, Seq("segment_id"))
+      .groupBy(expr(floorDivSql("tier_cents", MvTierCents)).as("t"))
+      .agg(count(lit(1)).as("base_n"), sum(col("cents")).as("base_cents"))
+      .write.mode("overwrite").parquet(s"$dir/mv")
+  }
+
+  /** #14p against the STORED layout ([[writeMvJoinSnapshot]]): the
+    * join delta rules with the COHORT scan — the fanout term that
+    * carries the bytes — STATICALLY partition-pruned to the touched
+    * segments (a dimension-grain literal list, loud-capped at
+    * [[MvMaxTouchedBuckets]]). Scan accounting: (a) the touched-USER
+    * lookup is a key semi-join over the fact relation (cannot prune
+    * by segment — a touched user's old segment is unknown until
+    * read); (b) the cohort scan reads ONLY the touched segments'
+    * partitions; (c) the base MV and the dimension are read from
+    * their stored editions, never recomputed. MvJoinStoredSpec
+    * asserts `PartitionFilters` on the cohort scan and
+    * action-for-action equality with [[mvJoinMaintainFromLogs]]. */
+  def mvJoinFromStored(spark: SparkSession, dir: String,
+      rSlice: DataFrame, sSlice: DataFrame): DataFrame = {
+    val wR = Window.partitionBy(col("user_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val wS = Window.partitionBy(col("segment_id")).orderBy(col("time_us").desc, col("event_id").desc)
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val base = spark.read.parquet(s"$dir/mv")
+    val dR = rSlice.withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("segment_id"), col("cdc_operation").as("r_op"),
+        col("cents"))
+      .localCheckpoint() // feeds the key lookup, the cohort anti-join and the inserts
+    val dS = sSlice.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === 1)
+      .select(col("segment_id"), col("cdc_operation").as("s_op"), col("tier_cents"))
+      .localCheckpoint() // feeds the segment literal and the dimension update
+    // touched segments → driver literal (dimension-grain metadata;
+    // loud cap) pushed as a STATIC partition filter on the fact scan
+    val touchedSegs: Array[Long] = dS.select(col("segment_id")).distinct()
+      .collect().map(_.getLong(0))
+    require(touchedSegs.length <= MvMaxTouchedBuckets,
+      s"touched-segment set ${touchedSegs.length} exceeds $MvMaxTouchedBuckets — " +
+        "the dimension key is not dimension-grain; fix the layout, don't widen the cap")
+    val cohort = fact.filter(col("segment_id").isin(touchedSegs.toIndexedSeq: _*))
+      .join(dR.select(col("user_id")), Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("segment_id").cast("long").as("segment_id"), col("cents"))
+    val oldTouched = fact.join(dR.select(col("user_id")), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("segment_id").cast("long").as("segment_id"), col("cents"))
+    val s1 = dim.join(dS.select(col("segment_id")), Seq("segment_id"), "left_anti")
+      .unionByName(dS.filter(col("s_op") =!= RowDelete)
+        .select(col("segment_id"), col("tier_cents")))
+    val tierT = expr(floorDivSql("tier_cents", MvTierCents)).as("t")
+    val retract = oldTouched.unionByName(cohort)
+      .join(dim, Seq("segment_id"))
+      .select(tierT, lit(-1L).as("d_n"), (-col("cents")).as("d_cents"))
+    val insert = dR.filter(col("r_op") =!= RowDelete)
+      .select(col("user_id"), col("segment_id"), col("cents"))
+      .unionByName(cohort)
+      .join(s1, Seq("segment_id"))
+      .select(tierT, lit(1L).as("d_n"), col("cents").as("d_cents"))
+    val delta = retract.unionByName(insert)
+      .groupBy(col("t"))
+      .agg(sum(col("d_n")).as("d_n"), sum(col("d_cents")).as("d_cents"))
+    base.join(delta, Seq("t"), "full_outer")
+      .withColumn("n_rows",
+        coalesce(col("base_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+      .withColumn("new_cents",
+        coalesce(col("base_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+      .filter(col("n_rows") > 0 || col("base_n").isNotNull)
+      .withColumn("mv_action",
+        when(col("base_n").isNull, "created")
+          .when(col("n_rows") === 0, "emptied")
+          .when(col("n_rows") === col("base_n") && col("new_cents") === col("base_cents"),
+            "carried")
+          .otherwise("updated"))
+      .select(col("t"), col("mv_action"), col("n_rows"),
+        (col("new_cents").cast("double") / 100.0).as("sum_value"))
+      .orderBy(col("t"))
+  }
+
   // ------------------------------------------------------------ top-k MV maintenance
 
   /** Rank depth of the top-k MV. */
