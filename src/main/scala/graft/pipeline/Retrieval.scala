@@ -96,8 +96,10 @@ object Retrieval {
 
   /** The two systems' top-[[RrfDepth]] rank relations — shared by
     * the fusion ([[rrfOn]]) and the evaluation ([[evalOn]]). */
-  private[pipeline] def lexDense(d: DataFrame, e: DataFrame): (DataFrame, DataFrame) = {
-    val lex = lexSystem(d).lex
+  private[pipeline] def lexDense(d: DataFrame, e: DataFrame): (DataFrame, DataFrame) =
+    (lexSystem(d).lex, denseSystem(e))
+
+  private[pipeline] def denseSystem(e: DataFrame): DataFrame = {
     // ---- dense system: exact cosine against the anchor vectors
     val vecs = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -105,14 +107,13 @@ object Retrieval {
     val q = vecs.filter(col("vec_id") < RrfNumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     val wDense = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    val dense = vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    vecs.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", round(
         graft.functions.VecDot.dot(col("qv"), col("v")) /
           (sqrt(col("qn2")) * sqrt(col("n2"))), 6))
       .withColumn("dense_rank", row_number().over(wDense))
       .filter(col("dense_rank") <= RrfDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("dense_rank"))
-    (lex, dense)
   }
 
   private[pipeline] def rrfOn(d: DataFrame, e: DataFrame): DataFrame = {
@@ -240,8 +241,13 @@ object Retrieval {
   def retrievalPrf(spark: SparkSession, dir: String): DataFrame =
     prfOn(Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"), col("text")))
 
-  private[pipeline] def prfOn(d: DataFrame): DataFrame = {
-    val lp = lexSystem(d)
+  private[pipeline] def prfOn(d: DataFrame): DataFrame =
+    prfFromParts(lexSystem(d))
+
+  /** The feedback loop over an already-built lexical system — shared
+    * by [[prfOn]] and [[evalOn]] so the evaluation reuses one tf
+    * exchange across all four systems. */
+  private[pipeline] def prfFromParts(lp: LexParts): DataFrame = {
     // pseudo-relevant set: first-pass top-R per anchor
     val prel = lp.lex.filter(col("lex_rank") <= PrfFeedbackDocs)
       .select(col("query_id"), col("doc_id"))
@@ -359,7 +365,8 @@ object Retrieval {
   /** #33v: RETRIEVAL-QUALITY EVALUATION — the accuracy twin the
     * hybrid family lacked (the ann_recall / lang_confusion pattern):
     * per anchor query and per system (lexical BM25, dense cosine,
-    * RRF fusion), graded-relevance metrics @10 against label-derived
+    * RRF fusion, and — since the PRF loop shipped — the expanded
+    * query), graded-relevance metrics @10 against label-derived
     * relevance (a candidate is relevant iff it carries the anchor's
     * `label`; the anchor itself is excluded everywhere, matching the
     * rankers). All metrics are EXACT integers so the DuckDB oracle
@@ -383,8 +390,11 @@ object Retrieval {
       Tables.spread(Tables.embeddings(spark, dir)))
 
   private[pipeline] def evalOn(d: DataFrame, e: DataFrame): DataFrame = {
-    val (lex, dense) = lexDense(d, e)
+    val lp = lexSystem(d)
+    val lex = lp.lex
+    val dense = denseSystem(e)
     val fused = rrfFuse(lex, dense)
+    val prf = prfFromParts(lp)
     val rankings = lex.filter(col("lex_rank") <= EvalK)
       .select(col("query_id"), col("doc_id"), lit("lex").as("system"),
         col("lex_rank").as("rank"))
@@ -393,6 +403,9 @@ object Retrieval {
           col("dense_rank").as("rank")))
       .unionByName(fused.filter(col("rank") <= EvalK)
         .select(col("query_id"), col("doc_id"), lit("fused").as("system"),
+          col("rank")))
+      .unionByName(prf.filter(col("rank") <= EvalK)
+        .select(col("query_id"), col("doc_id"), lit("prf").as("system"),
           col("rank")))
     val labels = e.select(col("vec_id").as("doc_id"), col("label"))
     val qLabels = e.filter(col("vec_id") < RrfNumQueries)
@@ -424,13 +437,47 @@ object Retrieval {
 
   val retrievalEvalSql: String = rrfCtes +
     s""", fusedtop AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= $EvalK),
+       |prel AS (SELECT query_id, doc_id FROM lexranked WHERE lex_rank <= $PrfFeedbackDocs),
+       |expw AS (
+       |  SELECT p.query_id, tf.token, CAST(SUM(tf.tf) AS BIGINT) AS w
+       |  FROM tf JOIN prel p ON tf.doc_id = p.doc_id
+       |  GROUP BY 1, 2),
+       |expt AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT e.query_id, e.token,
+       |      ROW_NUMBER() OVER (PARTITION BY e.query_id ORDER BY e.w DESC, e.token) AS erank
+       |    FROM expw e
+       |    WHERE NOT EXISTS (
+       |      SELECT 1 FROM qt WHERE qt.query_id = e.query_id AND qt.token = e.token))
+       |  WHERE erank <= $PrfExpansionTerms),
+       |peq AS (
+       |  SELECT query_id, token, $PrfOrigWeight AS wq FROM qt
+       |  UNION ALL
+       |  SELECT query_id, token, $PrfExpWeight AS wq FROM expt),
+       |prfterms AS (
+       |  SELECT peq.query_id, tf.doc_id,
+       |    ${TextAnalysis.bm25TermScoreSql} * peq.wq AS s
+       |  FROM tf
+       |  JOIN peq USING (token) JOIN dfr USING (token)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN n CROSS JOIN t
+       |  WHERE tf.doc_id <> peq.query_id),
+       |prftop AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY SUM(s) DESC, doc_id) AS INT) AS rank
+       |    FROM prfterms GROUP BY 1, 2)
+       |  WHERE rank <= $EvalK),
        |rankings AS (
        |  SELECT query_id, doc_id, 'lex' AS system, lex_rank AS rank
        |  FROM lextop WHERE lex_rank <= $EvalK
        |  UNION ALL
        |  SELECT query_id, doc_id, 'dense', dense_rank FROM densetop WHERE dense_rank <= $EvalK
        |  UNION ALL
-       |  SELECT query_id, doc_id, 'fused', rank FROM fusedtop),
+       |  SELECT query_id, doc_id, 'fused', rank FROM fusedtop
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 'prf', rank FROM prftop),
        |labels AS (SELECT vec_id AS doc_id, label FROM embeddings),
        |qlab AS (SELECT vec_id AS query_id, label AS q_label
        |         FROM embeddings WHERE vec_id < $RrfNumQueries),

@@ -72,7 +72,7 @@ class RetrievalEvalSpec extends SparkSpec {
     val rows = Retrieval.retrievalEval(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
-    assert(rows.length == Retrieval.RrfNumQueries * 3, rows.length)
+    assert(rows.length == Retrieval.RrfNumQueries * 4, rows.length) // lex/dense/fused/prf
     rows.foreach { case (q, sys, hits, totRel, mrr, dcg, idcg) =>
       assert(hits >= 0 && hits <= Retrieval.EvalK, s"($q,$sys) hits $hits")
       assert(hits <= totRel, s"($q,$sys) hits > total_relevant")
