@@ -2006,7 +2006,9 @@ object CdcOps {
       .localCheckpoint() // feeds the segment literal and the dimension update
     // touched segments → driver literal (dimension-grain metadata;
     // loud cap) pushed as a STATIC partition filter on the fact scan
-    val touchedSegs: Array[Long] = dS.select(col("segment_id")).distinct()
+    // cast-before-collect so a bring-your-own slice with an INT-typed
+    // segment_id can't ClassCastException (mvMinMaxFromStored discipline)
+    val touchedSegs: Array[Long] = dS.select(col("segment_id").cast("long")).distinct()
       .collect().map(_.getLong(0))
     require(touchedSegs.length <= MvMaxTouchedBuckets,
       s"touched-segment set ${touchedSegs.length} exceeds $MvMaxTouchedBuckets — " +

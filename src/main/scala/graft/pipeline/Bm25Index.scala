@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted STANDING BM25 index — the retrieval twin of
@@ -17,16 +18,34 @@ import org.apache.spark.sql.functions._
   * token-grain metadata work: the stored relation is typically 1-2
   * orders of magnitude smaller than the corpus text it summarizes.
   *
-  * The index is ONE parquet relation, appended per admitted batch
-  * ([[add]] — the standing relation is never rewritten), so batch N+1
-  * scores against batch N's stats with no rebuild. A replayed append
-  * duplicates whole rows; [[load]] collapses them with `distinct()`
-  * (identical rows by construction — same doc, same text, same tf),
-  * so at-least-once ingestion cannot double-count df/dl. [[compact]]
-  * removes the duplicates physically (and the small-files swamp) on
-  * the maintenance cadence; conflicting rows for one (doc_id, token)
-  * — a re-ingested MUTATED doc — are not repairable by dedup and fail
-  * compaction loudly, the [[DedupIndex.compact]] discipline.
+  * Layout under one root (the [[AnnIndex]] discipline):
+  *
+  *  - `tf/` — the statistic rows `(doc_id, token, tf, dl)`. `dl` is
+  *    the doc's total token count AT INGEST TIME — the per-row
+  *    MUTATION WITNESS: any re-ingest of a changed doc either moves
+  *    `dl` (token removal / addition / emptied doc) or breaks the
+  *    per-doc `sum(tf) = dl` invariant (a same-length token swap
+  *    merges disjoint rows), so [[compact]] detects EVERY mutated
+  *    re-ingest — including the pure-removal class a
+  *    `(doc_id, token, tf)`-only relation cannot see (shared tokens
+  *    keep their tf, the removed rows simply aren't contradicted).
+  *    Only a byte-identical replay merges silently, which is exactly
+  *    the idempotent case.
+  *  - `manifest/` — ONE row `(compacted, n_rows)`, the commit marker
+  *    ([[load]] refuses a manifest-less index) and the dedup-state
+  *    flag: `compacted = true` means the relation is duplicate-free
+  *    and [[load]] may skip its `distinct()`.
+  *
+  * The index is appended per admitted batch ([[add]] — the standing
+  * relation is never rewritten), so batch N+1 scores against batch
+  * N's stats with no rebuild. A replayed append duplicates whole
+  * rows; [[load]] collapses them with `distinct()` while the manifest
+  * says `compacted = false` (identical rows by construction — same
+  * doc, same text, same tf), so at-least-once ingestion cannot
+  * double-count df/dl. [[compact]] removes the duplicates physically
+  * (and the small-files swamp) on the maintenance cadence and flips
+  * the flag, after which [[load]] plans NO dedup exchange at all —
+  * steady-state probes pay zero replay tax.
   *
   * Scale shape: [[search]] runs [[TextAnalysis.bm25FromTf]] — the
   * SAME plan the from-text operator runs, minus the text scan and the
@@ -36,24 +55,70 @@ import org.apache.spark.sql.functions._
   * per-partition. */
 object Bm25Index {
 
+  private def tfDir(path: String) = s"$path/tf"
+
+  /** Ingest-time statistic: the tf relation plus the per-doc `dl`
+    * witness (one extra doc-keyed exchange, paid at ingest only —
+    * search never reads the column). */
+  private def stat(corpus: DataFrame): DataFrame =
+    TextAnalysis.tfRelation(corpus)
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+
+  private def writeManifest(spark: SparkSession, path: String,
+      compacted: Boolean, nRows: Long): Unit = {
+    import spark.implicits._
+    Seq((compacted, nRows)).toDF("compacted", "n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** The stored index's state (1 row: compacted flag + committed row
+    * count, −1 while un-compacted appends are outstanding). */
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/manifest")
+
   /** Build and persist the index for a corpus — run ONCE; afterwards
-    * only [[add]] appends. */
-  def write(corpus: DataFrame, path: String): Unit =
-    TextAnalysis.tfRelation(corpus).write.mode("overwrite").parquet(path)
+    * only [[add]] appends. A single overwrite build is duplicate-free
+    * by construction, so the manifest commits `compacted = true`
+    * (manifest LAST — it is the commit marker). */
+  def write(corpus: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
+    stat(corpus).write.mode("overwrite").parquet(tfDir(path))
+    writeManifest(spark, path, compacted = true,
+      spark.read.parquet(tfDir(path)).count()) // footer-metadata count
+  }
 
   /** Append a new batch's term frequencies to the standing index.
-    * Append-only, one parquet commit per batch; a replayed append
-    * duplicates rows that [[load]] collapses. */
-  def add(batch: DataFrame, path: String): Unit =
-    TextAnalysis.tfRelation(batch).write.mode("append").parquet(path)
+    * The manifest degrades to `compacted = false` BEFORE the append
+    * commits: a crash between the two leaves a conservative flag over
+    * a clean relation (load runs a harmless distinct) — the reverse
+    * order could leave `compacted = true` over duplicates, the one
+    * silently-wrong state. */
+  def add(batch: DataFrame, path: String): Unit = {
+    writeManifest(batch.sparkSession, path, compacted = false, nRows = -1L)
+    stat(batch).write.mode("append").parquet(tfDir(path))
+  }
 
-  /** Load the standing tf relation. `distinct()` makes a replayed
-    * [[add]] harmless — one (doc_id, token)-keyed exchange of
-    * token-grain metadata, the price of at-least-once ingestion
-    * (post-[[compact]] it deduplicates nothing but still exchanges;
-    * skip-after-compact is a caller policy, not index semantics). */
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).distinct()
+  /** Load the standing tf relation. While `compacted = false` a
+    * `distinct()` makes a replayed [[add]] harmless — one
+    * (doc_id, token)-keyed exchange of token-grain metadata, the
+    * price of at-least-once ingestion. Post-[[compact]] the relation
+    * is duplicate-free and the distinct is SKIPPED (no exchange at
+    * all), guarded by the committed row count: rows that appeared
+    * outside the [[add]] path (a foreign append under a compacted
+    * manifest) are refused loudly rather than double-counted. */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val m = manifest(spark, path).head() // commit marker: missing → refuse
+    val raw = spark.read.parquet(tfDir(path))
+    if (m.getAs[Boolean]("compacted")) {
+      val n = raw.count() // parquet footer metadata, no row scan
+      require(n == m.getAs[Long]("n_rows"),
+        s"index at $path has $n rows but the compacted manifest committed " +
+          s"${m.getAs[Long]("n_rows")} — rows were appended outside add(); " +
+          "re-run compact or rebuild")
+      raw.select(col("doc_id"), col("token"), col("tf"))
+    } else
+      raw.distinct().select(col("doc_id"), col("token"), col("tf"))
+  }
 
   /** Score the standing corpus against the fixed query workload —
     * [[TextAnalysis.bm25FromTf]] over the stored statistic, so the
@@ -63,25 +128,61 @@ object Bm25Index {
     TextAnalysis.bm25FromTf(load(spark, path))
 
   /** Compaction: drop replay duplicates, rewrite into `numFiles`
-    * files, fail loudly on true conflicts (same (doc_id, token),
-    * different tf — a mutated re-ingest needs a rebuild, compaction
-    * cannot pick a side). Same checked-swap discipline as
-    * [[DedupIndex.compact]]. */
+    * files, flip the manifest to `compacted = true`, and fail loudly
+    * on any MUTATED re-ingest — which the dl witness makes a complete
+    * check (three invariants, each catching the class the others
+    * miss):
+    *
+    *  1. one row per (doc_id, token) — catches a changed tf, and any
+    *     re-ingest that moved `dl` while sharing a token;
+    *  2. one distinct `dl` per doc — catches the emptied-doc
+    *     re-ingest (old token rows vs the fresh NULL row share no
+    *     token, so check 1 is blind to it);
+    *  3. per doc, `sum(tf) = dl` — catches the same-length token SWAP
+    *     (disjoint token sets, identical dl: checks 1-2 both pass,
+    *     but the merged rows sum to 2·dl).
+    *
+    * Swap discipline (closes the r12 crash window): the rewrite lands
+    * in `tf_compact/`, the manifest is deleted (loaders refuse the
+    * mid-swap state), the OLD relation is PARKED at `tf_old/` — not
+    * deleted — until the rewrite is renamed into place, and only then
+    * is the parked copy dropped and a fresh manifest committed LAST.
+    * At every crash point the full statistic exists on disk in at
+    * least one complete directory: recoverable, never wrong. */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idxPath = new org.apache.hadoop.fs.Path(path)
-    val deduped = spark.read.parquet(path).distinct().localCheckpoint()
-    val conflicts = deduped.groupBy(col("doc_id"), col("token"))
+    val tfPath = new org.apache.hadoop.fs.Path(tfDir(path))
+    val deduped = spark.read.parquet(tfDir(path)).distinct().localCheckpoint()
+    val tfConflicts = deduped.groupBy(col("doc_id"), col("token"))
       .count().filter(col("count") > 1).limit(1).count()
-    require(conflicts == 0L,
+    require(tfConflicts == 0L,
       s"conflicting tf rows for the same (doc_id, token) at $path — " +
         "rebuild the index, compaction cannot pick a side")
-    deduped.repartition(numFiles).write.mode("overwrite").parquet(s"${path}_compact")
-    require(fs.delete(idxPath, true),
-      s"compact: failed to delete $idxPath — aborting swap, ${path}_compact holds the rewrite")
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"${path}_compact"), idxPath),
-      s"compact: failed to rename ${path}_compact into place — the index is missing, re-run compact or rebuild")
+    val dlConflicts = deduped.groupBy(col("doc_id"))
+      .agg(countDistinct(col("dl")).as("k"), sum(col("tf")).as("s"),
+        first(col("dl")).as("dl"))
+      .filter(col("k") > 1 || col("s") =!= col("dl"))
+      .limit(1).count()
+    require(dlConflicts == 0L,
+      s"a doc's stored rows disagree with its ingest-time dl at $path — " +
+        "a mutated re-ingest (token removal or swap); rebuild the index, " +
+        "compaction cannot pick a side")
+    deduped.repartition(numFiles).write.mode("overwrite").parquet(s"${tfDir(path)}_compact")
+    val nRows = spark.read.parquet(s"${tfDir(path)}_compact").count()
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest"), true),
+      s"compact: failed to delete manifest at $path/manifest — aborting before swap")
+    require(fs.rename(tfPath, new org.apache.hadoop.fs.Path(s"${tfDir(path)}_old")),
+      s"compact: failed to park $tfPath — index is manifest-less with the " +
+        s"live relation intact at $tfPath; retry compact")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"${tfDir(path)}_compact"), tfPath),
+      s"compact: rename failed: ${tfDir(path)}_compact -> $tfPath — index is " +
+        s"manifest-less; BOTH editions survive (${tfDir(path)}_old, " +
+        s"${tfDir(path)}_compact); rename one back to ${tfDir(path)} and re-run")
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"${tfDir(path)}_old"), true),
+      s"compact: failed to drop the parked ${tfDir(path)}_old — index is " +
+        "manifest-less but complete; delete it and re-commit the manifest")
+    writeManifest(spark, path, compacted = true, nRows)
   }
 
   /** Docs below this id form the base index in [[bm25IndexSearch]];

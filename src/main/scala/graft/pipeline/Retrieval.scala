@@ -390,6 +390,13 @@ object Retrieval {
       Tables.spread(Tables.embeddings(spark, dir)))
 
   private[pipeline] def evalOn(d: DataFrame, e: DataFrame): DataFrame = {
+    // fused/prf are rank-capped at RrfTopK inside rrfFuse/prfFromParts
+    // BEFORE the rank <= EvalK filter below; the @EvalK evaluation is
+    // complete only while RrfTopK covers it — fail loudly if the
+    // constants ever drift apart instead of silently truncating.
+    require(RrfTopK >= EvalK,
+      s"RrfTopK ($RrfTopK) < EvalK ($EvalK): fused/prf rankings would be " +
+        "truncated below the evaluation depth")
     val lp = lexSystem(d)
     val lex = lp.lex
     val dense = denseSystem(e)
@@ -423,7 +430,12 @@ object Retrieval {
       .agg(sum(col("rel")).cast("long").as("hits_at_10"),
         min(when(col("rel") === 1, col("rank"))).as("first_rel"),
         sum(when(col("rel") === 1, gain).otherwise(0L)).cast("long").as("dcg_e9"))
-    perSystem.join(broadcast(totalRel), Seq("query_id"))
+    // LEFT join: an anchor whose label has zero relevant docs still
+    // appears in the report (zeroed metrics) instead of silently
+    // vanishing — which also makes the total_relevant = 0 idcg branch
+    // a live code path rather than dead defence.
+    perSystem.join(broadcast(totalRel), Seq("query_id"), "left")
+      .withColumn("total_relevant", coalesce(col("total_relevant"), lit(0L)))
       .select(col("query_id"), col("system"), col("hits_at_10"),
         col("total_relevant"),
         coalesce(expr("1000000000 div first_rel"), lit(0L)).as("mrr_e9"),
@@ -496,12 +508,13 @@ object Retrieval {
        |    CAST(SUM(CASE WHEN rel = 1
        |      THEN ([${DcgGainsE9.mkString(", ")}])[rank] ELSE 0 END) AS BIGINT) AS dcg_e9
        |  FROM marked GROUP BY 1, 2)
-       |SELECT m.query_id, m.system, m.hits_at_10, t.total_relevant,
+       |SELECT m.query_id, m.system, m.hits_at_10,
+       |  CAST(COALESCE(t.total_relevant, 0) AS BIGINT) AS total_relevant,
        |  CAST(COALESCE(1000000000 // first_rel, 0) AS BIGINT) AS mrr_e9,
        |  m.dcg_e9,
-       |  CAST(CASE WHEN t.total_relevant = 0 THEN 0
+       |  CAST(CASE WHEN COALESCE(t.total_relevant, 0) = 0 THEN 0
        |    ELSE ([${IdcgPrefixE9.mkString(", ")}])[LEAST($EvalK, t.total_relevant)]
        |    END AS BIGINT) AS idcg_e9
-       |FROM m JOIN totrel t USING (query_id)
+       |FROM m LEFT JOIN totrel t USING (query_id)
        |ORDER BY query_id, system""".stripMargin
 }

@@ -123,7 +123,9 @@ def pick_controls(old, new, flagged, n=5, min_s=0.5):
 
 def run_isolated(queries, passes):
     """One BenchOne JVM over all queries; returns {name: min_seconds}."""
-    out = tempfile.mktemp(suffix="_benchone.json")
+    fd, out = tempfile.mkstemp(suffix="_benchone.json")
+    os.close(fd)
+    os.unlink(out)  # BenchOne creates the file; mkstemp only reserved the name
     env = dict(os.environ,
                SPARK_GRAFT_BENCHONE_PASSES=str(passes),
                SPARK_GRAFT_BENCHONE_OUT=out)
@@ -183,11 +185,15 @@ def main(argv):
     out = None
     if "--json" in argv:                  # pop the pair BEFORE the arity
         i = argv.index("--json")          # check (the r11-advice bug: the
-        out = argv[i + 1]                 # OUT operand used to survive into
-        del argv[i:i + 2]                 # args and trip the usage exit)
+        if i + 1 >= len(argv):            # OUT operand used to survive into
+            sys.exit(__doc__)             # args and trip the usage exit)
+        out = argv[i + 1]
+        del argv[i:i + 2]
     passes = 5
     if "--passes" in argv:
         i = argv.index("--passes")
+        if i + 1 >= len(argv):
+            sys.exit(__doc__)
         passes = int(argv[i + 1])
         del argv[i:i + 2]
     do_confirm = "--confirm" in argv
