@@ -231,6 +231,249 @@ object DebeziumAdapter {
       |WHERE reject_reason IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ EMIT side
+
+  /** EMIT-side Debezium (#17z5-#17z7): the inverse of
+    * [[fromDebeziumJson]] — the actual job of the reference's
+    * kafka-connect module (scylla-cdc-kafka-connect/README.md points
+    * at the scylla-cdc-source-connector, whose OUTPUT is Debezium
+    * change-event envelopes). [[toDebeziumEnvelopes]] maps the
+    * conforming CDC log to `op c/u/d` envelopes; [[emitWithSnapshot]]
+    * prepends the connector's initial-snapshot phase as `r` (read)
+    * envelopes; [[emitLanes]] is the no-silent-drop audit of what the
+    * row-envelope format cannot carry.
+    *
+    * Envelope construction:
+    *  - ROW_INSERT → `c` (after = row image), ROW_UPDATE → `u`
+    *    (after = row image, before = the paired PRE_IMAGE row's image
+    *    when the log carries preimages), ROW_DELETE → `d` (before =
+    *    paired preimage, else the key-only image; after null — the
+    *    Debezium delete convention [[fromDebeziumJson]] parses).
+    *  - A paired POST_IMAGE row (same batch, after the delta — the
+    *    Scylla postimage convention) REPLACES the delta's own image
+    *    as `after`: deltas carry changed columns, the postimage is
+    *    the full row, and Debezium's `after` is the full row.
+    *  - A cell whose `cdc_deleted_value` flag is set serializes as an
+    *    ABSENT `value` field (null-field omission both engines share).
+    *  - `ts_ms` = floor(time_us / 1000) — the envelope's millisecond
+    *    clock; the µs residue is the documented information loss of
+    *    the wire format (see [[fromDebeziumJson]]'s `time_us` =
+    *    `ts_ms·1000`).
+    *
+    * Image rows are CONSUMED by their paired delta, never emitted as
+    * standalone envelopes; partition and range deletes are not
+    * representable as Debezium row envelopes at all. Neither class is
+    * silently dropped: [[emitLanes]] assigns every log row exactly one
+    * lane (the [[rejects]] posture, emit-side).
+    *
+    * Scale: pairing is a window over the (stream, time, key) batch —
+    * batches are a handful of rows, so the frame work is O(batch) per
+    * key; one exchange on the batch key, then map-only JSON
+    * serialization. The snapshot phase is [[CdcOps.replicateLwwFromLog]]
+    * (one key exchange). */
+  def toDebeziumEnvelopes(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = Window.partitionBy(col("cdc_stream_id"), col("time_us"),
+      col("user_id"), col("event_id")).orderBy(col("cdc_batch_seq_no"))
+    def img(value: Column, props: Column): Column =
+      struct(col("user_id"), col("event_id"), value.as("value"), props.as("props"))
+    val rowImg = img(
+      when(col("cdc_deleted_value"), lit(null).cast("decimal(18,2)"))
+        .otherwise(col("value").cast("decimal(18,2)")),
+      col("props"))
+    val preImg = last(
+        when(col("cdc_operation") === CdcSchema.PreImage, rowImg), ignoreNulls = true)
+      .over(batch.rowsBetween(Window.unboundedPreceding, -1))
+    val postImg = first(
+        when(col("cdc_operation") === CdcSchema.PostImage, rowImg), ignoreNulls = true)
+      .over(batch.rowsBetween(1, Window.unboundedFollowing))
+    val keyOnly = img(lit(null).cast("decimal(18,2)"), lit(null).cast("string"))
+    val op = when(col("cdc_operation") === CdcSchema.RowInsert, "c")
+      .when(col("cdc_operation") === CdcSchema.RowUpdate, "u")
+      .otherwise("d")
+    log
+      .filter(col("cdc_operation").isin(CdcSchema.PreImage, CdcSchema.PostImage,
+        CdcSchema.RowInsert, CdcSchema.RowUpdate, CdcSchema.RowDelete))
+      .select(col("*"), preImg.as("pre_img"), postImg.as("post_img"))
+      .filter(col("cdc_operation")
+        .isin(CdcSchema.RowInsert, CdcSchema.RowUpdate, CdcSchema.RowDelete))
+      .select(col("cdc_stream_id"), col("user_id"), col("event_id"),
+        col("time_us"), op.as("op"),
+        expr(CdcOps.floorDivSql("time_us", 1000L)).as("ts_ms"),
+        when(op === "d", coalesce(col("pre_img"), keyOnly))
+          .when(op === "u", col("pre_img")).as("before_img"),
+        when(op =!= "d", coalesce(col("post_img"), rowImg)).as("after_img"))
+      .select(col("cdc_stream_id"), col("user_id"), col("event_id"),
+        col("time_us"), col("op"), col("ts_ms"),
+        to_json(struct(col("op"), col("ts_ms"),
+          col("before_img").as("before"), col("after_img").as("after")))
+          .as("envelope"))
+  }
+
+  /** The connector LIFECYCLE: an initial consistent snapshot emitted
+    * as `r` (read) envelopes — the LWW state of the log at `cutoffUs`,
+    * stamped with the cutoff's millisecond clock — followed by the
+    * post-cutoff stream as `c`/`u`/`d`. An external Debezium consumer
+    * bootstrapping from this feed materializes exactly the table a
+    * native consumer would (the round-trip spec's claim, via
+    * [[fromDebeziumJson]]'s r→upsert convention). */
+  def emitWithSnapshot(log: DataFrame, cutoffUs: Long): DataFrame = {
+    val cutMs = java.lang.Math.floorDiv(cutoffUs, 1000L)
+    val rRows = CdcOps.replicateLwwFromLog(log.filter(col("time_us") <= cutoffUs))
+      .select(
+        (col("user_id") % CdcSchema.NumStreams).as("cdc_stream_id"),
+        col("user_id"), col("last_event_id").as("event_id"),
+        lit(cutoffUs).as("time_us"), lit("r").as("op"), lit(cutMs).as("ts_ms"),
+        to_json(struct(lit("r").as("op"), lit(cutMs).as("ts_ms"),
+          struct(col("user_id"), col("last_event_id").as("event_id"),
+            col("value").cast("decimal(18,2)").as("value"), col("props"))
+            .as("after"))).as("envelope"))
+    rRows.unionByName(toDebeziumEnvelopes(log.filter(col("time_us") > cutoffUs)))
+  }
+
+  /** Every log row's emit-side fate, exactly one lane per row (the
+    * no-silent-drop audit): `emitted` (c/u/d), `consumed_preimage` /
+    * `consumed_postimage` (image rows that ride a paired delta's
+    * before/after), `orphan_preimage` / `orphan_postimage` (images
+    * with no delta in their batch — nothing to attach to),
+    * `partition_delete` / `range_delete_bound` (not representable as
+    * Debezium row envelopes; a downstream consumer needs the native
+    * log for these, exactly as the source connector documents). */
+  def emitLanes(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batch = Window.partitionBy(col("cdc_stream_id"), col("time_us"),
+      col("user_id"), col("event_id")).orderBy(col("cdc_batch_seq_no"))
+    val isRowOp = col("cdc_operation").isin(
+      CdcSchema.RowInsert, CdcSchema.RowUpdate, CdcSchema.RowDelete)
+    val opsBefore = coalesce(
+      sum(when(isRowOp, 1L).otherwise(0L))
+        .over(batch.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val opsAfter = coalesce(
+      sum(when(isRowOp, 1L).otherwise(0L))
+        .over(batch.rowsBetween(1, Window.unboundedFollowing)), lit(0L))
+    log.select(col("*"),
+      when(isRowOp, "emitted")
+        .when(col("cdc_operation") === CdcSchema.PreImage,
+          when(opsAfter > 0, "consumed_preimage").otherwise("orphan_preimage"))
+        .when(col("cdc_operation") === CdcSchema.PostImage,
+          when(opsBefore > 0, "consumed_postimage").otherwise("orphan_postimage"))
+        .when(col("cdc_operation") === CdcSchema.PartitionDelete, "partition_delete")
+        .otherwise("range_delete_bound").as("lane"))
+  }
+
+  /** The publish frame for an emitted envelope feed — the
+    * [[graft.streaming.CdcKafkaSink]] discipline applied to the
+    * connector's OUTPUT format: key = the stream id (one Kafka
+    * partition consumes each stream in order, the connector's
+    * partition-key convention), value = the Debezium envelope JSON,
+    * and the source offset (streamId, timeUs, eventId) as individual
+    * headers so an EXTERNAL consumer can read a partition's tail
+    * headers and resume without parsing payloads. Pure projection —
+    * wiring it is one `writeStream.format("kafka")` call with
+    * `includeHeaders=true`. */
+  def envelopeKafkaFrame(envelopes: DataFrame, topic: String): DataFrame = {
+    def header(name: String, v: Column) =
+      struct(lit(name).as("key"), v.cast("string").cast("binary").as("value"))
+    envelopes.select(
+      col("cdc_stream_id").cast("string").as("key"),
+      col("envelope").as("value"),
+      lit(topic).as("topic"),
+      array(
+        header("cdc.streamId", col("cdc_stream_id")),
+        header("cdc.timeUs", col("time_us")),
+        header("cdc.eventId", col("event_id"))).as("headers"))
+  }
+
+  /** #17z5 driver entry: the emitted feed — snapshot `r` envelopes at
+    * [[CdcOps.SnapshotCutoffUs]] + the post-cutoff c/u/d stream, one
+    * JSON envelope per row. The oracle rebuilds the IDENTICAL strings
+    * with DuckDB concatenation (the string-level gate: field order,
+    * null-field omission, decimal rendering and JSON escaping all
+    * must agree byte for byte). */
+  def debeziumEmit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    emitWithSnapshot(
+      CdcLogAdapter.fromEvents(graft.Tables.events(spark, dir)), CdcOps.SnapshotCutoffUs)
+      .select(col("user_id"), col("event_id"), col("op"), col("ts_ms"), col("envelope"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  val debeziumEmitSql: String = {
+    val cutoff = CdcOps.SnapshotCutoffUs
+    val cutMs = java.lang.Math.floorDiv(cutoff, 1000L)
+    CdcLogAdapter.oracleCte +
+      s""", img AS (
+         |  SELECT *,
+         |    CASE WHEN cdc_deleted_value THEN NULL
+         |         ELSE CAST(value AS DECIMAL(18,2)) END AS img_value
+         |  FROM cdc WHERE cdc_operation IN (1, 2, 3)),
+         |snap AS (
+         |  SELECT user_id, event_id, value, props FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY time_us DESC, event_id DESC) AS rn
+         |    FROM cdc WHERE cdc_operation IN (1, 2, 3) AND time_us <= $cutoff)
+         |  WHERE rn = 1 AND cdc_operation <> 3),
+         |emitted AS (
+         |  SELECT user_id, event_id, 'r' AS op, CAST($cutMs AS BIGINT) AS ts_ms,
+         |    '{"op":"r","ts_ms":$cutMs,"after":{"user_id":' || CAST(user_id AS VARCHAR)
+         |      || ',"event_id":' || CAST(event_id AS VARCHAR)
+         |      || COALESCE(',"value":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '')
+         |      || COALESCE(',"props":' || to_json(props), '')
+         |      || '}}' AS envelope
+         |  FROM snap
+         |  UNION ALL
+         |  SELECT user_id, event_id,
+         |    CASE cdc_operation WHEN 2 THEN 'c' WHEN 1 THEN 'u' ELSE 'd' END AS op,
+         |    time_us // 1000 AS ts_ms,
+         |    CASE WHEN cdc_operation = 3 THEN
+         |      '{"op":"d","ts_ms":' || CAST(time_us // 1000 AS VARCHAR)
+         |        || ',"before":{"user_id":' || CAST(user_id AS VARCHAR)
+         |        || ',"event_id":' || CAST(event_id AS VARCHAR) || '}}'
+         |    ELSE
+         |      '{"op":"' || (CASE cdc_operation WHEN 2 THEN 'c' ELSE 'u' END)
+         |        || '","ts_ms":' || CAST(time_us // 1000 AS VARCHAR)
+         |        || ',"after":{"user_id":' || CAST(user_id AS VARCHAR)
+         |        || ',"event_id":' || CAST(event_id AS VARCHAR)
+         |        || COALESCE(',"value":' || CAST(img_value AS VARCHAR), '')
+         |        || COALESCE(',"props":' || to_json(props), '')
+         |        || '}}'
+         |    END AS envelope
+         |  FROM img WHERE time_us > $cutoff)
+         |SELECT user_id, event_id, op, ts_ms, envelope
+         |FROM emitted ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** #17z6 driver entry: the emit-side lane audit over the native log
+    * — proves by count that emit + consumed images + unrepresentable
+    * deletes PARTITION the log (no silent drop). */
+  def debeziumEmitLanes(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    emitLanes(CdcLogAdapter.fromEvents(graft.Tables.events(spark, dir)))
+      .groupBy(col("lane"))
+      .agg(count(lit(1)).as("n_changes"))
+      .orderBy(col("lane"))
+
+  val debeziumEmitLanesSql: String = CdcLogAdapter.oracleCte +
+    """, lanes AS (
+      |  SELECT cdc_operation,
+      |    COALESCE(SUM(CASE WHEN cdc_operation IN (1, 2, 3) THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY cdc_stream_id, time_us, user_id, event_id
+      |       ORDER BY cdc_batch_seq_no
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ops_before,
+      |    COALESCE(SUM(CASE WHEN cdc_operation IN (1, 2, 3) THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY cdc_stream_id, time_us, user_id, event_id
+      |       ORDER BY cdc_batch_seq_no
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS ops_after
+      |  FROM cdc)
+      |SELECT lane, COUNT(*) AS n_changes FROM (
+      |  SELECT CASE
+      |    WHEN cdc_operation IN (1, 2, 3) THEN 'emitted'
+      |    WHEN cdc_operation = 0 AND ops_after > 0 THEN 'consumed_preimage'
+      |    WHEN cdc_operation = 0 THEN 'orphan_preimage'
+      |    WHEN cdc_operation = 9 AND ops_before > 0 THEN 'consumed_postimage'
+      |    WHEN cdc_operation = 9 THEN 'orphan_postimage'
+      |    WHEN cdc_operation = 4 THEN 'partition_delete'
+      |    ELSE 'range_delete_bound' END AS lane
+      |  FROM lanes)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The complement of [[fromDebeziumJson]]: every input row that
     * failed parsing, with its first failing rule. */
   def rejects(df: DataFrame, valueCol: String = "value"): DataFrame =

@@ -112,4 +112,126 @@ class DebeziumAdapterSpec extends SparkSpec {
     // nothing well-formed was rejected
     assert(DebeziumAdapter.rejects(feed).isEmpty)
   }
+
+  // ------------------------------------------------------------ emit side
+
+  private def reEmit(log: org.apache.spark.sql.DataFrame) =
+    DebeziumAdapter.fromDebeziumJson(
+      DebeziumAdapter.toDebeziumEnvelopes(log).select(col("envelope").as("value")))
+
+  test("emit∘parse is identity on emit-normal-form logs; first pass degrades only delete images") {
+    val feed = DebeziumAdapter.envelopesFromEvents(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val l0 = DebeziumAdapter.fromDebeziumJson(feed)
+    val l1 = reEmit(l0)
+    // First pass: every non-delete row round-trips EXACTLY; a delete
+    // row's value/props degrade to the key-only `before` (the Scylla
+    // convention — a delete mutation carries no non-key values unless
+    // a preimage row accompanies it, and a parse-produced log has no
+    // preimage rows to pair).
+    val expected = l0
+      .withColumn("value",
+        when(col("cdc_operation") === CdcSchema.RowDelete, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .withColumn("props",
+        when(col("cdc_operation") === CdcSchema.RowDelete, lit(null).cast("string"))
+          .otherwise(col("props")))
+    assert(l0.count() > 0 && l1.count() == l0.count())
+    assert(l1.exceptAll(expected).isEmpty && expected.exceptAll(l1).isEmpty)
+    // Emit-normal form reached: the second pass is exact identity.
+    val l2 = reEmit(l1)
+    assert(l2.exceptAll(l1).isEmpty && l1.exceptAll(l2).isEmpty)
+  }
+
+  test("a feed emitted from the native log LWW-replicates identically through the parse path") {
+    import org.apache.spark.sql.expressions.Window
+    val native = CdcLogAdapter.fromEvents(
+      graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val feed = DebeziumAdapter.toDebeziumEnvelopes(native)
+      .select(col("envelope").as("value"))
+    val wire = CdcOps.replicateLwwFromLog(DebeziumAdapter.fromDebeziumJson(feed))
+      .select(col("user_id"), col("last_event_id"), col("value"), col("props"))
+      .collect().map(_.toSeq).toSet
+    // Expected: the native LWW winners with the deleted-cell projection
+    // the wire format applies (a cell whose cdc_deleted_value flag is
+    // set serializes as an ABSENT value field — the deletion IS the
+    // information; the stale pre-delete bytes are not).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("time_us").desc, col("event_id").desc)
+    val nat = native
+      .filter(col("cdc_operation").isin(
+        CdcSchema.RowInsert, CdcSchema.RowUpdate, CdcSchema.RowDelete))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1 && col("cdc_operation") =!= CdcSchema.RowDelete)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        when(col("cdc_deleted_value"), lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        col("props"))
+      .collect().map(_.toSeq).toSet
+    assert(wire == nat && nat.nonEmpty)
+    // and the emitted feed is fully well-formed under the parse gate
+    assert(DebeziumAdapter.rejects(feed).isEmpty)
+  }
+
+  import DebeziumAdapterSpec.LogRow
+
+  test("pre/postimage rows ride their paired delta; orphans and deletes take the documented lanes") {
+    import spark.implicits._
+    val log = Seq(
+      // one Scylla batch: preimage + update + postimage (full new row)
+      LogRow(1L, 5000L, 0, CdcSchema.PreImage, 7L, 3L, Some(1.0), Some("a"), false),
+      LogRow(1L, 5000L, 1, CdcSchema.RowUpdate, 7L, 3L, Some(2.0), Some("b"), false),
+      LogRow(1L, 5000L, 2, CdcSchema.PostImage, 7L, 3L, Some(9.0), Some("c"), false),
+      // delete with preimage: `before` is the preimage, not key-only
+      LogRow(1L, 6000L, 0, CdcSchema.PreImage, 7L, 4L, Some(2.5), Some("p"), false),
+      LogRow(1L, 6000L, 1, CdcSchema.RowDelete, 7L, 4L, None, None, false),
+      // orphan postimage: no delta in its batch — nothing to attach to
+      LogRow(2L, 7000L, 0, CdcSchema.PostImage, 8L, 5L, Some(1.0), Some("x"), false)
+    ).toDF()
+    val env = DebeziumAdapter.toDebeziumEnvelopes(log)
+      .orderBy(col("time_us")).collect()
+    assert(env.length == 2) // images are consumed, never standalone envelopes
+    val u = env(0).getAs[String]("envelope")
+    val d = env(1).getAs[String]("envelope")
+    // postimage REPLACES the delta's own image as `after` (deltas carry
+    // changed columns; Debezium's after is the full row)
+    assert(u ==
+      """{"op":"u","ts_ms":5,"before":{"user_id":7,"event_id":3,"value":1.00,"props":"a"},"after":{"user_id":7,"event_id":3,"value":9.00,"props":"c"}}""",
+      u)
+    assert(d ==
+      """{"op":"d","ts_ms":6,"before":{"user_id":7,"event_id":4,"value":2.50,"props":"p"}}""",
+      d)
+    val lanes = DebeziumAdapter.emitLanes(log)
+      .groupBy(col("lane")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lanes == Map(
+      "emitted" -> 2L, "consumed_preimage" -> 2L,
+      "consumed_postimage" -> 1L, "orphan_postimage" -> 1L), lanes.toString)
+  }
+
+  test("envelope Kafka frame: stream-keyed, offset headers, envelope payload") {
+    import spark.implicits._
+    val log = Seq(
+      LogRow(3L, 9000L, 0, CdcSchema.RowInsert, 11L, 6L, Some(4.0), Some("q"), false)
+    ).toDF()
+    val frame = DebeziumAdapter.envelopeKafkaFrame(
+      DebeziumAdapter.toDebeziumEnvelopes(log), "cdc.events").collect()
+    assert(frame.length == 1)
+    val r = frame(0)
+    assert(r.getAs[String]("key") == "3" && r.getAs[String]("topic") == "cdc.events")
+    assert(r.getAs[String]("value").startsWith("""{"op":"c","ts_ms":9,"""))
+    val headers = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers")
+      .map(h => h.getAs[String]("key") -> new String(h.getAs[Array[Byte]]("value"), "UTF-8"))
+      .toMap
+    assert(headers == Map(
+      "cdc.streamId" -> "3", "cdc.timeUs" -> "9000", "cdc.eventId" -> "6"), headers.toString)
+  }
+}
+
+object DebeziumAdapterSpec {
+  /** Constructed-log row shape for the emit-side pairing tests
+    * (top-level so Spark can derive its product encoder). */
+  case class LogRow(cdc_stream_id: Long, time_us: Long,
+      cdc_batch_seq_no: Int, cdc_operation: Int, user_id: Long, event_id: Long,
+      value: Option[Double], props: Option[String], cdc_deleted_value: Boolean)
 }
