@@ -208,6 +208,119 @@ object AnnIndex {
     CompactStats(rowsBefore, rowsAfter, filesBefore, countFiles(codesPath), nVectors)
   }
 
+  /** Reindex report: live-vector occupancy over the coarse cells
+    * before/after the centroid retrain (max cell size over the
+    * uniform mean — [[Similarity.annCellOccupancy]]'s trigger metric,
+    * measured by the code path it triggers). */
+  final case class ReindexStats(nVectors: Long, cellsBefore: Long, cellsAfter: Long,
+      maxOverMeanBefore: Double, maxOverMeanAfter: Double)
+
+  /** Deterministic coarse-centroid retraining over the live corpus:
+    * [[Similarity.NumCentroids]] hash-spread seeds (Murmur3 of vec_id
+    * orders the corpus pseudo-randomly but reproducibly — no RNG
+    * state, same seeds on every run and every resume), then `iters`
+    * Lloyd iterations with DECIMAL-exact means (the emb_kmeans
+    * recipe). Every per-iteration relation is K rows of metadata
+    * except the assignment pass, which is the same
+    * map-side-combining argmin aggregate the in-query pipeline uses
+    * (exchange carries n rows, never n·K). */
+  private[pipeline] def retrainCentroids(live: DataFrame, iters: Int): DataFrame = {
+    import graft.functions.VecDot.dot
+    import org.apache.spark.sql.expressions.Window
+    // seed frame is limit(K)-bounded before the window ranks it
+    val seedW = Window.orderBy(col("hk"), col("vec_id"))
+    var cent = live
+      .withColumn("hk", pmod(hash(col("vec_id")), lit(1 << 30)))
+      .orderBy(col("hk"), col("vec_id")).limit(Similarity.NumCentroids)
+      .withColumn("cid", (row_number().over(seedW) - 1).cast("long"))
+      .select(col("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = live.join(broadcast(cent), lit(true))
+        .withColumn("dist2",
+          col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), min(struct(col("dist2"), col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("v"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(sum(col("x").cast("decimal(27,12)")).cast("double") / count(lit(1)), 6)
+          .as("cm"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cm")))),
+          s => s.getField("cm")).as("cv"))
+        .withColumn("cn2", dot(col("cv"), col("cv")))
+        .localCheckpoint() // ≤ K rows
+    }
+    cent
+  }
+
+  /** REINDEX — the code path [[Similarity.annCellOccupancy]] is the
+    * trigger for (r12 verdict directive #4): when the online-insert
+    * cadence has drifted the corpus away from the build-time coarse
+    * geometry (cells crowd, probes over-read), re-train the coarse
+    * centroids on the LIVE corpus and re-encode every vector's cell +
+    * residual codes under the STORED codebook — cheaper than a full
+    * [[write]] rebuild (no Lloyd pass over M·K codebook entries) and
+    * exactly the cell-rebalance an IVF deployment runs between full
+    * retrains. Search needs no special casing afterwards: the index
+    * is ordinary (centroids, codebook, codes) relations.
+    *
+    * Tombstone semantics are preserved the way [[compact]] preserves
+    * them: the rewrite reads the full corpus anyway, so tombstoned
+    * vectors leave PHYSICALLY (excluded from the re-encode) and the
+    * tombstone list clears before the manifest commits.
+    *
+    * Commit discipline (the [[compact]] marker): the retrained
+    * relations land in `*_reindex/` staging first, then the manifest
+    * is DELETED, the two directory swaps happen, tombstones clear,
+    * and a fresh manifest commits LAST. A crash anywhere mid-swap
+    * leaves a manifest-less index that [[load]] (and a retried
+    * reindex, which loads first) REFUSES — recoverable, never
+    * silently wrong. */
+  def reindex(emb: DataFrame, path: String, lloydIters: Int = 2): ReindexStats = {
+    val spark = emb.sparkSession
+    val s = load(spark, path) // manifest + geometry gate before touching files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = s.tombstones
+      .foldLeft(prepare(emb)) { (e, tb) => e.join(tb, Seq("vec_id"), "left_anti") }
+      .localCheckpoint() // feeds seeding, every Lloyd pass and the encode
+    def occupancy(codes: DataFrame): (Long, Double) = {
+      val r = codes.select(col("cell"), col("vec_id")).distinct()
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), max(col("n")).cast("double"), sum(col("n")).cast("double"))
+        .head()
+      (r.getLong(0),
+        r.getDouble(1) / (r.getDouble(2) / Similarity.NumCentroids.toDouble))
+    }
+    val liveCodesBefore = s.tombstones
+      .foldLeft(s.codes) { (c, tb) => c.join(tb, Seq("vec_id"), "left_anti") }
+    val (cellsBefore, spreadBefore) = occupancy(liveCodesBefore)
+    val cent = retrainCentroids(live, lloydIters)
+    val codes = Similarity.ivfPqEncode(live, cent, s.codebook, residual = true)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_reindex")
+    codes.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes_reindex")
+    val staged = spark.read.parquet(s"$path/codes_reindex")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("code"))
+    val (cellsAfter, spreadAfter) = occupancy(staged)
+    val nVectors = staged.select(col("vec_id")).distinct().count()
+    def hp(sub: String) = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    require(fs.delete(hp("manifest"), true),
+      s"reindex: failed to delete manifest at $path — aborting before swap")
+    require(fs.delete(hp("centroids"), true) && fs.rename(hp("centroids_reindex"), hp("centroids")),
+      s"reindex: centroids swap failed at $path — index is manifest-less, restore or rebuild")
+    require(fs.delete(hp("codes"), true) && fs.rename(hp("codes_reindex"), hp("codes")),
+      s"reindex: codes swap failed at $path — index is manifest-less, restore or rebuild")
+    if (fs.exists(tombstonesPath(path)))
+      require(fs.delete(tombstonesPath(path), true),
+        s"reindex: failed to clear tombstones at $path — index is manifest-less, restore or rebuild")
+    writeManifest(spark, path, nVectors)
+    ReindexStats(nVectors, cellsBefore, cellsAfter, spreadBefore, spreadAfter)
+  }
+
   /** The stored index's build parameters (1 row). */
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/manifest")

@@ -246,4 +246,91 @@ class AnnIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](AnnIndex.compact(spark, path))
     assert(e.getMessage.contains("rebuild"))
   }
+
+  // ------------------------------------------------------------ reindex
+
+  /** Base corpus (doubles) plus a DRIFTED cohort: a pure translation
+    * of the base — far from the build-time coarse geometry, so under
+    * the OLD centroids the whole cohort crams into whichever cells
+    * face the drift direction (the state
+    * [[Similarity.annCellOccupancy]] exists to flag), while its
+    * INTERNAL geometry is intact, so retrained centroids can spread
+    * it back over many cells. */
+  private def driftedCorpus(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val drifted = emb.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0)).as("embedding"))
+    (emb, drifted)
+  }
+
+  test("reindex rebalances a drifted index; stored search equals the live recompute") {
+    import graft.functions.VecDot.dot
+    val (base, drifted) = driftedCorpus()
+    val full = base.unionByName(drifted)
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_reindex").toString
+    AnnIndex.write(base, path)
+    AnnIndex.add(drifted, path) // encoded under the stale geometry: cells crowd
+    val stats = AnnIndex.reindex(full, path)
+    assert(stats.nVectors == full.count())
+    // occupancy spread SHRINKS: the retrained centroids spread the
+    // drifted cohort over its own cells instead of cramming it into
+    // the base geometry's nearest one or two
+    assert(stats.maxOverMeanAfter < stats.maxOverMeanBefore,
+      s"reindex did not rebalance: $stats")
+    // the reindexed STORED search must equal the live recompute with
+    // the same math (retrain + encode + IVF-PQ search, no parquet
+    // round-trip) — the swap discipline preserved the arithmetic
+    val idx = AnnIndex.load(spark, path)
+    val queries = base.filter(col("vec_id") < Similarity.NumQueries)
+    val got = AnnIndex.search(queries, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val live = full
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val cent2 = AnnIndex.retrainCentroids(live, 2)
+    val codes2 = Similarity.ivfPqEncode(live, cent2, idx.codebook, residual = true)
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .withColumn("qn2", dot(col("qv"), col("qv")))
+    val expected = Similarity.ivfPqSearch(q, cent2, idx.codebook, codes2, residual = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expected && got.nonEmpty)
+    assert(got.map(_._1).distinct.size == Similarity.NumQueries)
+  }
+
+  test("reindex makes tombstoned deletes physical and clears the list") {
+    val (base, _) = driftedCorpus()
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_reindex_tb").toString
+    AnnIndex.write(base, path)
+    import spark.implicits._
+    val victims = base.filter(col("vec_id") % 11 === 5).select(col("vec_id"))
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    AnnIndex.remove(victims, path)
+    val stats = AnnIndex.reindex(base, path)
+    assert(stats.nVectors == base.count() - victimIds.size)
+    val idx = AnnIndex.load(spark, path)
+    assert(idx.tombstones.isEmpty, "reindex must clear the tombstone list")
+    assert(idx.codes.filter(col("vec_id").isin(victimIds.toSeq: _*)).count() == 0,
+      "tombstoned vectors must leave the reindexed relation physically")
+    val results = AnnIndex.search(base.filter(col("vec_id") < Similarity.NumQueries), idx)
+      .collect().map(_.getLong(1)).toSet
+    assert((results & victimIds).isEmpty)
+  }
+
+  test("crash mid-reindex leaves a load-refused (and reindex-refused) index") {
+    val (base, _) = driftedCorpus()
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_reindex_crash").toString
+    AnnIndex.write(base, path)
+    // simulate the crash window: staging landed, manifest already
+    // deleted, swap not finished
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$path/centroids").write.parquet(s"$path/centroids_reindex")
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/manifest"), true))
+    intercept[Exception](AnnIndex.load(spark, path))
+    intercept[Exception](AnnIndex.reindex(base, path)) // loads first: refused too
+  }
 }
