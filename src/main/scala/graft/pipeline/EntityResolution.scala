@@ -51,11 +51,17 @@ object EntityResolution {
   private def nameTokens(name: Column): Column =
     filter(split(lower(name), " "), t => length(t) > 0)
 
-  /** Adjacent sorted-pair blocking signatures of a sorted token set. */
-  private def sigRows(df: DataFrame, key: String, set: String): DataFrame =
-    df.select(col(key), explode(expr(
-        s"transform(sequence(1, size($set) - 1), " +
-          s"i -> concat(element_at($set, i), '|', element_at($set, i + 1)))"))
+  /** Sorted-pair blocking signatures of a sorted token set at `gap`:
+    * gap 1 = consecutive pairs (the er_match scheme), gap 2 =
+    * skip-grams (pairs one apart — survive a token loss BETWEEN them
+    * at the cost of more signatures overlapping across entities).
+    * Sets with ≤ gap tokens emit nothing (Spark's sequence would run
+    * DESCENDING for an empty range, so the guard is explicit). */
+  private def sigRows(df: DataFrame, key: String, set: String, gap: Int = 1): DataFrame =
+    df.select(col(key), explode(when(size(col(set)) > gap, expr(
+        s"transform(sequence(1, size($set) - $gap), " +
+          s"i -> concat(element_at($set, i), '|', element_at($set, i + $gap)))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
       .as("sig"))
 
   def erMatch(spark: SparkSession, dir: String): DataFrame = {
@@ -94,6 +100,145 @@ object EntityResolution {
         col("inter"), col("jacc_e6"),
         (col("l_key") === col("r_id")).as("correct"))
       .orderBy(col("dirty_id"))
+  }
+
+  // ------------------------------------------------------------ blocking sweep
+
+  /** Sweep grid (r12 verdict directive #5): blocking scheme ×
+    * signature-df cap × match threshold — so [[MaxSigDf]] = 256 and
+    * [[MatchThresholdE6]] = 0.6 read off a tuned curve instead of
+    * standing as constants. */
+  val SweepSchemes: Seq[(String, Int)] = Seq("adjacent" -> 1, "skipgram" -> 2)
+  val SweepDfCaps: Seq[Long] = Seq(64L, 256L, 1024L)
+  val SweepThresholdsE6: Seq[Long] = Seq(500000L, 600000L, 700000L)
+
+  /** #33x2 driver entry: recall/precision of every (scheme, df cap,
+    * threshold) blocking configuration against the KNOWN truth (every
+    * dirty record is its own entity, brand lost in transit — the
+    * er_match synthesis). One row per config: candidate-pair count
+    * (the blocking cost), match/correct counts, exact integer
+    * precision and recall. The oracle replays the identical grid with
+    * DuckDB's own list machinery — the dedup_minhash_band_sweep
+    * pattern applied to linkage.
+    *
+    * Scale: per (scheme, cap) one blocking pass over the signature
+    * postings with the cap bounding f², then a bounded top-1 relation
+    * (≤ one row per dirty record) that all three threshold rows
+    * aggregate from; thresholds are a 3-row broadcast theta-join,
+    * never a rescore. */
+  def erBlockingSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.spread(Tables.part(spark, dir))
+    val left = p.select(col("p_partkey").as("l_key"),
+      array_sort(array_distinct(concat(nameTokens(col("p_name")),
+        array(lower(col("p_brand")), lower(col("p_type")),
+          concat(lit("sz"), col("p_size").cast("string")))))).as("ls"))
+      .localCheckpoint()
+    val right = p.select(col("p_partkey").as("r_id"),
+      array_sort(array_distinct(concat(nameTokens(col("p_name")),
+        array(lower(col("p_type")),
+          concat(lit("sz"), col("p_size").cast("string")))))).as("rs"))
+      .localCheckpoint()
+    val nTruth = right.count() // one bounded driver scalar (truth size)
+    val thr = SweepThresholdsE6.toDF("threshold_e6")
+    val grid = for ((scheme, gap) <- SweepSchemes; cap <- SweepDfCaps) yield {
+      val lsig = sigRows(left, "l_key", "ls", gap)
+      val rsig = sigRows(right, "r_id", "rs", gap)
+      val hot = lsig.groupBy(col("sig"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("sig"))
+      val cand = lsig.join(hot, Seq("sig"), "left_anti")
+        .join(rsig, Seq("sig"))
+        .select(col("l_key"), col("r_id")).distinct()
+        .localCheckpoint() // feeds the pair count AND the scoring pass
+      val w = Window.partitionBy(col("r_id")).orderBy(col("jacc_e6").desc, col("l_key"))
+      val top = cand.join(left, Seq("l_key")).join(right, Seq("r_id"))
+        .withColumn("inter", size(array_intersect(col("ls"), col("rs"))).cast("long"))
+        .withColumn("uni",
+          (size(col("ls")) + size(col("rs"))).cast("long") - col("inter"))
+        .withColumn("jacc_e6", expr("(1000000 * inter) div uni"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("r_id"), col("l_key"), col("jacc_e6"))
+      val agg = top.join(broadcast(thr), col("jacc_e6") >= col("threshold_e6"))
+        .groupBy(col("threshold_e6"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum(when(col("l_key") === col("r_id"), 1L).otherwise(0L)).as("n_correct"))
+      thr.join(agg, Seq("threshold_e6"), "left")
+        .na.fill(0L, Seq("n_matches", "n_correct"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
+        .select(lit(scheme).as("scheme"), lit(cap).as("df_cap"), col("threshold_e6"),
+          col("n_candidate_pairs"), col("n_matches"), col("n_correct"),
+          when(col("n_matches") === 0, lit(null).cast("long"))
+            .otherwise(expr("(1000000 * n_correct) div n_matches")).as("precision_e6"),
+          expr(s"(1000000 * n_correct) div ${nTruth}L").as("recall_e6"))
+    }
+    grid.reduce(_ unionByName _)
+      .orderBy(col("scheme"), col("df_cap"), col("threshold_e6"))
+  }
+
+  val erBlockingSweepSql: String = {
+    val sigCtes = Seq(1, 2).map { g =>
+      s"""lsig$g AS (
+         |  SELECT l_key, ls[i.i] || '|' || ls[i.i + $g] AS sig
+         |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(ls) - $g)) AS i) i),
+         |rsig$g AS (
+         |  SELECT r_id, rs[i.i] || '|' || rs[i.i + $g] AS sig
+         |  FROM rightb, LATERAL (SELECT unnest(generate_series(1, len(rs) - $g)) AS i) i)""".stripMargin
+    }.mkString(",\n")
+    val configs = for ((scheme, g) <- SweepSchemes; cap <- SweepDfCaps)
+      yield (scheme, g, cap)
+    val bodyCtes = configs.map { case (_, g, cap) =>
+      s"""cand_${g}_$cap AS (
+         |  SELECT DISTINCT l.l_key, r.r_id
+         |  FROM lsig$g l JOIN rsig$g r USING (sig)
+         |  WHERE sig NOT IN (
+         |    SELECT sig FROM lsig$g GROUP BY sig HAVING COUNT(*) > $cap)),
+         |top_${g}_$cap AS (
+         |  SELECT r_id, l_key, jacc_e6 FROM (
+         |    SELECT c.r_id, c.l_key,
+         |      CAST((1000000 * len(list_intersect(b.ls, rb.rs)))
+         |        // (len(b.ls) + len(rb.rs) - len(list_intersect(b.ls, rb.rs)))
+         |        AS BIGINT) AS jacc_e6,
+         |      ROW_NUMBER() OVER (PARTITION BY c.r_id ORDER BY
+         |        (1000000 * len(list_intersect(b.ls, rb.rs)))
+         |          // (len(b.ls) + len(rb.rs) - len(list_intersect(b.ls, rb.rs))) DESC,
+         |        c.l_key) AS rnk
+         |    FROM cand_${g}_$cap c
+         |    JOIN base b ON c.l_key = b.l_key
+         |    JOIN rightb rb ON c.r_id = rb.r_id)
+         |  WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    val branches = configs.map { case (scheme, g, cap) =>
+      s"""  SELECT '$scheme' AS scheme, CAST($cap AS BIGINT) AS df_cap, t.threshold_e6,
+         |    (SELECT COUNT(*) FROM cand_${g}_$cap) AS n_candidate_pairs,
+         |    COUNT(p.r_id) AS n_matches,
+         |    CAST(COALESCE(SUM(CASE WHEN p.l_key = p.r_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct,
+         |    CASE WHEN COUNT(p.r_id) = 0 THEN NULL
+         |      ELSE CAST((1000000 * COALESCE(SUM(CASE WHEN p.l_key = p.r_id THEN 1 ELSE 0 END), 0))
+         |        // COUNT(p.r_id) AS BIGINT) END AS precision_e6,
+         |    CAST((1000000 * COALESCE(SUM(CASE WHEN p.l_key = p.r_id THEN 1 ELSE 0 END), 0))
+         |      // (SELECT COUNT(*) FROM rightb) AS BIGINT) AS recall_e6
+         |  FROM thr t LEFT JOIN top_${g}_$cap p ON p.jacc_e6 >= t.threshold_e6
+         |  GROUP BY t.threshold_e6""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT p_partkey AS l_key, list_sort(list_distinct(
+       |    list_filter(string_split(lower(p_name), ' '), t -> len(t) > 0) ||
+       |    [lower(p_brand), lower(p_type), 'sz' || CAST(p_size AS VARCHAR)])) AS ls
+       |  FROM part),
+       |rightb AS (
+       |  SELECT p_partkey AS r_id, list_sort(list_distinct(
+       |    list_filter(string_split(lower(p_name), ' '), t -> len(t) > 0) ||
+       |    [lower(p_type), 'sz' || CAST(p_size AS VARCHAR)])) AS rs
+       |  FROM part),
+       |thr AS (
+       |  SELECT CAST(v AS BIGINT) AS threshold_e6
+       |  FROM (VALUES (${SweepThresholdsE6.mkString("), (")})) t(v)),
+       |$sigCtes,
+       |$bodyCtes
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY scheme, df_cap, threshold_e6""".stripMargin
   }
 
   val erMatchSql: String =

