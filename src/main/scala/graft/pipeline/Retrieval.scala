@@ -56,15 +56,24 @@ object Retrieval {
   private[pipeline] final case class LexParts(tf: DataFrame, dfRel: DataFrame,
       dl: DataFrame, n: DataFrame, t: DataFrame, qt: DataFrame, lex: DataFrame)
 
-  private[pipeline] def lexSystem(d: DataFrame): LexParts = {
-    // ---- lexical system: rational BM25, anchor's distinct tokens as query
-    val tok = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds df, dl, T, the probe AND the anchor side
+  private[pipeline] def lexSystem(d: DataFrame): LexParts =
+    lexPartsFromTf(TextAnalysis.tfRelation(d))
+
+  /** [[lexSystem]]'s parts from the tf SUFFICIENT STATISTIC alone —
+    * the [[TextAnalysis.bm25FromTf]] derivations shaped for the
+    * evaluation, so the same lexical system runs from raw text
+    * ([[lexSystem]]) or from a persisted [[Bm25Index]] edition
+    * ([[retrievalEvalEditions]]) with no other code path: df/dl and
+    * the query/probe sides read the token-ful rows, N counts every
+    * doc (the NULL-token rows' reason to exist), T sums tf (NULL
+    * rows carry tf = 0). */
+  private[pipeline] def lexPartsFromTf(tfAll: DataFrame): LexParts = {
+    val tfCk = tfAll.localCheckpoint() // feeds df, dl, N, T, probe AND anchors
+    val tf = tfCk.filter(col("token").isNotNull)
     val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val n = d.agg(count(lit(1)).as("n_docs"))
-    val t = tf.agg(sum(col("tf")).as("t_toks"))
+    val n = tfCk.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val t = tfCk.agg(sum(col("tf")).as("t_toks"))
     // anchors' query terms — tf is already (doc, token)-distinct, and
     // the MLT-style term budget makes the relation STRUCTURALLY
     // ≤ anchors × RrfMaxQueryTerms rows (PlanGuard-provable), so it
@@ -389,7 +398,14 @@ object Retrieval {
       Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"), col("text")),
       Tables.spread(Tables.embeddings(spark, dir)))
 
-  private[pipeline] def evalOn(d: DataFrame, e: DataFrame): DataFrame = {
+  private[pipeline] def evalOn(d: DataFrame, e: DataFrame): DataFrame =
+    evalFromParts(lexSystem(d), e)
+
+  /** The evaluation over pre-built lexical parts (and optionally a
+    * pre-computed dense ranking — edition-invariant, so
+    * [[retrievalEvalEditions]] computes it once). */
+  private[pipeline] def evalFromParts(lp: LexParts, e: DataFrame,
+      denseIn: Option[DataFrame] = None): DataFrame = {
     // fused/prf are rank-capped at RrfTopK inside rrfFuse/prfFromParts
     // BEFORE the rank <= EvalK filter below; the @EvalK evaluation is
     // complete only while RrfTopK covers it — fail loudly if the
@@ -397,9 +413,8 @@ object Retrieval {
     require(RrfTopK >= EvalK,
       s"RrfTopK ($RrfTopK) < EvalK ($EvalK): fused/prf rankings would be " +
         "truncated below the evaluation depth")
-    val lp = lexSystem(d)
     val lex = lp.lex
-    val dense = denseSystem(e)
+    val dense = denseIn.getOrElse(denseSystem(e))
     val fused = rrfFuse(lex, dense)
     val prf = prfFromParts(lp)
     val rankings = lex.filter(col("lex_rank") <= EvalK)
@@ -445,6 +460,43 @@ object Retrieval {
             least(lit(EvalK), col("total_relevant")).cast("int")))
           .as("idcg_e9"))
       .orderBy(col("query_id"), col("system"))
+  }
+
+  /** #33v2 driver entry (rows-gated): the four-system evaluation run
+    * against EDITIONS of the persisted [[Bm25Index]] — the r12
+    * directive's "incremental retrieval_eval". The lexical statistic
+    * is read from the index after `write(base) → add(tail) →
+    * REPLAYED add` (uncompacted: load collapses the duplicates) and
+    * again after `compact` (load plans no distinct at all), plus the
+    * from-text recompute; the dense system is edition-invariant and
+    * computed once. METRIC STABILITY is the claim: every (query,
+    * system) metric row must be identical across all three editions —
+    * the 33t2 structural-equality argument (same scoring plan,
+    * differently-sourced tf) made a committed eval artifact, and
+    * pinned by RetrievalEvalSpec. Rows-gated because the entry owns
+    * index-mutation side effects (temp-dir write/add/compact) a SQL
+    * oracle cannot replay. */
+  def retrievalEvalEditions(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"), col("text"))
+    val e = Tables.spread(Tables.embeddings(spark, dir))
+    val dense = denseSystem(e).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_eval").toString
+    Bm25Index.write(d.filter(col("doc_id") < Bm25Index.AddSplit), path)
+    val tail = d.filter(col("doc_id") >= Bm25Index.AddSplit)
+    Bm25Index.add(tail, path)
+    Bm25Index.add(tail, path) // replayed append: at-least-once ingestion
+    // materialize BEFORE compact rewrites the directory underneath
+    val added = evalFromParts(lexPartsFromTf(Bm25Index.load(spark, path)), e, Some(dense))
+      .withColumn("edition", lit("added")).localCheckpoint()
+    Bm25Index.compact(spark, path)
+    val compacted = evalFromParts(lexPartsFromTf(Bm25Index.load(spark, path)), e, Some(dense))
+      .withColumn("edition", lit("compacted"))
+    val fromText = evalFromParts(lexSystem(d), e, Some(dense))
+      .withColumn("edition", lit("from_text"))
+    fromText.unionByName(added).unionByName(compacted)
+      .select(col("edition"), col("query_id"), col("system"), col("hits_at_10"),
+        col("total_relevant"), col("mrr_e9"), col("dcg_e9"), col("idcg_e9"))
+      .orderBy(col("edition"), col("query_id"), col("system"))
   }
 
   val retrievalEvalSql: String = rrfCtes +

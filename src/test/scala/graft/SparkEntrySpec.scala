@@ -15,7 +15,10 @@ class SparkEntrySpec extends SparkSpec {
       "mm_image_phash", "mm_frame_dedup", "mm_frame_rollup", "mm_hash_caps",
       // zlib byte accounting has no SQL equivalent; TextCompressionSpec
       // holds correctness (local Deflater recompute + ordering)
-      "text_compression")
+      "text_compression",
+      // owns Bm25Index write/add/compact side effects a SQL oracle cannot
+      // replay; RetrievalEvalSpec asserts edition-identical metrics
+      "retrieval_eval_editions")
 
   test("every query has a matching oracle (and no orphan oracles)") {
     assert(SparkEntry.queries.keySet -- rowsOnly == SparkEntry.oracleSql.keySet)

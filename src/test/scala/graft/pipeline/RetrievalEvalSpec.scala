@@ -87,4 +87,24 @@ class RetrievalEvalSpec extends SparkSpec {
       assert(idcg == (if (k == 0) 0L else Retrieval.IdcgPrefixE9(k - 1)))
     }
   }
+
+  test("index editions: metrics are IDENTICAL across from_text, added(+replay) and compacted") {
+    // r12 directive #7: incremental ingestion must not move a single
+    // evaluation number — write(base) → add(tail) → replayed add
+    // (the distinct-collapse load path) → compact (the no-distinct
+    // load path) all score exactly like the from-text recompute.
+    val rows = Retrieval.retrievalEvalEditions(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+    val byEdition = rows.groupBy(_._1).map { case (ed, rs) => ed -> rs.map(_._2).toSet }
+    assert(byEdition.keySet == Set("from_text", "added", "compacted"))
+    val expected = byEdition("from_text")
+    assert(expected.size == Retrieval.RrfNumQueries * 4,
+      s"expected one row per (anchor, system): ${expected.size}")
+    assert(byEdition("added") == expected,
+      "uncompacted index edition diverged from the from-text metrics")
+    assert(byEdition("compacted") == expected,
+      "compacted index edition diverged from the from-text metrics")
+  }
 }
