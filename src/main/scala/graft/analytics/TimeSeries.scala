@@ -258,4 +258,87 @@ object TimeSeries {
        |ORDER BY dist2, user_id_1, user_id_2
        |LIMIT $TsTopK""".stripMargin
   }
+
+  // ------------------------------------------------ #23ah ts_anomaly
+
+  /** Trailing window for the anomaly baseline (days). */
+  val AnomalyWindowDays = 7
+  /** |z| above this flags an anomaly (the classic 2σ residual rule). */
+  val AnomalyZ = 2.0
+
+  /** TS_ANOMALY — residual z-score anomaly detection over the daily
+    * per-event-type value series: each day scores against the mean/σ
+    * of its own TRAILING [[AnomalyWindowDays]]-day window (current
+    * day excluded — scoring a point against a baseline it belongs to
+    * shrinks exactly the deviations being hunted). A day is an
+    * anomaly when |z| > [[AnomalyZ]]; only days with a FULL trailing
+    * window score (partial baselines produce confident-looking
+    * nonsense at series heads).
+    *
+    * Engine-portable determinism: daily totals and the trailing
+    * moment sums are exact DECIMAL (order-free); mean/σ take one
+    * double division + sqrt each; z rounds to 6 and the flag
+    * compares the ROUNDED value, so both engines flag identical days
+    * (the q_zscore contract, applied along time).
+    *
+    * Scale: one (event_type, day) aggregate — corpus-scale reduction
+    * BEFORE any window — then a frame-bounded window over day-grain
+    * rows (≤ a few thousand per event type per decade of retention);
+    * the unpartitioned-window rule is respected since the window
+    * partitions by event_type over the aggregated day grain. */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    tsAnomalyOn(Tables.events(spark, dir))
+
+  /** The detector over any events-shaped frame (event_type, ts,
+    * value) — bring your own series. */
+  private[analytics] def tsAnomalyOn(events: DataFrame): DataFrame = {
+    val dec2 = (c: Column) => c.cast("decimal(18,2)")
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(dec2(col("value"))).as("tot"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-AnomalyWindowDays, -1)
+    daily
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("tot")).over(w))
+      .withColumn("s2", sum(col("tot") * col("tot")).over(w))
+      .filter(col("n_prior") === AnomalyWindowDays)
+      .withColumn("mean", col("s1").cast("double") / AnomalyWindowDays)
+      .withColumn("std", sqrt(greatest(
+        col("s2").cast("double") / AnomalyWindowDays - col("mean") * col("mean"),
+        lit(0.0))))
+      .filter(col("std") > 0)
+      .withColumn("zscore", round((col("tot").cast("double") - col("mean")) / col("std"), 6))
+      .select(col("event_type"), col("day"), col("tot").cast("double").as("day_value"),
+        col("zscore"), (abs(col("zscore")) > AnomalyZ).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val tsAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS tot
+       |  FROM events GROUP BY 1, 2),
+       |fr AS (
+       |  SELECT event_type, day, tot,
+       |    COUNT(*) OVER win AS n_prior,
+       |    SUM(tot) OVER win AS s1,
+       |    SUM(tot * tot) OVER win AS s2
+       |  FROM daily
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN $AnomalyWindowDays PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT event_type, day, tot,
+       |    CAST(s1 AS DOUBLE) / $AnomalyWindowDays AS mean,
+       |    sqrt(greatest(CAST(s2 AS DOUBLE) / $AnomalyWindowDays -
+       |      (CAST(s1 AS DOUBLE) / $AnomalyWindowDays)
+       |        * (CAST(s1 AS DOUBLE) / $AnomalyWindowDays), 0.0)) AS std
+       |  FROM fr WHERE n_prior = $AnomalyWindowDays)
+       |SELECT event_type, day, CAST(tot AS DOUBLE) AS day_value,
+       |  round((CAST(tot AS DOUBLE) - mean) / std, 6) AS zscore,
+       |  abs(round((CAST(tot AS DOUBLE) - mean) / std, 6)) > $AnomalyZ AS is_anomaly
+       |FROM scored WHERE std > 0
+       |ORDER BY event_type, day""".stripMargin
 }

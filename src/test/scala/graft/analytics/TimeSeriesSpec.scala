@@ -50,6 +50,28 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("anomaly: the injected spike is flagged, partial windows and flat series are not scored") {
+    import spark.implicits._
+    val day = 86400000000L
+    // type "a": alternating 10/11 baseline, a 100.0 spike on day 9;
+    // type "b": flat — zero variance, never scored
+    val rows =
+      (0 to 9).map { d =>
+        val v = if (d == 9) 100.0 else if (d % 2 == 0) 10.0 else 11.0
+        ("a", d.toLong * day + 1000L, v)
+      } ++ (0 to 9).map { d => ("b", d.toLong * day + 1000L, 5.0) }
+    val events = rows.toDF("event_type", "t_us", "value")
+      .select(col("event_type"), expr("timestamp_micros(t_us)").as("ts"), col("value"))
+    val got = graft.analytics.TimeSeries.tsAnomalyOn(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(4)))
+    // only days 7-9 of type "a" carry a FULL 7-day trailing window;
+    // type "b" has std = 0 everywhere and is excluded entirely
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", 7L), ("a", 8L), ("a", 9L)), got.mkString(","))
+    assert(got.map(_._3).toSeq == Seq(false, false, true),
+      s"only the spike day may flag: ${got.mkString(",")}")
+  }
+
   test("search: the affine pair wins at distance 0; capped words emit no pairs") {
     val stats = TimeSeries.tsWordStats(spark, dir).collect()
       .map(r => r.getAs[String]("sax_word") ->
