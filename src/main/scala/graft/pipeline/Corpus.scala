@@ -272,7 +272,7 @@ object Corpus {
     * [[embClusterPurity]] — returns (iteration-1, iteration-2)
     * assignments at (vec_id, cluster_id) grain (plus the vector
     * columns on a1, which the M-step consumed). */
-  private def kmeansAssignments(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[pipeline] def kmeansAssignments(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.VecDot.dot
     val vecs = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -345,7 +345,7 @@ object Corpus {
   /** The shared Lloyd-iteration CTE chain (vectors → seed centroids →
     * iteration-1 assignment → exact M-step → iteration-2 assignment) —
     * used by both the kmeans oracle and the cluster-purity oracle. */
-  private lazy val kmeansCtes: String = {
+  private[pipeline] lazy val kmeansCtes: String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin

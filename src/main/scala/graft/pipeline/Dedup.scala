@@ -1592,4 +1592,80 @@ object Dedup {
        |    CAST(greatest(COALESCE(p.n_spans, 0), 1) AS DOUBLE), 6) AS dup_span_frac
        |FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ #28aa semantic dedup
+
+  /** Clusters larger than this are EXCLUDED from semantic pairing and
+    * flagged loudly (the universal f² rule: within-cluster pairing is
+    * quadratic in cluster size, and the cluster count K — not the
+    * join strategy — is the scale lever; SemDeDup runs ~100k clusters
+    * at billion-doc scale for exactly this reason). */
+  val SemMaxClusterSize = 4096L
+
+  /** CORPUS_SEMDEDUP — SemDeDup (Abbas et al. 2023) as a verdict
+    * relation: k-means-cluster the embedding corpus (the emb_kmeans
+    * two-Lloyd-iteration assignment, reused verbatim), then WITHIN
+    * each cluster drop every vector that has an EARLIER (lower
+    * vec_id) cluster-mate at cosine ≥ [[CosineThreshold]] — the
+    * keep-first rule the text dedup family uses, applied in embedding
+    * space. Output one row per vector: its cluster, its best earlier
+    * in-cluster similarity (NULL when none reaches the threshold),
+    * and the keep verdict; oversize clusters skip pairing and keep
+    * everything, loudly flagged (`oversize_cluster`), never silently.
+    *
+    * Scale: pairing is confined to clusters (never all-pairs) and
+    * capped by [[SemMaxClusterSize]]; the only data-sized work beyond
+    * the kmeans assignment passes is one equi-join on cluster_id
+    * whose fan-out the cap bounds. Exact cosine, rounded to 6 before
+    * the threshold compare — both engines flag identical pairs. */
+  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot.dot
+    val a2 = Corpus.kmeansAssignments(spark, dir)._2.localCheckpoint()
+    val sizes = a2.groupBy(col("cluster_id")).agg(count(lit(1)).as("c_size"))
+    val sized = a2.join(broadcast(sizes), Seq("cluster_id")) // K-row metadata
+    val small = sized.filter(col("c_size") <= SemMaxClusterSize)
+      .select(col("cluster_id"), col("vec_id"), col("v"), col("n2"))
+    val pairs = small.as("a").join(small.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(dot(col("a.v"), col("b.v")) / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6)
+          .as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_earlier_sim"))
+    sized.join(pairs, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        (col("c_size") > SemMaxClusterSize).as("oversize_cluster"),
+        col("max_earlier_sim"),
+        col("max_earlier_sim").isNull.as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semdedupSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(1, len($a)), i -> ($a)[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH ${Corpus.kmeansCtes},
+       |av AS (
+       |  SELECT a2.vec_id, a2.cluster_id, vecs.v, vecs.n2
+       |  FROM a2 JOIN vecs USING (vec_id)),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS c_size FROM av GROUP BY 1),
+       |small AS (
+       |  SELECT av.* FROM av JOIN sizes USING (cluster_id)
+       |  WHERE c_size <= $SemMaxClusterSize),
+       |sims AS (
+       |  SELECT vec_id, MAX(cos) AS max_earlier_sim FROM (
+       |    SELECT b.vec_id,
+       |      round(${dotSql("a.v", "b.v")} / (sqrt(a.n2) * sqrt(b.n2)), 6) AS cos
+       |    FROM small a JOIN small b
+       |      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+       |  WHERE cos >= $CosineThreshold GROUP BY vec_id)
+       |SELECT av.vec_id, av.cluster_id,
+       |  sizes.c_size > $SemMaxClusterSize AS oversize_cluster,
+       |  sims.max_earlier_sim,
+       |  sims.max_earlier_sim IS NULL AS is_kept
+       |FROM av JOIN sizes USING (cluster_id)
+       |LEFT JOIN sims ON av.vec_id = sims.vec_id
+       |ORDER BY av.vec_id""".stripMargin
+  }
 }
