@@ -316,6 +316,91 @@ object TimeSeries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // ------------------------------------------------ #23ai ts_autocorr
+
+  /** Autocorrelation is reported for lags 1..this. */
+  val AutocorrMaxLag = 3
+
+  /** TS_AUTOCORR — lag-k autocorrelation of the daily per-event-type
+    * value series (k = 1..[[AutocorrMaxLag]]): Pearson r between the
+    * series and its own k-day lead over the observed day sequence —
+    * "does today predict the next days", the seasonality/persistence
+    * primitive that pairs with [[tsAnomaly]]'s residual alarm.
+    *
+    * The [[graft.analytics.Queries.qCorr]] bit-stability discipline:
+    * exact DECIMAL power sums (n, Σx, Σy, Σxy, Σx², Σy²) per
+    * (event_type, lag) — never a streaming variance — then identical
+    * double math on both engines; a zero-variance side reports NULL
+    * rather than an IEEE Infinity artifact.
+    *
+    * Scale: the corpus reduces to day grain FIRST ([[tsAnomaly]]'s
+    * aggregate); each lag adds one lead() over the day-grain frame
+    * and one few-key aggregate — O(lags · days-per-type), no
+    * data-sized window. */
+  def tsAutocorr(spark: SparkSession, dir: String): DataFrame =
+    tsAutocorrOn(Tables.events(spark, dir))
+
+  /** The statistic over any events-shaped frame (event_type, ts,
+    * value) — bring your own series. */
+  private[analytics] def tsAutocorrOn(events: DataFrame): DataFrame = {
+    val dec2 = (c: Column) => c.cast("decimal(18,2)")
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(dec2(col("value"))).as("tot"))
+      .localCheckpoint() // one day-grain frame feeds every lag branch
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def d(c: Column) = c.cast("double")
+    val branches = (1 to AutocorrMaxLag).map { k =>
+      daily.withColumn("y", lead(col("tot"), k).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("tot")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("tot") * col("y")).as("sxy"),
+          sum(col("tot") * col("tot")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", col("n_pairs") * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+        .withColumn("den2",
+          (col("n_pairs") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            (col("n_pairs") * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+        .select(col("event_type"), lit(k).as("lag"), col("n_pairs"),
+          when(col("den2") <= 0, lit(null).cast("double"))
+            .otherwise(round(col("num") / sqrt(col("den2")), 6)).as("autocorr"))
+    }
+    branches.reduce(_ unionByName _).orderBy(col("event_type"), col("lag"))
+  }
+
+  val tsAutocorrSql: String = {
+    val branches = (1 to AutocorrMaxLag).map { k =>
+      s"""  SELECT event_type, CAST($k AS INT) AS lag, COUNT(*) AS n_pairs,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM (
+         |    SELECT event_type, tot AS x,
+         |      LEAD(tot, $k) OVER (PARTITION BY event_type ORDER BY day) AS y
+         |    FROM daily)
+         |  WHERE y IS NOT NULL GROUP BY 1""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS tot
+       |  FROM events GROUP BY 1, 2),
+       |sums AS (
+       |$branches
+       |)
+       |SELECT event_type, lag, n_pairs,
+       |  CASE WHEN (n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |          * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0
+       |    THEN NULL
+       |    ELSE round((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |           * (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |  END AS autocorr
+       |FROM sums ORDER BY event_type, lag""".stripMargin
+  }
+
   val tsAnomalySql: String =
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -72,6 +72,26 @@ class TimeSeriesSpec extends SparkSpec {
       s"only the spike day may flag: ${got.mkString(",")}")
   }
 
+  test("autocorr: an alternating series scores −1/+1/−1 at lags 1/2/3; flat series report NULL") {
+    import spark.implicits._
+    val day = 86400000000L
+    val rows =
+      (0 to 11).map { d => ("a", d.toLong * day + 500L, if (d % 2 == 0) 10.0 else 20.0) } ++
+        (0 to 11).map { d => ("b", d.toLong * day + 500L, 7.0) }
+    val events = rows.toDF("event_type", "t_us", "value")
+      .select(col("event_type"), expr("timestamp_micros(t_us)").as("ts"), col("value"))
+    val got = graft.analytics.TimeSeries.tsAutocorrOn(events).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // period-2 series: perfect anti-correlation at odd lags, perfect
+    // correlation at even lags
+    assert(got(("a", 1)) == ((11L, Some(-1.0))), got.toString)
+    assert(got(("a", 2)) == ((10L, Some(1.0))), got.toString)
+    assert(got(("a", 3)) == ((9L, Some(-1.0))), got.toString)
+    // zero variance: NULL, never an IEEE artifact
+    (1 to 3).foreach { k => assert(got(("b", k)) == ((12L - k, None)), got.toString) }
+  }
+
   test("search: the affine pair wins at distance 0; capped words emit no pairs") {
     val stats = TimeSeries.tsWordStats(spark, dir).collect()
       .map(r => r.getAs[String]("sax_word") ->
