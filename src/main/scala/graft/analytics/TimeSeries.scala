@@ -291,13 +291,19 @@ object TimeSeries {
 
   /** The detector over any events-shaped frame (event_type, ts,
     * value) — bring your own series. */
-  private[analytics] def tsAnomalyOn(events: DataFrame): DataFrame = {
+  private[graft] def tsAnomalyOn(events: DataFrame): DataFrame = {
     val dec2 = (c: Column) => c.cast("decimal(18,2)")
-    val daily = events
+    anomalyOfDaily(events
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"), col("value"))
       .groupBy(col("event_type"), col("day"))
-      .agg(sum(dec2(col("value"))).as("tot"))
+      .agg(sum(dec2(col("value"))).as("tot")))
+  }
+
+  /** The scoring half over a day-grain `(event_type, day, tot)` frame
+    * — shared by the batch detector and the streaming monitor (which
+    * MAINTAINS the daily frame and re-scores it per micro-batch). */
+  private[graft] def anomalyOfDaily(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-AnomalyWindowDays, -1)
     daily
