@@ -209,6 +209,56 @@ class DebeziumAdapterSpec extends SparkSpec {
       "consumed_postimage" -> 1L, "orphan_postimage" -> 1L), lanes.toString)
   }
 
+  test("randomized sweep: hostile props strings survive emit∘parse byte-for-byte") {
+    import spark.implicits._
+    // JSON-escaping-hostile alphabet: quotes, backslashes, control
+    // chars, newlines/tabs, unicode, JSON-lookalike fragments — the
+    // classes where a to_json/from_json asymmetry would corrupt
+    // payloads silently
+    val fragments = Seq("\"", "\\", "\n", "\t", "\r", "{", "}", "[", "]",
+      ":", ",", "é", "→", "", "", "plain", "a b", "{\"k\":1}",
+      "\\\"nested\\\"", "end\\")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 120).map { i =>
+        val op = rnd.nextInt(3) match {
+          case 0 => CdcSchema.RowInsert
+          case 1 => CdcSchema.RowUpdate
+          case _ => CdcSchema.RowDelete
+        }
+        val props = if (rnd.nextInt(10) == 0) None
+          else Some((1 to (1 + rnd.nextInt(4)))
+            .map(_ => fragments(rnd.nextInt(fragments.size))).mkString)
+        val value = if (rnd.nextInt(10) == 0) None
+          else Some((rnd.nextInt(40000) - 20000) / 100.0)
+        DebeziumAdapterSpec.LogRow(rnd.nextInt(4).toLong, (1000 + i).toLong * 1000L,
+          0, op, rnd.nextInt(20).toLong, i.toLong, value, props,
+          rnd.nextInt(12) == 0)
+      }
+      val log = rows.toDF()
+      val parsed = DebeziumAdapter.fromDebeziumJson(
+        DebeziumAdapter.toDebeziumEnvelopes(log).select(col("envelope").as("value")))
+      // nothing emitted fails the parse gate
+      assert(parsed.count() == rows.size, s"seed $seed lost rows")
+      val byId = parsed.collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Double]("value")).map(_.toDouble),
+          Option(r.getAs[String]("props"))))).toMap
+      rows.foreach { in =>
+        val (v, p) = byId(in.event_id)
+        if (in.cdc_operation == CdcSchema.RowDelete) {
+          // unpaired delete: key-only before, the documented class
+          assert(v.isEmpty && p.isEmpty, s"seed $seed delete ${in.event_id}")
+        } else {
+          // deleted-value cells serialize absent; everything else is
+          // byte-identical through the wire — hostile props included
+          val expectV = if (in.cdc_deleted_value) None else in.value
+          assert(v == expectV, s"seed $seed value ${in.event_id}: $v vs $expectV")
+          assert(p == in.props, s"seed $seed props ${in.event_id}: $p vs ${in.props}")
+        }
+      }
+    }
+  }
+
   test("envelope Kafka frame: stream-keyed, offset headers, envelope payload") {
     import spark.implicits._
     val log = Seq(
