@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // operators' localCheckpoint blocks + 32 task buffers clear of
   // storage-eviction/GC churn (the box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // ad-hoc -D passthrough for config A/B experiments (e.g.
+  // SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.enabled=false")
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

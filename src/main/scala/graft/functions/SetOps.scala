@@ -32,6 +32,12 @@ object SetOps {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       SortedSetIntersectCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column wrapper: |a ∩ b| for SORTED DISTINCT string arrays —
+    * the [[graft.pipeline.EntityResolution]] token-set hot path. */
+  def sortedStrIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SortedStrSetIntersectCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** Count of positions i where `a[i] == b[i]` — the MinHash
@@ -117,6 +123,52 @@ object SortedSetIntersectCount {
       val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** |a ∩ b| by a single merge walk over SORTED DISTINCT `array<string>`
+  * inputs (non-null elements) — the string twin of
+  * [[SortedSetIntersectCount]], compared with `UTF8String.compareTo`,
+  * i.e. the same binary ordering `array_sort` establishes. Values are
+  * identical to `size(array_intersect(a, b))` under the precondition;
+  * unlike array_intersect there is no per-row hash-set build, which is
+  * the entire scoring cost of the entity-resolution candidate pass
+  * (one call per candidate pair). */
+case class SortedStrSetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_str_set_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedStrSetIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedStrSetIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedStrSetIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedStrSetIntersectCount {
+  /** Called from generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
       else j += 1
     }
     c

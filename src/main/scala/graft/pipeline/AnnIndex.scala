@@ -67,7 +67,14 @@ object AnnIndex {
     val s = build(emb)
     s.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     s.codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    s.codes.write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    // cluster by cell BEFORE the partitioned write (guide §6: output
+    // file sizing): without it every shuffle partition emits one file
+    // per cell it holds (up to tasks × cells tiny files — measured 512
+    // at 32 cores); clustered, each cell lands in exactly one file,
+    // which the probe-side scan then reads back without the
+    // small-files tax. Same rows, same partitioning scheme on disk.
+    s.codes.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     // manifest LAST: it is the index's commit marker — written only
     // after every relation landed, and the compatibility contract a
     // loader checks before probing (config drift between builder and
@@ -98,7 +105,10 @@ object AnnIndex {
   def add(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     val s = load(spark, path) // validates the manifest geometry first
+    // same cell-clustering as [[write]]: an append otherwise scatters
+    // one tiny file per (task, cell) into the touched directories
     Similarity.ivfPqEncode(prepare(emb), s.centroids, s.codebook, residual = true)
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
     val n = manifest(spark, path).head().getAs[Long]("n_vectors")
     writeManifest(spark, path, n + emb.count())

@@ -166,7 +166,14 @@ object Dedup {
     * count common, Jaccard = |∩| / |∪| over the capped universe.
     * The same formulation runs verbatim at 100 TB: the df cap bounds
     * the f² pair blow-up, and AQE handles residual join-input skew. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardFrame(spark, dir).orderBy(col("doc_id_1"), col("doc_id_2"))
+
+  /** [[ngramJaccard]] without the presentation sort — the frame
+    * [[clusterLabels]] composes with: its next step is the components
+    * union/shuffle, so a global sort exchange here would be pure waste
+    * (the keeplistFrame rule applied to the edge relation). */
+  private def ngramJaccardFrame(spark: SparkSession, dir: String): DataFrame = {
     val (sizes, common) = cappedShingleFrames(spark, dir)
     // No broadcast hint on `sizes`: it is per-doc (corpus-sized), so a
     // mandatory broadcast would OOM when the corpus outgrows executor
@@ -179,7 +186,6 @@ object Dedup {
         (col("s1.sz") + col("s2.sz") - col("n_common")).cast("double"), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("n_common"), col("jaccard"))
-      .orderBy(col("doc_id_1"), col("doc_id_2"))
   }
 
   val ngramJaccardSql: String =
@@ -272,7 +278,7 @@ object Dedup {
     * composes with: its next step is a join, so a global sort exchange
     * here would be pure waste (keeplist sorts once, at the end). */
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    componentsFromPairs(ngramJaccard(spark, dir).select(col("doc_id_1"), col("doc_id_2")))
+    componentsFromPairs(ngramJaccardFrame(spark, dir).select(col("doc_id_1"), col("doc_id_2")))
 
   /** Connected components over an undirected pair relation
     * (doc_id_1, doc_id_2) — min-label fixpoint with pointer jumping,
@@ -1089,6 +1095,17 @@ object Dedup {
       posexplode(array(SimhashBlocks.map { case (off, mask) =>
         shiftright(col("simhash"), off).bitwiseAND(lit(mask))
       }: _*)).as(Seq("block_idx", "block")))
+      // pin the self-join's input width (r13 optimization round,
+      // measured): the block relation is only ~16 B/row, so AQE's
+      // byte-targeted coalescing (minPartitionSize) collapses it to
+      // ~1 post-shuffle partition — and this join's OUTPUT is the f²
+      // pair explosion, so the whole candidate pass then runs on one
+      // core (115 s of task time on 38 tasks). An explicit
+      // repartition with a user-specified partition count is exempt
+      // from AQE coalescing and spreads the explosion over the
+      // cluster; defaultParallelism keeps it scale-adaptive.
+      .repartition(sims.sparkSession.sparkContext.defaultParallelism,
+        col("block_idx"), col("block"))
     blocks.as("a").join(blocks.as("b"),
         col("a.block_idx") === col("b.block_idx") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** RECORD LINKAGE (entity resolution) — match a batch of DIRTY
@@ -88,17 +87,28 @@ object EntityResolution {
     val cand = lsig.join(hot, Seq("sig"), "left_anti")
       .join(rsig, Seq("sig"))
       .select(col("l_key"), col("r_id")).distinct()
-    val w = Window.partitionBy(col("r_id")).orderBy(col("jacc_e6").desc, col("l_key"))
+    // native merge-walk |∩| (ls/rs are array_sort'ed distinct sets):
+    // values ≡ size(array_intersect), minus the per-pair hash-set build.
+    // Top-1 per dirty record as min(struct(-jacc, l_key, …)) — the
+    // rnk=1 row of the window this replaces (max jacc, ties to the
+    // smallest entity key; l_key is unique per record so the payload
+    // fields never decide the order), with map-side combine: the
+    // exchange carries ≤ one row per dirty record instead of the full
+    // scored candidate relation (guide §2.3: aggregate before you
+    // shuffle).
     cand.join(left, Seq("l_key")).join(right, Seq("r_id"))
-      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.SetOps.sortedStrIntersectCount(col("ls"), col("rs")))
       .withColumn("uni",
         (size(col("ls")) + size(col("rs"))).cast("long") - col("inter"))
       .withColumn("jacc_e6", expr("(1000000 * inter) div uni"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1 && col("jacc_e6") >= MatchThresholdE6)
-      .select(col("r_id").as("dirty_id"), col("l_key").as("matched_key"),
-        col("inter"), col("jacc_e6"),
-        (col("l_key") === col("r_id")).as("correct"))
+      .groupBy(col("r_id"))
+      .agg(min(struct((-col("jacc_e6")).as("nj"), col("l_key").as("l_key"),
+        col("inter").as("inter"))).as("best"))
+      .select(col("r_id").as("dirty_id"), col("best.l_key").as("matched_key"),
+        col("best.inter").as("inter"), (-col("best.nj")).as("jacc_e6"),
+        (col("best.l_key") === col("r_id")).as("correct"))
+      .filter(col("jacc_e6") >= MatchThresholdE6)
       .orderBy(col("dirty_id"))
   }
 
@@ -141,38 +151,83 @@ object EntityResolution {
       .localCheckpoint()
     val nTruth = right.count() // one bounded driver scalar (truth size)
     val thr = SweepThresholdsE6.toDF("threshold_e6")
-    val grid = for ((scheme, gap) <- SweepSchemes; cap <- SweepDfCaps) yield {
+    // r13 optimization round: the df caps NEST — a pair is a candidate
+    // at cap c iff the MINIMUM left-df over its shared signatures is
+    // ≤ c, so cand(64) ⊆ cand(256) ⊆ cand(1024). Instead of running
+    // the blocking join + distinct + Jaccard scoring per cap (3× per
+    // scheme — the heavy work: ~31 M signature-join rows and one
+    // array_intersect per surviving pair per lane), each scheme builds
+    // ONE `scored` relation at the largest cap carrying `min_df` and
+    // `jacc_e6`, parked behind a single repartition(r_id) exchange;
+    // every cap lane is then a min_df filter (partitioning-preserving)
+    // + its own top-1 window with NO further exchange, and Catalyst's
+    // ReuseExchange computes the shared subtree once inside the one
+    // action (guide §2.4: share the exchange; §1.2: don't recompute).
+    // An earlier round's variant of this idea LOCALCHECKPOINTED the
+    // scored relation and measured slower — the sharing must stay
+    // lazy, which is exactly what the reused exchange provides.
+    // Values are unchanged: min_df ≤ cap reproduces the per-cap
+    // anti-join blocking row for row (oracle-verified).
+    val maxCap = SweepDfCaps.max
+    val grid = for ((scheme, gap) <- SweepSchemes) yield {
       val lsig = sigRows(left, "l_key", "ls", gap)
       val rsig = sigRows(right, "r_id", "rs", gap)
-      val hot = lsig.groupBy(col("sig"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("sig"))
-      val cand = lsig.join(hot, Seq("sig"), "left_anti")
+      val sigDf = lsig.groupBy(col("sig")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxCap)
+      val pairs = lsig.join(sigDf, Seq("sig"))
         .join(rsig, Seq("sig"))
-        .select(col("l_key"), col("r_id")).distinct()
-        .localCheckpoint() // feeds the pair count AND the scoring pass
-      val w = Window.partitionBy(col("r_id")).orderBy(col("jacc_e6").desc, col("l_key"))
-      val top = cand.join(left, Seq("l_key")).join(right, Seq("r_id"))
-        .withColumn("inter", size(array_intersect(col("ls"), col("rs"))).cast("long"))
+        .groupBy(col("l_key"), col("r_id")).agg(min(col("df")).as("min_df"))
+      val scored = pairs.join(left, Seq("l_key")).join(right, Seq("r_id"))
+        .withColumn("inter",
+          graft.functions.SetOps.sortedStrIntersectCount(col("ls"), col("rs")))
         .withColumn("uni",
           (size(col("ls")) + size(col("rs"))).cast("long") - col("inter"))
         .withColumn("jacc_e6", expr("(1000000 * inter) div uni"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("r_id"), col("l_key"), col("jacc_e6"))
-      val agg = top.join(broadcast(thr), col("jacc_e6") >= col("threshold_e6"))
-        .groupBy(col("threshold_e6"))
-        .agg(count(lit(1)).as("n_matches"),
-          sum(when(col("l_key") === col("r_id"), 1L).otherwise(0L)).as("n_correct"))
-      thr.join(agg, Seq("threshold_e6"), "left")
-        .na.fill(0L, Seq("n_matches", "n_correct"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_candidate_pairs")))
-        .select(lit(scheme).as("scheme"), lit(cap).as("df_cap"), col("threshold_e6"),
-          col("n_candidate_pairs"), col("n_matches"), col("n_correct"),
-          when(col("n_matches") === 0, lit(null).cast("long"))
-            .otherwise(expr("(1000000 * n_correct) div n_matches")).as("precision_e6"),
-          expr(s"(1000000 * n_correct) div ${nTruth}L").as("recall_e6"))
+        .select(col("r_id"), col("l_key"), col("min_df"), col("jacc_e6"))
+      // ALL lanes' per-record verdicts in ONE r_id aggregation with
+      // map-side combine (guide §2.3: aggregate before you shuffle) —
+      // the pair-grain relation collapses to ≤ |dirty batch| rows
+      // before the exchange. Per lane: candidate-pair count and the
+      // top-1 candidate as min(struct(-jacc, l_key)) — exactly the
+      // rnk=1 row of the window this replaces (max jacc, ties to the
+      // smallest entity key), with null where the record has no
+      // candidate in that lane.
+      val laneAggs = SweepDfCaps.flatMap { cap =>
+        Seq(
+          sum(when(col("min_df") <= cap, 1L).otherwise(0L)).as(s"np_$cap"),
+          min(when(col("min_df") <= cap,
+            struct((-col("jacc_e6")).as("nj"), col("l_key")))).as(s"top_$cap"))
+      }
+      // r_id-grain and ≤ |dirty batch| rows, referenced 6× below (3
+      // lane tops + 3 pair counts): materialize ONCE — measured, the
+      // scoring + aggregation map work otherwise re-executes per
+      // reference even though AQE reuses the exchange bytes (6 × ~25
+      // CPU-s stages collapse to 1). This is the grain at which the
+      // earlier round's reverted refactor SHOULD have cached: the
+      // pair-grain relation is millions of rows, this is one row per
+      // dirty record.
+      val perR = scored.groupBy(col("r_id")).agg(laneAggs.head, laneAggs.tail: _*)
+        .localCheckpoint()
+      for (cap <- SweepDfCaps) yield {
+        val top = perR.filter(col(s"np_$cap") > 0)
+          .select(col("r_id"), col(s"top_$cap.l_key").as("l_key"),
+            (-col(s"top_$cap.nj")).as("jacc_e6"))
+        val agg = top.join(broadcast(thr), col("jacc_e6") >= col("threshold_e6"))
+          .groupBy(col("threshold_e6"))
+          .agg(count(lit(1)).as("n_matches"),
+            sum(when(col("l_key") === col("r_id"), 1L).otherwise(0L)).as("n_correct"))
+        thr.join(agg, Seq("threshold_e6"), "left")
+          .na.fill(0L, Seq("n_matches", "n_correct"))
+          .crossJoin(perR.agg(
+            coalesce(sum(col(s"np_$cap")), lit(0L)).as("n_candidate_pairs")))
+          .select(lit(scheme).as("scheme"), lit(cap).as("df_cap"), col("threshold_e6"),
+            col("n_candidate_pairs"), col("n_matches"), col("n_correct"),
+            when(col("n_matches") === 0, lit(null).cast("long"))
+              .otherwise(expr("(1000000 * n_correct) div n_matches")).as("precision_e6"),
+            expr(s"(1000000 * n_correct) div ${nTruth}L").as("recall_e6"))
+      }
     }
-    grid.reduce(_ unionByName _)
+    grid.flatten.reduce(_ unionByName _)
       .orderBy(col("scheme"), col("df_cap"), col("threshold_e6"))
   }
 

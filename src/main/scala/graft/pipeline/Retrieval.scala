@@ -255,10 +255,13 @@ object Retrieval {
 
   /** The feedback loop over an already-built lexical system — shared
     * by [[prfOn]] and [[evalOn]] so the evaluation reuses one tf
-    * exchange across all four systems. */
-  private[pipeline] def prfFromParts(lp: LexParts): DataFrame = {
+    * exchange across all four systems. `lexIn` lets [[evalFromParts]]
+    * hand in its already-materialized first-pass ranking so the lex
+    * pipeline is not re-executed for the feedback set. */
+  private[pipeline] def prfFromParts(lp: LexParts,
+      lexIn: Option[DataFrame] = None): DataFrame = {
     // pseudo-relevant set: first-pass top-R per anchor
-    val prel = lp.lex.filter(col("lex_rank") <= PrfFeedbackDocs)
+    val prel = lexIn.getOrElse(lp.lex).filter(col("lex_rank") <= PrfFeedbackDocs)
       .select(col("query_id"), col("doc_id"))
     // expansion terms: pooled tf over the feedback docs, minus the
     // anchor's own query terms, top-E per anchor (bounded via the
@@ -413,10 +416,17 @@ object Retrieval {
     require(RrfTopK >= EvalK,
       s"RrfTopK ($RrfTopK) < EvalK ($EvalK): fused/prf rankings would be " +
         "truncated below the evaluation depth")
+    // NOTE (r13 optimization round, measured): the lex/dense rank
+    // relations feed three consumers each, but materializing them with
+    // localCheckpoint here was TRIED and made retrieval_eval ~1.8×
+    // SLOWER (9.8 s vs 5.3 s isolated min-of-3 at sf0.1) — Catalyst's
+    // ReuseExchange already dedups the repeated subtrees' shuffles
+    // inside the single action, and the eager checkpoints only
+    // serialized three extra job barriers. Left shared on purpose.
     val lex = lp.lex
     val dense = denseIn.getOrElse(denseSystem(e))
     val fused = rrfFuse(lex, dense)
-    val prf = prfFromParts(lp)
+    val prf = prfFromParts(lp, Some(lex))
     val rankings = lex.filter(col("lex_rank") <= EvalK)
       .select(col("query_id"), col("doc_id"), lit("lex").as("system"),
         col("lex_rank").as("rank"))
@@ -485,9 +495,15 @@ object Retrieval {
     val tail = d.filter(col("doc_id") >= Bm25Index.AddSplit)
     Bm25Index.add(tail, path)
     Bm25Index.add(tail, path) // replayed append: at-least-once ingestion
-    // materialize BEFORE compact rewrites the directory underneath
+    // The barrier against compact rewriting the directory underneath
+    // is the EAGER tf localCheckpoint inside lexPartsFromTf — after it
+    // nothing in this edition reads the parquet again, so the eval
+    // itself stays LAZY and its stages overlap with the compacted and
+    // from-text editions inside the one final action (r13 optimization
+    // round: the previous full-eval localCheckpoint here serialized an
+    // entire edition's evaluation before compact could even start).
     val added = evalFromParts(lexPartsFromTf(Bm25Index.load(spark, path)), e, Some(dense))
-      .withColumn("edition", lit("added")).localCheckpoint()
+      .withColumn("edition", lit("added"))
     Bm25Index.compact(spark, path)
     val compacted = evalFromParts(lexPartsFromTf(Bm25Index.load(spark, path)), e, Some(dense))
       .withColumn("edition", lit("compacted"))

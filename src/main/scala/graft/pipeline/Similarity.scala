@@ -483,6 +483,11 @@ object Similarity {
 
   private[pipeline] def ivfPqTrain(all: DataFrame, residual: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
+    // NOT localCheckpointed (r13 optimization round): materializing
+    // the 16-row relation would be cheap, but the checkpoint turns it
+    // into an opaque LogicalRDD that PlanGuardSpec can no longer prove
+    // bounded when it is broadcast — the guard outweighs the saved
+    // re-scan (which ReuseExchange already dedups at the shuffle).
     val cent = all.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
     // same aggregate-not-window assignment as annIvf (n-row exchange);
