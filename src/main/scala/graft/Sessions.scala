@@ -28,6 +28,18 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let the planner pick shuffled-hash join when its size
+      // conditions hold instead of always sorting both sides
+      // (optimization guide §3.1/§9 — the same setting a production
+      // deployment carries: SHJ skips two sorts whenever a build-side
+      // partition fits in memory, and falls back to SMJ otherwise;
+      // AQE's skew-join splitting applies to both). Measured on the
+      // r13 optimization round's join-heavy subset: 0.956× total,
+      // 9 of 12 entries faster, none outside noise slower. The AQE
+      // threshold additionally lets runtime stats rewrite an SMJ to
+      // SHJ when every post-shuffle partition is under 64 MB.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); the vectorized reader
       // needs this to read it (as a long). Set once here — a table

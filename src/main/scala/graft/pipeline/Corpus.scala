@@ -1122,14 +1122,26 @@ object Corpus {
     * rule); the rollup is a \|sources\|-key aggregate with map-side
     * combine and one final sort over \|sources\| rows. */
   def cleanStats(spark: SparkSession, dir: String): DataFrame = {
+    // The three verdict pipelines are INDEPENDENT until the doc_id
+    // join, but two of them materialize eager intermediates while
+    // they are being COMPOSED (keeplist's connected-components
+    // fixpoint, spanRewrite's span checkpoint) — built sequentially
+    // those eager jobs serialize on the driver. Compose them on a
+    // small thread pool instead (guide §2.6: overlap independent
+    // jobs); each frame is deterministic, so results are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val d = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"))
-    val dd = Dedup.keeplistFrame(spark, dir)
-      .select(col("doc_id"), col("keep").as("dedup_keep"))
-    val qq = TextAnalysis.qualityFilterFrame(spark, dir)
-      .select(col("doc_id"), col("keep").as("quality_keep"))
-    val sp = Dedup.spanRewriteFrame(Tables.spread(Tables.documents(spark, dir)))
-      .select(col("doc_id"), col("n_tokens"), col("n_removed"))
+    val ddF = Future(Dedup.keeplistFrame(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep")))
+    val qqF = Future(TextAnalysis.qualityFilterFrame(spark, dir)
+      .select(col("doc_id"), col("keep").as("quality_keep")))
+    val spF = Future(Dedup.spanRewriteFrame(Tables.spread(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed")))
+    val (dd, qq, sp) = (Await.result(ddF, Duration.Inf),
+      Await.result(qqF, Duration.Inf), Await.result(spF, Duration.Inf))
     d.join(dd, Seq("doc_id")).join(qq, Seq("doc_id")).join(sp, Seq("doc_id"))
       .withColumn("final_keep", col("dedup_keep") && col("quality_keep"))
       .groupBy(col("source"))

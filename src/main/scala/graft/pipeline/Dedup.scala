@@ -288,6 +288,15 @@ object Dedup {
   private[pipeline] def componentsFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_id_1").as("a"), col("doc_id_2").as("b"))
       .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
+      // size the loop's partitioning to the EDGE relation, not to the
+      // pair-generation stage it came from (r13 optimization round):
+      // the union otherwise checkpoints at the upstream map width
+      // (2×shuffle.partitions), and every fixpoint iteration then
+      // schedules that many tasks over a post-threshold edge set that
+      // is typically tiny. A keyed repartition goes through AQE
+      // coalescing, so the width tracks edge bytes — small here, wide
+      // on a corpus whose duplicate graph is actually large.
+      .repartition(col("a"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc"))
