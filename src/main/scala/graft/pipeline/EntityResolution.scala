@@ -169,9 +169,22 @@ object EntityResolution {
     // Values are unchanged: min_df ≤ cap reproduces the per-cap
     // anti-join blocking row for row (oracle-verified).
     val maxCap = SweepDfCaps.max
-    val grid = for ((scheme, gap) <- SweepSchemes) yield {
-      val lsig = sigRows(left, "l_key", "ls", gap)
-      val rsig = sigRows(right, "r_id", "rs", gap)
+    // Pin the posting join's width (the dedup_simhash lesson at sf1):
+    // the sig-keyed relations are byte-small, so AQE's size-targeted
+    // coalescing runs the f² pair explosion + the pair-grain partial
+    // aggregation on a handful of tasks. User-specified partition
+    // counts are AQE-exempt; co-partitioning lsig/rsig on sig also
+    // lets the join and the df aggregate reuse one layout.
+    val par = spark.sparkContext.defaultParallelism
+    // the two schemes' perR materializations are independent eager
+    // jobs — overlap them (guide §2.6); results are deterministic and
+    // the union below keeps the fixed grid order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gridF = for ((scheme, gap) <- SweepSchemes) yield Future {
+      val lsig = sigRows(left, "l_key", "ls", gap).repartition(par, col("sig"))
+      val rsig = sigRows(right, "r_id", "rs", gap).repartition(par, col("sig"))
       val sigDf = lsig.groupBy(col("sig")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxCap)
       val pairs = lsig.join(sigDf, Seq("sig"))
@@ -227,6 +240,7 @@ object EntityResolution {
             expr(s"(1000000 * n_correct) div ${nTruth}L").as("recall_e6"))
       }
     }
+    val grid = gridF.map(Await.result(_, Duration.Inf))
     grid.flatten.reduce(_ unionByName _)
       .orderBy(col("scheme"), col("df_cap"), col("threshold_e6"))
   }
