@@ -116,6 +116,23 @@ object Bench {
     // stdout, not stderr: sbt tags stderr lines [error], which reads as
     // a failure in the round artifact's log tail.
     println(s"[bench] wrote $outPath")
+    // CHUNKED per-query lines (r13 verdict: the driver's PERF compare
+    // captures only a ~3 KB output TAIL, which beheads the 6 KB
+    // one-line queries map and left PERF_r13 with per_query: {}).
+    // Each line below is a complete JSON object keyed "per_query"
+    // holding a SUBSET of the map; a parser that merges every
+    // {"per_query": ...} line it sees reconstructs the full map, and a
+    // truncated tail still yields whole chunks (the earliest, beheaded
+    // line is simply unparseable and skipped). Additions-only: nothing
+    // about the timing or the existing contract lines changed.
+    // a single complete line first (parses whole when the capture
+    // window is large enough)…
+    println(s"""{"per_query":$qs}""")
+    // …then the chunks, for the 3 KB-tail case
+    names.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.map(n => s"\"" + n + "\":" + f(results(n))).mkString("{", ",", "}")
+      println(s"""{"per_query":$m,"chunk":${i + 1},"n_chunks":${(names.size + 39) / 40}}""")
+    }
     // …and the same short headline LAST, so a pure tail window ends on
     // a parseable line too.
     println(headline)

@@ -56,19 +56,29 @@ object BenchCost {
       }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // drain the async listener bus BEFORE resetting/reading counters:
+    // a fixed sleep can under- or over-count on a loaded box (r13
+    // ADVICE). waitUntilEmpty is private[spark] (= public bytecode),
+    // so reflect; fall back to the old sleep if the API ever moves.
+    def drain(): Unit = try {
+      val sc = spark.sparkContext
+      val lb = sc.getClass.getMethod("listenerBus").invoke(sc)
+      lb.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(lb, java.lang.Long.valueOf(30000L))
+    } catch { case _: Throwable => Thread.sleep(300) }
     val all = SparkEntry.queries ++ SparkEntry.benchQueries
     if (args.exists(SparkEntry.benchQueries.contains)) SparkEntry.benchPrepare(spark, sfDir)
     val rows = args.map { name =>
       // warmup (JIT + page cache), uncounted
       all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      Thread.sleep(200) // let listener events drain
+      drain() // let listener events drain
       jobs.set(0); stages.set(0); tasks.set(0); runMs.set(0); cpuNs.set(0); shufWr.set(0)
       val t0 = System.nanoTime()
       all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      Thread.sleep(300) // listener is async — drain before reading
+      drain() // listener is async — drain before reading
       val r = f"""{"name":"$name","jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},""" +
         f""""task_run_s":${runMs.get / 1e3}%.2f,"task_cpu_s":${cpuNs.get / 1e9}%.2f,""" +
         f""""shuffle_mb":${shufWr.get / 1e6}%.2f,"wall_s":$wall%.2f}"""

@@ -48,9 +48,15 @@ object DebeziumAdapter {
       s"op STRING, ts_ms BIGINT, before STRUCT<$rowDdl>, after STRUCT<$rowDdl>")
       .asInstanceOf[StructType]
 
+  // the parse is FENCED (guide §4.4 via [[graft.functions.OptimizerFence]]):
+  // un-fenced, filter pushdown + per-field JSON schema pruning cloned
+  // this from_json into 15 copies in the replicate plan, each
+  // re-tokenizing the envelope (and re-running the inline to_json
+  // synthesis feeding it) — r14, plan-verified. One parse per row.
   private def parsed(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).as("raw"),
-      from_json(col(valueCol), envelopeSchema).as("e"))
+      graft.functions.OptimizerFence.once(
+        from_json(col(valueCol), envelopeSchema)).as("e"))
 
   private val image: Column =
     when(col("e.op") === "d", col("e.before")).otherwise(col("e.after"))

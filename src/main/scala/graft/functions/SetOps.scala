@@ -166,7 +166,15 @@ object SortedStrSetIntersectCount {
     var j = 0
     var c = 0L
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val ea = a.getUTF8String(i)
+      val eb = b.getUTF8String(j)
+      // precondition: sorted, distinct, NO null elements (the callers
+      // feed array_sort(array_distinct(...)) of non-null tokens). A
+      // violation previously surfaced as an NPE deep inside codegen
+      // (r13 ADVICE) — fail with a message that names the contract.
+      require(ea != null && eb != null,
+        "sorted_str_set_intersect_count: null array element — inputs must be sorted, distinct, null-free")
+      val cmp = ea.compareTo(eb)
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1

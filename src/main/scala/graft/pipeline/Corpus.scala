@@ -1129,17 +1129,19 @@ object Corpus {
     // those eager jobs serialize on the driver. Compose them on a
     // small thread pool instead (guide §2.6: overlap independent
     // jobs); each frame is deterministic, so results are unchanged.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val d = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"))
-    val ddF = Future(Dedup.keeplistFrame(spark, dir)
-      .select(col("doc_id"), col("keep").as("dedup_keep")))
-    val qqF = Future(TextAnalysis.qualityFilterFrame(spark, dir)
-      .select(col("doc_id"), col("keep").as("quality_keep")))
-    val spF = Future(Dedup.spanRewriteFrame(Tables.spread(Tables.documents(spark, dir)))
-      .select(col("doc_id"), col("n_tokens"), col("n_removed")))
+    // blocking{}: the compositions run eager Spark actions
+    // (localCheckpoint), so mark them for the shared pool (r13 ADVICE)
+    val ddF = Future(blocking(Dedup.keeplistFrame(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"))))
+    val qqF = Future(blocking(TextAnalysis.qualityFilterFrame(spark, dir)
+      .select(col("doc_id"), col("keep").as("quality_keep"))))
+    val spF = Future(blocking(Dedup.spanRewriteFrame(Tables.spread(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"))))
     val (dd, qq, sp) = (Await.result(ddF, Duration.Inf),
       Await.result(qqF, Duration.Inf), Await.result(spF, Duration.Inf))
     d.join(dd, Seq("doc_id")).join(qq, Seq("doc_id")).join(sp, Seq("doc_id"))
@@ -1602,14 +1604,20 @@ object Corpus {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-    // u[pos] = Σ_rows (v·direction) * v[pos], DECIMAL-exact, rounded
+    // u[pos] = Σ_rows (v·direction) * v[pos], DECIMAL-exact, rounded —
+    // one [[graft.functions.MatvecDecimalSum]] aggregate instead of the
+    // n·d-row posexplode + d-key hash aggregate (r14, guide §2.3): the
+    // exchange carries ONE buffer per map partition, and the map side
+    // is a primitive loop per row instead of d hash-table probes. The
+    // per-position sums are the same exact scale-12 decimals, cast to
+    // double by the same correctly-rounded conversion (see the
+    // aggregate's exactness contract).
     def matvec(direction: DataFrame): DataFrame =
       vecs.join(broadcast(direction), lit(true))
         .withColumn("s", dot(col("v"), col("dv")))
-        .select(col("s"), posexplode_outer(col("v")).as(Seq("pos", "x")))
-        .select(col("pos"), (col("s") * col("x")).cast("decimal(27,12)").as("sx"))
-        .groupBy(col("pos"))
-        .agg(round(sum(col("sx")).cast("double"), 6).as("m"))
+        .agg(graft.functions.MatvecDecimalSum.matvecSum(col("s"), col("v")).as("u"))
+        .select(posexplode(col("u")).as(Seq("pos", "m0")))
+        .select(col("pos"), round(col("m0"), 6).as("m"))
 
     val ones = vecs.limit(1).select(transform(col("v"), _ => lit(1.0d)).as("dv"))
     val u1 = matvec(ones).localCheckpoint() // feeds d1 AND a second consumer
@@ -1722,15 +1730,18 @@ object Corpus {
   }
 
   /** u[pos] = Σ_rows (v·direction)·v[pos], DECIMAL-exact — one
-    * broadcast of the 1-row direction, one n·d-row exchange. */
+    * broadcast of the 1-row direction, one
+    * [[graft.functions.MatvecDecimalSum]] aggregate whose exchange
+    * carries a single buffer per map partition (r14; was an n·d-row
+    * posexplode + d-key aggregate — same exact sums, see the
+    * aggregate's contract). */
   private def matvecOn(vs: DataFrame, direction: DataFrame): DataFrame = {
     import graft.functions.VecDot.dot
     vs.join(broadcast(direction), lit(true))
       .withColumn("s", dot(col("v"), col("dv")))
-      .select(col("s"), posexplode_outer(col("v")).as(Seq("pos", "x")))
-      .select(col("pos"), (col("s") * col("x")).cast("decimal(27,12)").as("sx"))
-      .groupBy(col("pos"))
-      .agg(round(sum(col("sx")).cast("double"), 6).as("m"))
+      .agg(graft.functions.MatvecDecimalSum.matvecSum(col("s"), col("v")).as("u"))
+      .select(posexplode(col("u")).as(Seq("pos", "m0")))
+      .select(col("pos"), round(col("m0"), 6).as("m"))
   }
 
   /** Two unrolled power-iteration rounds from the all-ones start —

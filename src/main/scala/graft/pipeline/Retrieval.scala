@@ -52,9 +52,12 @@ object Retrieval {
 
   /** The lexical system's building blocks — shared by the fusion
     * ([[rrfOn]] via [[lexDense]]), the evaluation ([[evalOn]]) and
-    * the feedback loop ([[prfOn]]). */
+    * the feedback loop ([[prfOn]]). `docStats` is the doc-grain
+    * (doc_id, dl) relation; `nt` the 1-row (n_docs, t_toks) statistic
+    * (one broadcast instead of two — r14, see
+    * [[TextAnalysis.bm25Stats]]). */
   private[pipeline] final case class LexParts(tf: DataFrame, dfRel: DataFrame,
-      dl: DataFrame, n: DataFrame, t: DataFrame, qt: DataFrame, lex: DataFrame)
+      docStats: DataFrame, nt: DataFrame, qt: DataFrame, lex: DataFrame)
 
   private[pipeline] def lexSystem(d: DataFrame): LexParts =
     lexPartsFromTf(TextAnalysis.tfRelation(d))
@@ -68,12 +71,13 @@ object Retrieval {
     * doc (the NULL-token rows' reason to exist), T sums tf (NULL
     * rows carry tf = 0). */
   private[pipeline] def lexPartsFromTf(tfAll: DataFrame): LexParts = {
-    val tfCk = tfAll.localCheckpoint() // feeds df, dl, N, T, probe AND anchors
+    val tfCk = tfAll.localCheckpoint() // feeds df, docStats, probe AND anchors
     val tf = tfCk.filter(col("token").isNotNull)
     val dfRel = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val n = tfCk.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val t = tfCk.agg(sum(col("tf")).as("t_toks"))
+    // docStats over the UNFILTERED tfCk: n_docs must count token-less
+    // docs (their NULL-token rows carry tf = 0, so dl/t_toks are
+    // unchanged and the probe's inner join never sees them)
+    val (docStats, nt) = TextAnalysis.bm25Stats(tfCk)
     // anchors' query terms — tf is already (doc, token)-distinct, and
     // the MLT-style term budget makes the relation STRUCTURALLY
     // ≤ anchors × RrfMaxQueryTerms rows (PlanGuard-provable), so it
@@ -87,20 +91,14 @@ object Retrieval {
       .filter(col("rank") <= RrfMaxQueryTerms)
       .select(col("query_id"), col("token"))
     val wLex = Window.partitionBy(col("query_id")).orderBy(col("lex").desc, col("doc_id"))
-    val lex = tf.join(broadcast(qt), Seq("token"))
+    val lex = TextAnalysis.bm25Probe(tf, docStats, dfRel, nt, qt)
       .filter(col("doc_id") =!= col("query_id"))
-      .join(dfRel, Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .join(broadcast(n), lit(true))
-      .join(broadcast(t), lit(true))
-      .withColumn("s", TextAnalysis.bm25TermScore(col("tf"), col("df"),
-        col("dl"), col("n_docs"), col("t_toks")))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("lex"))
       .withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= RrfDepth)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    LexParts(tf, dfRel, dl, n, t, qt, lex)
+    LexParts(tf, dfRel, docStats, nt, qt, lex)
   }
 
   /** The two systems' top-[[RrfDepth]] rank relations — shared by
@@ -131,9 +129,23 @@ object Retrieval {
   }
 
   private def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
-    // ---- fusion: both top-D relations are ≤ anchors × depth rows
+    // ---- fusion: both top-D relations are ≤ anchors × depth rows.
+    // A FULL OUTER join on (query_id, doc_id) of two rank-UNIQUE
+    // relations is exactly union + one max-per-key aggregation: the
+    // key set is the union of key sets, and each side contributes its
+    // rank (max over {rank} ∪ {null} = rank) or null. Same rows, same
+    // rank pair, same rrf decimals — but ONE exchange with map-side
+    // combine instead of two co-partitioning exchanges + sorts into a
+    // SortMergeJoin FullOuter, which was the retrieval plans' only
+    // sort-merge join (r14, guide §2.4).
     val wFused = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
-    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+    lex.select(col("query_id"), col("doc_id"), col("lex_rank"),
+        lit(null).cast("int").as("dense_rank"))
+      .unionByName(dense.select(col("query_id"), col("doc_id"),
+        lit(null).cast("int").as("lex_rank"), col("dense_rank")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("lex_rank")).as("lex_rank"),
+        max(col("dense_rank")).as("dense_rank"))
       .withColumn("rrf", rr(col("lex_rank")) + rr(col("dense_rank")))
       .withColumn("rank", row_number().over(wFused))
       .filter(col("rank") <= RrfTopK)
@@ -255,22 +267,21 @@ object Retrieval {
 
   /** The feedback loop over an already-built lexical system — shared
     * by [[prfOn]] and [[evalOn]] so the evaluation reuses one tf
-    * exchange across all four systems. `lexIn` lets [[evalFromParts]]
-    * hand in its already-materialized first-pass ranking so the lex
-    * pipeline is not re-executed for the feedback set. */
-  private[pipeline] def prfFromParts(lp: LexParts,
-      lexIn: Option[DataFrame] = None): DataFrame = {
-    // pseudo-relevant set: first-pass top-R per anchor
-    val prel = lexIn.getOrElse(lp.lex).filter(col("lex_rank") <= PrfFeedbackDocs)
+    * exchange across all four systems. */
+  private[pipeline] def prfFromParts(lp: LexParts): DataFrame = {
+    // pseudo-relevant set: first-pass top-R per anchor — structurally
+    // ≤ anchors × PrfFeedbackDocs rows (the rank filter), so it
+    // broadcasts into the pooling join at any corpus size
+    val prel = lp.lex.filter(col("lex_rank") <= PrfFeedbackDocs)
       .select(col("query_id"), col("doc_id"))
     // expansion terms: pooled tf over the feedback docs, minus the
     // anchor's own query terms, top-E per anchor (bounded via the
     // rank ≤ E filter, the qt convention)
     val wExp = Window.partitionBy(col("query_id")).orderBy(col("w").desc, col("token"))
-    val expTerms = lp.tf.join(prel, Seq("doc_id"))
+    val expTerms = lp.tf.join(broadcast(prel), Seq("doc_id"))
       .groupBy(col("query_id"), col("token"))
       .agg(sum(col("tf")).as("w"))
-      .join(lp.qt, Seq("query_id", "token"), "left_anti")
+      .join(broadcast(lp.qt), Seq("query_id", "token"), "left_anti")
       .withColumn("rank", row_number().over(wExp))
       .filter(col("rank") <= PrfExpansionTerms)
       .select(col("query_id"), col("token"))
@@ -278,14 +289,11 @@ object Retrieval {
     val eq = lp.qt.select(col("query_id"), col("token"), lit(PrfOrigWeight).as("wq"))
       .unionByName(expTerms.select(col("query_id"), col("token"), lit(PrfExpWeight).as("wq")))
     val wPrf = Window.partitionBy(col("query_id")).orderBy(col("sd").desc, col("doc_id"))
-    lp.tf.join(broadcast(eq), Seq("token"))
+    TextAnalysis.bm25Probe(lp.tf, lp.docStats, lp.dfRel, lp.nt, eq)
       .filter(col("doc_id") =!= col("query_id"))
-      .join(lp.dfRel, Seq("token"))
-      .join(lp.dl, Seq("doc_id"))
-      .join(broadcast(lp.n), lit(true))
-      .join(broadcast(lp.t), lit(true))
-      .withColumn("s", TextAnalysis.bm25TermScore(col("tf"), col("df"),
-        col("dl"), col("n_docs"), col("t_toks")) * col("wq"))
+      // Rocchio weight as an INTEGER multiplier on the scale-9 term
+      // score — the same Multiply the inline expression produced
+      .withColumn("s", col("s") * col("wq"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("s")).as("sd"))
       .withColumn("rank", row_number().over(wPrf))
@@ -426,7 +434,7 @@ object Retrieval {
     val lex = lp.lex
     val dense = denseIn.getOrElse(denseSystem(e))
     val fused = rrfFuse(lex, dense)
-    val prf = prfFromParts(lp, Some(lex))
+    val prf = prfFromParts(lp)
     val rankings = lex.filter(col("lex_rank") <= EvalK)
       .select(col("query_id"), col("doc_id"), lit("lex").as("system"),
         col("lex_rank").as("rank"))
@@ -447,7 +455,10 @@ object Retrieval {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("total_relevant"))
     val gain = element_at(array(DcgGainsE9.map(lit): _*), col("rank"))
-    val marked = rankings
+    // rankings is STRUCTURALLY ≤ anchors × EvalK × 4 systems rows
+    // (every branch is rank-filtered): broadcast it so the corpus-
+    // grain labels side never shuffles for this join (r14)
+    val marked = broadcast(rankings)
       .join(labels, Seq("doc_id"))
       .join(broadcast(qLabels), Seq("query_id"))
       .withColumn("rel", (col("label") === col("q_label")).cast("int"))
@@ -491,6 +502,15 @@ object Retrieval {
     val e = Tables.spread(Tables.embeddings(spark, dir))
     val dense = denseSystem(e).localCheckpoint()
     val path = java.nio.file.Files.createTempDirectory("graft_bm25_eval").toString
+    // the from-text edition never touches the index directory — its
+    // composition (whose eager part is the tokenize→tf checkpoint)
+    // overlaps the write→add→add→eval→compact chain on the shared
+    // pool (guide §2.6, the cleanStats pattern; frames deterministic)
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fromTextF = Future(blocking(
+      evalFromParts(lexSystem(d), e, Some(dense)).withColumn("edition", lit("from_text"))))
     Bm25Index.write(d.filter(col("doc_id") < Bm25Index.AddSplit), path)
     val tail = d.filter(col("doc_id") >= Bm25Index.AddSplit)
     Bm25Index.add(tail, path)
@@ -507,8 +527,7 @@ object Retrieval {
     Bm25Index.compact(spark, path)
     val compacted = evalFromParts(lexPartsFromTf(Bm25Index.load(spark, path)), e, Some(dense))
       .withColumn("edition", lit("compacted"))
-    val fromText = evalFromParts(lexSystem(d), e, Some(dense))
-      .withColumn("edition", lit("from_text"))
+    val fromText = Await.result(fromTextF, Duration.Inf)
     fromText.unionByName(added).unionByName(compacted)
       .select(col("edition"), col("query_id"), col("system"), col("hits_at_10"),
         col("total_relevant"), col("mrr_e9"), col("dcg_e9"), col("idcg_e9"))

@@ -776,6 +776,39 @@ object TextAnalysis {
   private[pipeline] def bm25On(d: DataFrame): DataFrame =
     bm25FromTf(tfRelation(d))
 
+  /** The doc-grain and corpus-grain BM25 statistics from the tf
+    * sufficient statistic, derived in ONE aggregation chain (r14,
+    * guide §2.4): `docStats` is the old per-doc `dl` groupBy (token-
+    * less docs carry a dl = 0 row the probe's inner join never
+    * matches); re-aggregating it yields the 1-row `(n_docs, t_toks)`
+    * — `count(groups)` ≡ the old `countDistinct(doc_id)` (an Expand +
+    * two exchanges) and `sum(dl)` ≡ the old global `sum(tf)` (NULL-
+    * token rows carry tf = 0), as one broadcast instead of two. */
+  private[pipeline] def bm25Stats(tfCk: DataFrame): (DataFrame, DataFrame) = {
+    val docStats = tfCk.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val nt = docStats.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+    (docStats, nt)
+  }
+
+  /** One BM25 term-scoring probe over the shared statistics: the
+    * (query_id, token[, wq]) relation broadcasts into tf; `df` joins
+    * back RESTRICTED to the query's own tokens (structurally bounded
+    * by the query relation, so it broadcasts at ANY corpus size — the
+    * full token-grain dfRel does not); the doc-grain `docStats` join
+    * is the only corpus-grain shuffle; the 1-row `nt` rides along as
+    * one broadcast. Emits the scored term-grain rows (column `s` =
+    * [[bm25TermScore]]); callers aggregate/weight/rank. */
+  private[pipeline] def bm25Probe(tf: DataFrame, docStats: DataFrame,
+      dfRel: DataFrame, nt: DataFrame, q: DataFrame): DataFrame = {
+    val dfq = dfRel.join(broadcast(q.select(col("token"))), Seq("token"), "left_semi")
+    tf.join(broadcast(q), Seq("token"))
+      .join(broadcast(dfq), Seq("token"))
+      .join(docStats, Seq("doc_id"))
+      .join(broadcast(nt), lit(true))
+      .withColumn("s", bm25TermScore(col("tf"), col("df"),
+        col("dl"), col("n_docs"), col("t_toks")))
+  }
+
   /** BM25 scoring from the sufficient statistic alone — shared by the
     * from-text path ([[bm25On]]) and the stored-index path
     * ([[Bm25Index.search]]), so incremental ≡ batch is structural:
@@ -788,20 +821,12 @@ object TextAnalysis {
     val tf = tfAll.localCheckpoint()
     val df = tf.filter(col("token").isNotNull)
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val t = tf.agg(sum(col("tf")).as("t_toks"))
+    val (docStats, nt) = bm25Stats(tf)
     val qt = Bm25Queries.toDF("query_id", "query")
       .select(col("query_id"), explode(split(col("query"), " ")).as("token"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sd").desc, col("doc_id"))
-    tf.join(broadcast(qt), Seq("token"))
-      .join(df, Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .join(broadcast(n), lit(true))
-      .join(broadcast(t), lit(true))
-      .withColumn("s", bm25TermScore(col("tf"), col("df"), col("dl"),
-        col("n_docs"), col("t_toks")))
+    bm25Probe(tf, docStats, df, nt, qt)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("s")).as("sd"))
       .withColumn("rank", row_number().over(w))

@@ -113,7 +113,11 @@ class PlanGuardSpec extends SparkSpec {
       // a query_id-grain aggregate is ≤ #anchors rows — same
       // convention that admits query_id in boundedIdFilters below
       "query_id")
-    val boundedIdFilters = Set("vec_id", "query_id", "cid", "crn", "rank", "rn")
+    // lex_rank / dense_rank: the retrieval systems' window row_number
+    // columns, pruned to ≤ RrfDepth/EvalK — same per-anchor top-k
+    // convention as crn/rank/rn
+    val boundedIdFilters = Set("vec_id", "query_id", "cid", "crn", "rank", "rn",
+      "lex_rank", "dense_rank")
 
     def smallIntLit(e: Expression): Boolean = e match {
       case Literal(v: Int, _) => v <= 4096
@@ -159,6 +163,28 @@ class PlanGuardSpec extends SparkSpec {
           a.groupingExpressions.forall(_.references.forall(r => boundedGroupCols(r.name)))
       case f: Filter => boundingFilter(f.condition)
       case l: LogicalRelation => dimLeaf(l)
+      // LEFT SEMI against a covered (bounded) right side, where the
+      // left is key-UNIQUE on the join keys (an Aggregate grouped by a
+      // subset of them, possibly behind Project/Filter): the output has
+      // at most one left row per distinct right key tuple, i.e. ≤ the
+      // right side's own bound. This is the r14 dfq shape — the full
+      // token-grain df relation is NOT broadcastable, but df semi-
+      // joined to the bounded query-term relation is ≤ the query's own
+      // token set (optimization guide §3.2's "broadcast less" posture).
+      case j: Join if j.joinType.sql == "LEFT SEMI" =>
+        val leftKeyNames: Set[String] = j.condition.toSeq.flatMap(_.collect {
+          case EqualTo(l: Attribute, r: Attribute) =>
+            Seq(l, r).filter(a => j.left.outputSet.contains(a)).map(_.name)
+        }.flatten).toSet
+        def keyUniqueLeft(q: LogicalPlan): Boolean = q match {
+          case a: Aggregate =>
+            val g = a.groupingExpressions.flatMap(_.references).map(_.name).toSet
+            g.nonEmpty && g.subsetOf(leftKeyNames)
+          case pr: Project => keyUniqueLeft(pr.child)
+          case f: Filter => keyUniqueLeft(f.child)
+          case _ => false
+        }
+        leftKeyNames.nonEmpty && keyUniqueLeft(j.left) && covered(j.right)
       case _ => false
     }
     def covered(p: LogicalPlan): Boolean =
