@@ -21,6 +21,7 @@ object BenchCost {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val runMs = new AtomicLong
     val cpuNs = new AtomicLong; val shufWr = new AtomicLong
+    val spill = new AtomicLong // disk spill — the r14 sf1 SHJ probe metric
     // opt-in per-stage breakdown (SPARK_GRAFT_BENCHCOST_STAGES=1):
     // prints each stage's summed task run/cpu so a hot stage is
     // attributable to its plan operator by name
@@ -46,6 +47,7 @@ object BenchCost {
           runMs.addAndGet(m.executorRunTime)
           cpuNs.addAndGet(m.executorCpuTime)
           shufWr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.diskBytesSpilled)
           if (perStage) {
             stageRun.computeIfAbsent(t.stageId, _ => new AtomicLong)
               .addAndGet(m.executorRunTime)
@@ -74,6 +76,7 @@ object BenchCost {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       drain() // let listener events drain
       jobs.set(0); stages.set(0); tasks.set(0); runMs.set(0); cpuNs.set(0); shufWr.set(0)
+      spill.set(0)
       val t0 = System.nanoTime()
       all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -81,7 +84,7 @@ object BenchCost {
       drain() // listener is async — drain before reading
       val r = f"""{"name":"$name","jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},""" +
         f""""task_run_s":${runMs.get / 1e3}%.2f,"task_cpu_s":${cpuNs.get / 1e9}%.2f,""" +
-        f""""shuffle_mb":${shufWr.get / 1e6}%.2f,"wall_s":$wall%.2f}"""
+        f""""shuffle_mb":${shufWr.get / 1e6}%.2f,"spill_mb":${spill.get / 1e6}%.2f,"wall_s":$wall%.2f}"""
       println(s"[benchcost] $r")
       r
     }

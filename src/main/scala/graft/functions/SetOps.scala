@@ -160,25 +160,27 @@ case class SortedStrSetIntersectCount(left: Expression, right: Expression)
 
 object SortedStrSetIntersectCount {
   /** Called from generated code. */
-  def compute(a: ArrayData, b: ArrayData): Long = {
+  def compute(a: ArrayData, b: ArrayData): Long = try {
     val (na, nb) = (a.numElements(), b.numElements())
     var i = 0
     var j = 0
     var c = 0L
     while (i < na && j < nb) {
-      val ea = a.getUTF8String(i)
-      val eb = b.getUTF8String(j)
-      // precondition: sorted, distinct, NO null elements (the callers
-      // feed array_sort(array_distinct(...)) of non-null tokens). A
-      // violation previously surfaced as an NPE deep inside codegen
-      // (r13 ADVICE) — fail with a message that names the contract.
-      require(ea != null && eb != null,
-        "sorted_str_set_intersect_count: null array element — inputs must be sorted, distinct, null-free")
-      val cmp = ea.compareTo(eb)
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
     }
     c
+  } catch {
+    // precondition: sorted, distinct, NO null elements (the callers
+    // feed array_sort(array_distinct(...)) of non-null tokens). A
+    // violation previously surfaced as a bare NPE deep inside codegen
+    // (r13 ADVICE) — name the contract instead. The guard lives in a
+    // catch, NOT as per-element checks: this loop runs once per
+    // candidate PAIR (millions in the er family), and the happy path
+    // must stay two loads + one compare per step.
+    case _: NullPointerException => throw new IllegalArgumentException(
+      "sorted_str_set_intersect_count: null array element — inputs must be sorted, distinct, null-free")
   }
 }

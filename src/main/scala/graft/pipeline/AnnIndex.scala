@@ -63,23 +63,41 @@ object AnnIndex {
     * cells, so dynamic partition pruning skips the other K−probes
     * partitions' files entirely — at lake scale the search reads
     * probed cells, not the index. */
+  /** Sub-splits per cell for the standing `codes/` writes: the bare
+    * `repartition(cell)` serialized each cell onto ONE task (and one
+    * file) — fine at bench scale, wrong at 100 TB where a hot cell
+    * becomes one giant single-task file (r13 VERDICT). The
+    * deterministic vec_id salt (guide §2.5: never rand()) caps a
+    * cell at this many write tasks/files; AQE's byte-targeted
+    * coalescing still collapses the salted partitions when cells are
+    * small, so the bench-scale layout stays one-file-per-cell. */
+  private val WriteSubsplits = 8
+
+  private def clusteredByCell(codes: DataFrame): DataFrame =
+    codes.repartition(col("cell"),
+      pmod(xxhash64(col("vec_id")), lit(WriteSubsplits)))
+
   def write(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
     val s = build(emb)
     s.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     s.codebook.write.mode("overwrite").parquet(s"$path/codebook")
     // cluster by cell BEFORE the partitioned write (guide §6: output
     // file sizing): without it every shuffle partition emits one file
     // per cell it holds (up to tasks × cells tiny files — measured 512
-    // at 32 cores); clustered, each cell lands in exactly one file,
-    // which the probe-side scan then reads back without the
-    // small-files tax. Same rows, same partitioning scheme on disk.
-    s.codes.repartition(col("cell"))
+    // at 32 cores). Same rows, same partitioning scheme on disk.
+    clusteredByCell(s.codes)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     // manifest LAST: it is the index's commit marker — written only
     // after every relation landed, and the compatibility contract a
     // loader checks before probing (config drift between builder and
-    // searcher silently corrupts ADC distances otherwise)
-    writeManifest(emb.sparkSession, path, emb.count())
+    // searcher silently corrupts ADC distances otherwise).
+    // n_vectors from the JUST-WRITTEN codes' parquet footer metadata
+    // (rows / PqSubspaces — the encode emits exactly M rows per input
+    // vector) instead of a second full scan of the raw embeddings
+    // (r13 VERDICT item 5; guide §1.2 don't recompute).
+    writeManifest(spark, path,
+      spark.read.parquet(s"$path/codes").count() / Similarity.PqSubspaces)
   }
 
   private def writeManifest(spark: SparkSession, path: String, n: Long): Unit = {
@@ -107,11 +125,15 @@ object AnnIndex {
     val s = load(spark, path) // validates the manifest geometry first
     // same cell-clustering as [[write]]: an append otherwise scatters
     // one tiny file per (task, cell) into the touched directories
-    Similarity.ivfPqEncode(prepare(emb), s.centroids, s.codebook, residual = true)
-      .repartition(col("cell"))
+    clusteredByCell(
+      Similarity.ivfPqEncode(prepare(emb), s.centroids, s.codebook, residual = true))
       .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
-    val n = manifest(spark, path).head().getAs[Long]("n_vectors")
-    writeManifest(spark, path, n + emb.count())
+    // grown count from the post-append codes footer metadata: equals
+    // the old `manifest.n + emb.count()` (M rows ever appended per
+    // encoded vector — "rows ever encoded" semantics unchanged) with
+    // neither the manifest re-read nor the raw-embeddings re-scan
+    writeManifest(spark, path,
+      spark.read.parquet(s"$path/codes").count() / Similarity.PqSubspaces)
   }
 
   /** ONLINE DELETE — remove vectors from a standing index WITHOUT a

@@ -458,10 +458,15 @@ object Classifier {
   private def dsirBucketStats(spark: SparkSession, dir: String): DataFrame = {
     // Stage the code-point array per token occurrence, THEN fold the
     // hash (the Hashes convention: HOFs are interpreted, keep each
-    // expensive array in its own projection).
+    // expensive array in its own projection) — and FENCE the bucket
+    // (guide §4.4 via OptimizerFence, r14): the downstream join on
+    // bucket infers isnotnull(bucket), whose pushdown re-inlined the
+    // whole interpreted hash chain into a Filter BELOW this projection
+    // — every token occurrence paid the fold twice (plan-verified).
     val bucketed = occurrences(spark, dir)
       .withColumn("codes", Hashes.charCodes(col("token")))
-      .withColumn("bucket", Hashes.polyHash(col("codes")) % DsirBuckets)
+      .withColumn("bucket", graft.functions.OptimizerFence.once(
+        Hashes.polyHash(col("codes")) % DsirBuckets))
     val perBucket = bucketed
       .groupBy(col("bucket"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("target_mass"),
@@ -523,7 +528,10 @@ object Classifier {
       .select(col("bucket"), col("ratio").cast("decimal(20,9)").as("r"))
     occurrences(spark, dir)
       .withColumn("codes", Hashes.charCodes(col("token")))
-      .withColumn("bucket", Hashes.polyHash(col("codes")) % DsirBuckets)
+      // fenced for the same reason as dsirBucketStats: the join's
+      // inferred isnotnull otherwise doubles the interpreted hash fold
+      .withColumn("bucket", graft.functions.OptimizerFence.once(
+        Hashes.polyHash(col("codes")) % DsirBuckets))
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("doc_id"), col("source"), col("is_ref"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("rsum"))

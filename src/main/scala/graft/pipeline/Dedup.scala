@@ -77,13 +77,13 @@ object Dedup {
     * interpreted HOFs don't CSE, so an inline `split+filter` would be
     * re-evaluated for every element_at. */
   private[graft] def wordShingles(toks: Column): Column =
-    // Guard: Spark's sequence(1, n) is DESCENDING for n < 1 and ANSI
-    // element_at would throw on the out-of-range index — short docs
-    // yield an empty set instead (the oracle filters them identically).
-    when(size(toks) >= ShingleWords,
-      array_distinct(transform(sequence(lit(1), size(toks) - (ShingleWords - 1)),
-        i => concat_ws(" ", (0 until ShingleWords).map(o => element_at(toks, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
+    // Native codegen'd shingling (r14, guide §1.2 per-task work): the
+    // former when/sequence/transform/concat_ws/array_distinct HOF tree
+    // evaluated interpreted per row; [[graft.functions.WordShingles]]
+    // is one primitive loop with identical values — same concat_ws
+    // null-skipping, same first-occurrence distinct order, same empty
+    // array for short or NULL token lists.
+    graft.functions.WordShingles.shingles(toks, ShingleWords)
 
   private val wordShinglesSql: String = {
     val concat = (0 until ShingleWords).map(o => s"tokens[i+$o]").mkString(" || ' ' || ")
@@ -290,14 +290,21 @@ object Dedup {
       .unionByName(pairs.select(col("doc_id_2").as("a"), col("doc_id_1").as("b")))
       // size the loop's partitioning to the EDGE relation, not to the
       // pair-generation stage it came from (r13 optimization round):
-      // the union otherwise checkpoints at the upstream map width
-      // (2×shuffle.partitions), and every fixpoint iteration then
-      // schedules that many tasks over a post-threshold edge set that
-      // is typically tiny. A keyed repartition goes through AQE
-      // coalescing, so the width tracks edge bytes — small here, wide
-      // on a corpus whose duplicate graph is actually large.
-      .repartition(col("a"))
+      // a keyed repartition goes through AQE coalescing, so the width
+      // tracks edge bytes — small here, wide on a corpus whose
+      // duplicate graph is actually large. Keyed by B (r14): every
+      // fixpoint iteration probes edges ON b, so a b-keyed checkpoint
+      // is reused by EVERY iteration with no further edge exchange —
+      // the a-keyed layout re-shuffled the (largest) edge relation
+      // once per iteration.
+      .repartition(col("b"))
       .localCheckpoint()
+    // NOTE (r14, measured): pinning labels to the edge width with an
+    // explicit repartition(p, doc) here and before each iteration's
+    // checkpoint was TRIED and reverted — at bench scale AQE
+    // broadcasts the label-grain sides of every loop join, so the
+    // co-partitioning bought nothing while its exchange added one job
+    // per iteration (dedup_minhash_clusters 84 → 89 jobs).
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc"))
       .localCheckpoint()
