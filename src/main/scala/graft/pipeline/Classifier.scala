@@ -48,7 +48,7 @@ object Classifier {
   /** Whitespace tokens, lowercased, empties dropped (the corpus-wide
     * tokenization convention — TextAnalysis.tokens). */
   private def tokens(text: Column): Column =
-    filter(split(lower(text), " "), t => length(t) > 0)
+    graft.functions.Tokens.tokens(text)
 
   private val tokensSql = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
 

@@ -200,7 +200,7 @@ object Corpus {
   def topkTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+        explode(graft.functions.Tokens.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -233,7 +233,7 @@ object Corpus {
   def topkTokensApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("token"))
+        explode(graft.functions.Tokens.tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"),
         approx_count_distinct(col("doc_id"), ApproxDfRsd).as("n_docs_approx"))
@@ -499,7 +499,7 @@ object Corpus {
   private[pipeline] def packSequencesOn(d: DataFrame): DataFrame = {
     val toks = d
       .select(col("doc_id"),
-        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("bigint").as("n_tokens"))
+        size(graft.functions.Tokens.tokens(col("text"))).cast("bigint").as("n_tokens"))
       .withColumn("shard", (col("doc_id") % NumShards).cast("int"))
     graft.functions.DistributedRanks
       .withGroupPrefixSum(toks, "shard", Seq(col("doc_id")), col("n_tokens"), "run_sum")
@@ -960,7 +960,7 @@ object Corpus {
   def epochPlan(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir)
       .select(col("source"),
-        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("nt"))
+        size(graft.functions.Tokens.tokens(col("text"))).as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).as("t"))
       .withColumn("st", sqrt(col("t").cast("double")).cast("decimal(27,12)"))
     val denom = src.agg(sum(col("st")).as("sum_st"))
@@ -999,7 +999,7 @@ object Corpus {
     * shuffle + one bounded pair aggregate; |sources|² output rows. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val ss = Tables.spread(Tables.documents(spark, dir))
-      .withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      .withColumn("toks", graft.functions.Tokens.tokens(col("text")))
       .filter(size(col("toks")) >= Dedup.ShingleWords)
       .select(col("source"), explode_outer(Dedup.wordShingles(col("toks"))).as("shingle"))
       .filter(col("shingle").isNotNull)
@@ -1068,7 +1068,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val toked = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+        graft.functions.Tokens.tokens(col("text")).as("toks"))
     val bigrams = when(size(col("toks")) >= 2,
       transform(sequence(lit(1), size(col("toks")) - 1),
         i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1))))

@@ -123,7 +123,7 @@ object Dedup {
     // filter (see explodedShingleHashes scaladoc).
     val sh = docs(spark, dir)
       .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+        graft.functions.Tokens.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleWords)
       .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
     val inv = sh.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
@@ -440,7 +440,7 @@ object Dedup {
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val inv = docs(spark, dir)
       .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+        graft.functions.Tokens.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleWords)
       .select(col("doc_id"), explode_outer(wordShingles(col("toks"))).as("shingle"))
       .localCheckpoint() // feeds the first-occurrence agg AND the probe
@@ -552,7 +552,7 @@ object Dedup {
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir)
       .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+        graft.functions.Tokens.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleWords)
       .select(col("doc_id"), wordShingles(col("toks")).as("shingles"))
     val inv = sh.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
@@ -1465,7 +1465,7 @@ object Dedup {
   private[pipeline] def spanCoverageOn(d: DataFrame): DataFrame = {
     val spans = d
       .select(col("doc_id"),
-        filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+        graft.functions.Tokens.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= SpanTokens)
       .select(col("doc_id"), col("toks"),
         explode_outer(sequence(lit(1), size(col("toks")) - (SpanTokens - 1), lit(SpanStride)))
@@ -1534,7 +1534,7 @@ object Dedup {
     * keeplistFrame rule — composing callers join/aggregate next). */
   private[pipeline] def spanRewriteFrame(d: DataFrame): DataFrame = {
     val toksDf = d.select(col("doc_id"),
-      filter(split(lower(col("text")), " "), t => length(t) > 0).as("toks"))
+      graft.functions.Tokens.tokens(col("text")).as("toks"))
     val spans = toksDf
       .filter(size(col("toks")) >= SpanTokens)
       .select(col("doc_id"), col("toks"),

@@ -48,7 +48,7 @@ object EntityResolution {
   val MatchThresholdE6 = 600000L
 
   private def nameTokens(name: Column): Column =
-    filter(split(lower(name), " "), t => length(t) > 0)
+    graft.functions.Tokens.tokens(name)
 
   /** Sorted-pair blocking signatures of a sorted token set at `gap`:
     * gap 1 = consecutive pairs (the er_match scheme), gap 2 =

@@ -19,7 +19,7 @@ object TextAnalysis {
 
   /** Whitespace tokens, lowercased, empties dropped. */
   private[pipeline] def tokens(text: Column): Column =
-    filter(split(lower(text), " "), t => length(t) > 0)
+    graft.functions.Tokens.tokens(text)
 
   private[pipeline] val tokensSql = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
 

@@ -221,7 +221,7 @@ object Urls {
   def urlStats(spark: SparkSession, dir: String): DataFrame =
     parsedUrls(withUrl(docs(spark, dir)))
       .withColumn("n_toks",
-        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("long"))
+        size(graft.functions.Tokens.tokens(col("text"))).cast("long"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("host")).as("n_hosts"),
@@ -413,7 +413,7 @@ object Urls {
     // cap stage — without the checkpoint it would re-run three times
     val parsed = parsedUrls(withUrl(docs(spark, dir)))
       .withColumn("n_toks",
-        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("long"))
+        size(graft.functions.Tokens.tokens(col("text"))).cast("long"))
       .select(col("doc_id"), col("domain"), col("n_toks"))
       .localCheckpoint()
     val s1 = parsed.join(broadcast(BlockedDomains.toDF("domain")), Seq("domain"), "left_anti")

@@ -336,7 +336,7 @@ object StreamingCorpus {
   def decontaminate(docs: Dataset[IncomingDoc], benchmark: DataFrame,
       shingleWords: Int, confidenceMs: Long): DataFrame = {
     def shingles(df: DataFrame): DataFrame = {
-      val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+      val toks = graft.functions.Tokens.tokens(col("text"))
       df.withColumn("toks", toks)
         .filter(size(col("toks")) >= shingleWords)
         .withColumn("shingle",
@@ -369,7 +369,7 @@ object StreamingCorpus {
   def contaminationHits(docs: DataFrame, benchmark: DataFrame): DataFrame = {
     import graft.pipeline.Dedup
     def shingled(df: DataFrame, idCol: String): DataFrame =
-      df.withColumn("toks", filter(split(lower(col("text")), " "), t => length(t) > 0))
+      df.withColumn("toks", graft.functions.Tokens.tokens(col("text")))
         .filter(size(col("toks")) >= Dedup.ShingleWords)
         .select(col(idCol), explode_outer(Dedup.wordShingles(col("toks"))).as("shingle"))
         .filter(col("shingle").isNotNull)
@@ -398,8 +398,7 @@ object StreamingCorpus {
       .withColumn("event_time", timestamp_micros(col("timeUs")))
       .withWatermark("event_time", s"$confidenceMs milliseconds")
       .select(col("event_time"),
-        explode_outer(filter(split(lower(col("text")), " "),
-          t => length(t) > 0)).as("token"))
+        explode_outer(graft.functions.Tokens.tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull)
       .groupBy(window(col("event_time"), s"$windowMs milliseconds"), col("token"))
       .agg(count(lit(1)).as("n"))
