@@ -791,18 +791,26 @@ object TextAnalysis {
   }
 
   /** One BM25 term-scoring probe over the shared statistics: the
-    * (query_id, token[, wq]) relation broadcasts into tf; `df` joins
-    * back RESTRICTED to the query's own tokens (structurally bounded
-    * by the query relation, so it broadcasts at ANY corpus size — the
-    * full token-grain dfRel does not); the doc-grain `docStats` join
-    * is the only corpus-grain shuffle; the 1-row `nt` rides along as
-    * one broadcast. Emits the scored term-grain rows (column `s` =
-    * [[bm25TermScore]]); callers aggregate/weight/rank. */
+    * (query_id, token[, wq]) relation broadcasts into tf; df and the
+    * doc-grain docStats join back with the planner/AQE free to choose
+    * the strategy; the 1-row `nt` rides along as one broadcast. Emits
+    * the scored term-grain rows (column `s` = [[bm25TermScore]]);
+    * callers aggregate/weight/rank.
+    *
+    * NOTE (r14, measured — do not re-try): attaching df via a
+    * query-bounded semi-join (`dfq = dfRel ⋉ broadcast(q.tokens)`,
+    * then `broadcast(dfq)`) was TRIED for the 100 TB
+    * bounded-broadcast posture and REVERTED: forcing a broadcast of a
+    * DERIVED relation chains its whole subtree into a blocking build
+    * job (bcast(q) → dfq job → collect → bcast(dfq)) per scoring
+    * pass, and retrieval_eval_editions regressed 15.5 → 19.9 s
+    * min-of-5 same-session wall while the plain join costs nothing
+    * (AQE broadcasts dfRel at bench scale and falls back to a
+    * skew-handled shuffle join at vocabulary scale — both safe). */
   private[pipeline] def bm25Probe(tf: DataFrame, docStats: DataFrame,
       dfRel: DataFrame, nt: DataFrame, q: DataFrame): DataFrame = {
-    val dfq = dfRel.join(broadcast(q.select(col("token"))), Seq("token"), "left_semi")
     tf.join(broadcast(q), Seq("token"))
-      .join(broadcast(dfq), Seq("token"))
+      .join(dfRel, Seq("token"))
       .join(docStats, Seq("doc_id"))
       .join(broadcast(nt), lit(true))
       .withColumn("s", bm25TermScore(col("tf"), col("df"),
